@@ -1,0 +1,169 @@
+"""Deterministic synthetic image+caption benchmark table (FIXTURES.md F1).
+
+Generates the BASELINE.json ``input_hint`` shape exactly:
+
+    image_id:string, bytes:binary, w:int32, h:int32, fmt:string,
+    caption:string, phash:int64
+
+as a Lance-style fragment-per-partition table.  Rows are a pure function
+of ``(seed, row_index)`` *given the partition layout* (near-dup planting
+picks an earlier row of the same partition so partitions can be generated
+independently and in parallel — the dedup mechanism itself is global).
+
+≈8 % of rows are perturbed copies of an earlier row (pixel noise ±2 +
+caption paraphrase) so their average-phash Hamming distance is small —
+the planted near-duplicates the phash collapse must find.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..common.hashing import row_seed, uint64_to_int64
+from ..io import codecs, lance_table
+from . import textgen
+
+SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fmt", pa.string()),
+        ("caption", pa.string()),
+        ("phash", pa.int64()),
+    ]
+)
+
+FMTS = ("raw", "pngz", "qjpg")
+_FMT_CUM = np.cumsum([0.3, 0.4, 0.3])
+DUP_PROB = 0.08
+
+
+def _gen_pixels(rng: np.random.Generator) -> np.ndarray:
+    w = int(rng.integers(16, 129))
+    h = int(rng.integers(16, 129))
+    ax, ay = int(rng.integers(1, 7)), int(rng.integers(1, 7))
+    phases = rng.integers(0, 256, size=3)
+    grad = (np.arange(w)[None, :] * ax + np.arange(h)[:, None] * ay).astype(np.int32)
+    noise = rng.integers(-8, 9, size=(h, w, 3), dtype=np.int32)
+    px = (grad[:, :, None] + phases[None, None, :] + noise) % 256
+    return px.astype(np.uint8)
+
+
+def _pick_fmt(rng: np.random.Generator) -> str:
+    u = float(rng.random())
+    return FMTS[int(np.searchsorted(_FMT_CUM, u, side="right").clip(0, 2))]
+
+
+def generate_partition(
+    seed: int, part_id: int, start: int, n_rows: int
+) -> tuple[pa.Table, pa.Table]:
+    """Generate one fragment → (images table, generator-metadata table).
+
+    The metadata table (image_id, cls, dup_src) is test-only provenance;
+    the pipeline under test never reads it.
+    """
+    ids, bufs, ws, hs, fmts, caps, phashes = [], [], [], [], [], [], []
+    classes, dup_srcs = [], []
+    # keep decoded pixels of this partition for intra-partition dup planting
+    pixel_cache: list[np.ndarray] = []
+    for k in range(n_rows):
+        i = start + k
+        rng = np.random.default_rng(row_seed(seed, i))
+        image_id = f"img-{i:012d}"
+        is_dup = k > 0 and float(rng.random()) < DUP_PROB
+        if is_dup:
+            src = int(rng.integers(0, k))
+            src_px = pixel_cache[src]
+            noise = rng.integers(-2, 3, size=src_px.shape, dtype=np.int16)
+            px = np.clip(src_px.astype(np.int16) + noise, 0, 255).astype(np.uint8)
+            caption = textgen.paraphrase(rng, caps[src])
+            cls = "dup"
+            dup_src = ids[src]
+        else:
+            px = _gen_pixels(rng)
+            cls = textgen.pick_class(rng)
+            caption = textgen.gen_caption(rng, cls)
+            dup_src = ""
+        fmt = _pick_fmt(rng)
+        h, w = px.shape[:2]
+        ids.append(image_id)
+        bufs.append(codecs.encode(px, fmt))
+        ws.append(w)
+        hs.append(h)
+        fmts.append(fmt)
+        caps.append(caption)
+        phashes.append(uint64_to_int64(codecs.average_phash(px)))
+        classes.append(cls)
+        dup_srcs.append(dup_src)
+        pixel_cache.append(px)
+    images = pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(bufs, pa.binary()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+            "fmt": pa.array(fmts, pa.string()),
+            "caption": pa.array(caps, pa.string()),
+            "phash": pa.array(phashes, pa.int64()),
+        },
+        schema=SCHEMA,
+    )
+    meta = pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "cls": pa.array(classes, pa.string()),
+            "dup_src": pa.array(dup_srcs, pa.string()),
+        }
+    )
+    return images, meta
+
+
+def _part_bounds(n_rows: int, n_parts: int) -> list[tuple[int, int]]:
+    starts = [p * n_rows // n_parts for p in range(n_parts + 1)]
+    return [(starts[p], starts[p + 1] - starts[p]) for p in range(n_parts)]
+
+
+def build_images_table(
+    out_dir: str,
+    n_rows: int,
+    n_parts: int = 64,
+    seed: int = 42,
+    use_ray: bool = False,
+    with_meta: bool = True,
+) -> str:
+    """Write the benchmark table (idempotent: returns early if present)."""
+    import os
+
+    if lance_table.table_exists(out_dir) and lance_table.num_rows(out_dir) == n_rows:
+        return out_dir
+    meta_dir = os.path.join(out_dir, "_gen_meta")
+    frags = []
+
+    def finish(part_id: int, images: pa.Table, meta: pa.Table) -> None:
+        frags.append(lance_table.write_fragment(out_dir, part_id, images))
+        if with_meta:
+            lance_table.write_fragment(meta_dir, part_id, meta)
+
+    bounds = _part_bounds(n_rows, n_parts)
+    if use_ray:
+        import ray
+
+        gen = ray.remote(num_cpus=1)(generate_partition)
+        refs = [gen.remote(seed, p, s, n) for p, (s, n) in enumerate(bounds)]
+        for p, ref in enumerate(refs):
+            images, meta = ray.get(ref)
+            finish(p, images, meta)
+    else:
+        for p, (s, n) in enumerate(bounds):
+            images, meta = generate_partition(seed, p, s, n)
+            finish(p, images, meta)
+    if with_meta:
+        lance_table.write_manifest(meta_dir, [f for f in frags], {"kind": "gen_meta"})
+        # meta fragments have different row counts metadata — rebuild properly
+    lance_table.write_manifest(
+        out_dir, frags, {"seed": seed, "n_rows": n_rows, "n_parts": n_parts}
+    )
+    return out_dir

@@ -1,0 +1,123 @@
+"""From-scratch interpolated word-bigram language model (KenLM-style).
+
+The perplexity scorer of the quality-filter pipeline.  Jelinek–Mercer
+interpolation over bigram / unigram / uniform-unknown:
+
+    P(w | p) = λ2·c(p,w)/c(p) + λ1·c(w)/N + λ0·1/(V+1)
+
+Perplexity = exp(−mean ln P) over the tokens of a caption.  Deterministic:
+counts are exact integers, scoring is float64 with a fixed evaluation
+order, so the actor-pool scorer and the single-process oracle agree
+bit-for-bit.
+
+Fills the role KenLM plays in web-curation quality filters; the reference
+analogue is the fastText quality scorer used as a keep/drop signal
+(open_thoughts_3/engine/operators/fasttext_operator.py:145-154).
+"""
+
+from __future__ import annotations
+
+import io
+import math
+
+import numpy as np
+
+LAMBDA2, LAMBDA1, LAMBDA0 = 0.70, 0.25, 0.05
+
+
+def tokenize(text: str) -> list[str]:
+    """Whitespace tokens, lowercased, stripped of edge punctuation."""
+    out = []
+    for t in text.lower().split():
+        t = t.strip(".,!?;:\"'")
+        if t:
+            out.append(t)
+    return out
+
+
+class BigramLM:
+    def __init__(
+        self,
+        vocab: dict[str, int],
+        uni: np.ndarray,
+        bi: dict[int, float],
+        total: int,
+    ):
+        self.vocab = vocab
+        self.uni = np.asarray(uni, dtype=np.float64)
+        self.bi = bi  # key = prev_id * V + word_id → count
+        self.total = total
+        self.V = len(vocab)
+        self.p_unk = LAMBDA0 / (self.V + 1)
+
+    @classmethod
+    def train(cls, sentences: list[str]) -> "BigramLM":
+        vocab: dict[str, int] = {}
+        uni_counts: dict[int, int] = {}
+        bi_counts: dict[tuple[int, int], int] = {}
+        for s in sentences:
+            toks = tokenize(s)
+            prev = -1
+            for t in toks:
+                wid = vocab.setdefault(t, len(vocab))
+                uni_counts[wid] = uni_counts.get(wid, 0) + 1
+                if prev >= 0:
+                    bi_counts[(prev, wid)] = bi_counts.get((prev, wid), 0) + 1
+                prev = wid
+        V = len(vocab)
+        uni = np.zeros(V, dtype=np.float64)
+        for wid, c in uni_counts.items():
+            uni[wid] = c
+        bi = {p * V + w: float(c) for (p, w), c in bi_counts.items()}
+        return cls(vocab, uni, bi, int(uni.sum()))
+
+    def logprob(self, prev_id: int, word_id: int) -> float:
+        p = self.p_unk
+        if word_id >= 0:
+            p += LAMBDA1 * self.uni[word_id] / self.total
+            if prev_id >= 0:
+                c_prev = self.uni[prev_id]
+                if c_prev > 0:
+                    c_bi = self.bi.get(prev_id * self.V + word_id, 0.0)
+                    if c_bi:
+                        p += LAMBDA2 * c_bi / c_prev
+        return math.log(p)
+
+    def perplexity(self, text: str) -> float:
+        toks = tokenize(text)
+        if not toks:
+            return float(math.exp(-math.log(self.p_unk)))
+        ll = 0.0
+        prev = -1
+        for t in toks:
+            wid = self.vocab.get(t, -1)
+            ll += self.logprob(prev, wid)
+            prev = wid
+        return float(math.exp(-ll / len(toks)))
+
+    def perplexity_batch(self, texts: list[str]) -> np.ndarray:
+        return np.asarray([self.perplexity(t) for t in texts], dtype=np.float32)
+
+    # ------------------------------------------------------- persistence
+    def to_bytes(self) -> bytes:
+        words = sorted(self.vocab, key=self.vocab.get)
+        keys = np.fromiter(self.bi.keys(), dtype=np.int64, count=len(self.bi))
+        vals = np.fromiter(self.bi.values(), dtype=np.float64, count=len(self.bi))
+        buf = io.BytesIO()
+        np.savez_compressed(
+            buf,
+            words=np.asarray(words, dtype=object),
+            uni=self.uni,
+            bi_keys=keys,
+            bi_vals=vals,
+            total=np.asarray([self.total], dtype=np.int64),
+        )
+        return buf.getvalue()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "BigramLM":
+        with np.load(io.BytesIO(data), allow_pickle=True) as z:
+            words = [str(w) for w in z["words"]]
+            vocab = {w: i for i, w in enumerate(words)}
+            bi = dict(zip(z["bi_keys"].tolist(), z["bi_vals"].tolist()))
+            return cls(vocab, z["uni"], bi, int(z["total"][0]))

@@ -1,0 +1,127 @@
+"""Heuristic caption quality rules (ordered keep/drop with reason codes).
+
+The graft analogue of the reference's heuristic filter sets:
+``filter_problems`` (open_thoughts/math/filter.py:4-18 — keyword blocklist,
+emptiness, structural rules) and the code filters
+(open_thoughts/code/filters.py:6-49 — min length, URL/image blocklist).
+
+Rules are evaluated IN A FIXED ORDER; the first failing rule becomes the
+row's ``drop_reason`` (empty string = keep).  Order and thresholds live in
+``RuleConfig`` so the Ray pipeline and the pure-Python oracle share one
+spec but independent implementations.
+
+Rule order:
+    1. empty        — caption is empty / whitespace
+    2. too_short    — len(caption) < min_chars
+    3. too_long     — len(caption) > max_chars
+    4. lang         — predicted language not in allowed set
+    5. ppl          — n-gram LM perplexity > ppl_max
+    6. repetition   — 1 - unique_tokens/tokens > rep_max
+    7. symbol       — symbol_chars / word_tokens > sym_max
+    8. stopword     — stopword_tokens / word_tokens < stop_min
+    (near_dup is assigned later by the dedup stage)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..fixtures.textgen import STOPWORDS, SYMBOLS
+
+RULE_ORDER = (
+    "empty",
+    "too_short",
+    "too_long",
+    "lang",
+    "ppl",
+    "repetition",
+    "symbol",
+    "stopword",
+)
+
+_SYMBOL_SET = frozenset(SYMBOLS)
+_STOPWORD_SET = frozenset(STOPWORDS)
+
+
+@dataclass(frozen=True)
+class RuleConfig:
+    min_chars: int = 5
+    max_chars: int = 512
+    allowed_langs: tuple[str, ...] = ("en",)
+    ppl_max: float = 1000.0
+    rep_max: float = 0.3
+    sym_max: float = 0.1
+    stop_min: float = 0.05
+    dup_hamming_max: int = 6
+    dup_bands: int = 4  # 4 bands × 16 bits over the 64-bit phash
+    scrub_version: int = 1
+
+    def to_dict(self) -> dict:
+        from dataclasses import asdict
+
+        return asdict(self)
+
+
+def caption_stats(texts: list[str]) -> dict[str, np.ndarray]:
+    """Per-caption surface statistics (single pass per string).
+
+    word tokens = whitespace tokens containing ≥1 alphabetic char,
+    lowercased and stripped of edge punctuation — the same tokenization
+    the LM uses, so 'symbols' never count as words.
+    """
+    n = len(texts)
+    char_len = np.zeros(n, dtype=np.int32)
+    n_words = np.zeros(n, dtype=np.int32)
+    rep_ratio = np.zeros(n, dtype=np.float32)
+    sym_ratio = np.zeros(n, dtype=np.float32)
+    stop_ratio = np.zeros(n, dtype=np.float32)
+    is_empty = np.zeros(n, dtype=bool)
+    for i, t in enumerate(texts):
+        char_len[i] = len(t)
+        if not t.strip():
+            is_empty[i] = True
+            continue
+        n_sym = sum(1 for ch in t if ch in _SYMBOL_SET)
+        words = []
+        for tok in t.lower().split():
+            tok = tok.strip(".,!?;:\"'")
+            if tok and any(c.isalpha() for c in tok):
+                words.append(tok)
+        nw = len(words)
+        n_words[i] = nw
+        if nw:
+            rep_ratio[i] = 1.0 - len(set(words)) / nw
+            stop_ratio[i] = sum(1 for w in words if w in _STOPWORD_SET) / nw
+        sym_ratio[i] = n_sym / max(1, nw)
+    return {
+        "char_len": char_len,
+        "n_words": n_words,
+        "rep_ratio": rep_ratio,
+        "sym_ratio": sym_ratio,
+        "stop_ratio": stop_ratio,
+        "is_empty": is_empty,
+    }
+
+
+def first_drop_reason(
+    stats: dict[str, np.ndarray],
+    lang: np.ndarray,
+    ppl: np.ndarray,
+    cfg: RuleConfig,
+) -> np.ndarray:
+    """Vectorized first-failing-rule selection → array of reason strings
+    ('' = keep).  Must mirror oracle.reference_impl.oracle_row exactly."""
+    allowed = np.isin(np.asarray(lang, dtype=object), list(cfg.allowed_langs))
+    conds = [
+        stats["is_empty"],
+        stats["char_len"] < cfg.min_chars,
+        stats["char_len"] > cfg.max_chars,
+        ~allowed,
+        np.asarray(ppl, dtype=np.float64) > cfg.ppl_max,
+        stats["rep_ratio"] > cfg.rep_max,
+        stats["sym_ratio"] > cfg.sym_max,
+        stats["stop_ratio"] < cfg.stop_min,
+    ]
+    return np.select(conds, list(RULE_ORDER), default="").astype(object)
