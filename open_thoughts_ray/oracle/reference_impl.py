@@ -148,9 +148,13 @@ def oracle_labels(images: pa.Table, langid, lm, cfg: RuleConfig | None = None) -
     phash = [int64_to_uint64(v) for v in images.column("phash").to_pylist()]
 
     langs, confs, ppls, reasons, scrubbed = [], [], [], [], []
+    import numpy as np
+
     for cap in captions:
         lang, conf = langid.predict_one(cap)
-        ppl = lm.perplexity(cap)
+        # round-trip through float32: the pipeline's ppl column is f32,
+        # so the rule threshold must see the identical value
+        ppl = float(np.float32(lm.perplexity(cap)))
         langs.append(lang)
         confs.append(conf)
         ppls.append(ppl)

@@ -1,0 +1,70 @@
+"""Resume-from-partition lineage (BASELINE.md resumability criterion)."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from open_thoughts_ray.checkpoint import ChunkManifest, run_flagship
+from open_thoughts_ray.pipeline import PipelineOptions
+
+
+@pytest.fixture
+def out_dir(tmp_path):
+    return str(tmp_path / "flagship_out")
+
+
+def test_checkpointed_run_and_resume(ray_session, images_table, oracle_frame, out_dir):
+    opts = PipelineOptions()
+    # full run
+    decisions_dir, metrics = run_flagship(images_table, out_dir, opts, chunk_fragments=4)
+    assert metrics["rows"] == 2000
+    assert metrics["chunks_skipped_on_resume"] == 0
+    first_metrics = dict(metrics)
+
+    # simulate a crash after 2 completed chunks: drop later chunks + manifest tail
+    man_path = os.path.join(out_dir, "chunks.jsonl")
+    lines = open(man_path).read().strip().splitlines()
+    assert len(lines) == 4  # 16 fragments / 4 per chunk
+    with open(man_path, "w") as f:
+        f.write("\n".join(lines[:2]) + "\n")
+    for rec in [json.loads(l) for l in lines[2:]]:
+        shutil.rmtree(os.path.join(out_dir, "scored", rec["chunk_id"]))
+    shutil.rmtree(decisions_dir)
+
+    decisions_dir, metrics = run_flagship(images_table, out_dir, opts, chunk_fragments=4)
+    assert metrics["chunks_skipped_on_resume"] == 2
+    assert metrics["rows"] == first_metrics["rows"]
+    assert metrics["kept"] == first_metrics["kept"]
+    assert metrics["drops_by_reason"] == first_metrics["drops_by_reason"]
+
+
+def test_checkpointed_matches_oracle(ray_session, images_table, oracle_frame, out_dir):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    decisions_dir, _ = run_flagship(images_table, out_dir, PipelineOptions(),
+                                    chunk_fragments=8)
+    import pyarrow as pa
+
+    dec = (
+        pa.concat_tables([pq.read_table(p) for p in
+                          sorted(glob.glob(os.path.join(decisions_dir, "*.parquet")))])
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    assert (dec.keep.values == oracle_frame.keep.values).mean() >= 0.99
+    assert (dec.scrubbed_caption.values == oracle_frame.scrubbed_caption.values).all()
+
+
+def test_manifest_append_and_read(tmp_path):
+    m = ChunkManifest(str(tmp_path / "m.jsonl"))
+    assert m.done() == {}
+    m.mark_done("chunk-00000", {"rows": 10})
+    m.mark_done("chunk-00001", {"rows": 20})
+    d = m.done()
+    assert set(d) == {"chunk-00000", "chunk-00001"}
+    assert d["chunk-00001"]["rows"] == 20
