@@ -1,44 +1,463 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship image+caption quality-filter pipeline on a
+deterministically synthesized benchmark table (the BASELINE.json
+input_hint shape); ``queries()`` exposes one callable per implemented
+operator family from SURVEY.md §2 over the driver's TPC-H-ish parquet
+tables; ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible query (same column names, quantized floats / integer-cent
+sums so value hashes match bit-for-bit).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
 
+
+def _rp(sf_dir: str, name: str, columns: list[str] | None = None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+def _r2i(vals) -> pa.Array:
+    """floor(x + 0.5) → int64: round-half-up, bit-identical to the DuckDB
+    oracle expression floor(x + 0.5) (DuckDB round() is half-away-from-
+    zero while pyarrow round() is half-to-even — using floor on both
+    sides removes the ambiguity; values here are non-negative)."""
+    return pc.floor(pc.add(vals, 0.5)).cast(pa.int64())
+
+
+# --------------------------------------------------------------- entry()
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on a synthesized 2000-row image+caption table."""
+    from open_thoughts_ray.fixtures.images import build_images_table
+    from open_thoughts_ray.io import lance_table
+    from open_thoughts_ray.pipeline import quality_filter_dataset
+
+    table = build_images_table(
+        "/tmp/otr_entry_images", n_rows=2000, n_parts=16, seed=42, use_ray=True
+    )
+    return quality_filter_dataset(lance_table.read_dataset(table))
+
+
+# -------------------------------------------------------------- queries
+def _q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style grouped aggregate with partial pre-aggregation
+    (groupby does per-block combine before the shuffle)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _rp(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+              "l_discount"])
+
+    def add_cents(t: pa.Table) -> pa.Table:
+        qty = _r2i(t.column("l_quantity"))
+        base = _r2i(pc.multiply(t.column("l_extendedprice"), 100.0))
+        disc = _r2i(
+            pc.multiply(
+                pc.multiply(t.column("l_extendedprice"),
+                            pc.subtract(pa.scalar(1.0), t.column("l_discount"))),
+                100.0,
+            )
+        )
+        t = t.append_column("qty_i", qty)
+        t = t.append_column("base_cents", base)
+        return t.append_column("disc_cents", disc)
+
+    return (
+        ds.map_batches(add_cents, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_i", alias_name="sum_qty"),
+            Sum("base_cents", alias_name="sum_base_cents"),
+            Sum("disc_cents", alias_name="sum_disc_cents"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+
+def _q_filter_documents(sf_dir: str):
+    from open_thoughts_ray.ops import relational as R
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+    ds = R.filter_in(ds, "lang", ["en"])
+    ds = R.filter_expr(
+        ds,
+        lambda t: pc.and_(
+            pc.greater_equal(t.column("n_chars"), 100),
+            pc.less_equal(t.column("n_chars"), 400),
+        ),
+    )
+    return R.keep_only_columns(ds, ["doc_id", "source", "n_chars"])
+
+
+def _q_grouped_count_having(sf_dir: str):
+    from open_thoughts_ray.ops import relational as R
+
+    ds = _rp(sf_dir, "documents", ["source"])
+    return R.grouped_count_having(ds, "source", min_count=5, count_name="n_docs")
+
+
+def _q_top_k_events(sf_dir: str):
+    ds = _rp(sf_dir, "events", ["event_id", "value"])
+    return ds.sort(["value", "event_id"], descending=[True, False]).limit(50)
+
+
+def _q_sample_mod10(sf_dir: str):
+    from open_thoughts_ray.ops import relational as R
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "lang"])
+    return R.sample_by_hash(ds, "doc_id", keep_every=10, residue=3)
+
+
+def _q_exact_dedup_documents(sf_dir: str):
+    from ray.data.aggregate import Count, Min
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return (
+        ds.groupby("text")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
+        .select_columns(["doc_id", "n_copies"])
+    )
+
+
+def _q_broadcast_join(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Count, Sum
+
+    from open_thoughts_ray.ops import relational as R
+
+    orders = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = (
+        pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                      columns=["c_custkey", "c_mktsegment"])
+        .to_pandas()
+        .rename(columns={"c_custkey": "o_custkey"})
+    )
+
+    def add_cents(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "total_cents", _r2i(pc.multiply(t.column("o_totalprice"), 100.0))
+        )
+
+    joined = R.broadcast_join(
+        orders.map_batches(add_cents, batch_format="pyarrow"), cust, on="o_custkey",
+        how="inner",
+    )
+    return joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("total_cents", alias_name="sum_total_cents")
+    )
+
+
+def _q_hash_join(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    from open_thoughts_ray.ops import relational as R
+
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def add_cents(t: pa.Table) -> pa.Table:
+        rev = _r2i(
+            pc.multiply(
+                pc.multiply(t.column("l_extendedprice"),
+                            pc.subtract(pa.scalar(1.0), t.column("l_discount"))),
+                100.0,
+            )
+        )
+        return t.append_column("rev_cents", rev).drop_columns(
+            ["l_extendedprice", "l_discount"]
+        )
+
+    li = li.map_batches(add_cents, batch_format="pyarrow")
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).rename_columns(
+        {"o_orderkey": "l_orderkey"}
+    )
+    joined = R.hash_join(li, orders, on="l_orderkey", num_partitions=16)
+    return joined.groupby("o_orderpriority").aggregate(
+        Sum("rev_cents", alias_name="revenue_cents"), Count(alias_name="n_items")
+    )
+
+
+def _q_quantile_filter_events(sf_dir: str):
+    from open_thoughts_ray.ops import relational as R
+
+    ds = _rp(sf_dir, "events", ["event_id", "value"])
+    out, _thr = R.global_quantile_threshold(ds, "value", 0.9, keep="ge")
+    return out
+
+
+def _q_stratified_first2(sf_dir: str):
+    from open_thoughts_ray.ops import relational as R
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "lang"])
+    return R.stratified_first_k(ds, "lang", k=2, order_col="doc_id")
+
+
+def _q_window_events(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    from open_thoughts_ray.ops import relational as R
+
+    ds = _rp(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def add_cents(t: pa.Table) -> pa.Table:
+        return t.append_column("value_cents", _r2i(pc.multiply(t.column("value"), 100.0)))
+
+    ds = ds.map_batches(add_cents, batch_format="pyarrow")
+    return R.tumbling_window_agg(
+        ds, ts_col="ts", key_col="event_type", window_s=3600,
+        aggs=(Count(alias_name="n_events"),
+              Sum("value_cents", alias_name="sum_value_cents")),
+    )
+
+
+def _q_union_tagged(sf_dir: str):
+    from open_thoughts_ray.ops import relational as R
+
+    docs_en = R.filter_in(_rp(sf_dir, "documents", ["doc_id", "lang", "n_chars"]),
+                          "lang", ["en"])
+    docs_long = R.filter_expr(
+        _rp(sf_dir, "documents", ["doc_id", "lang", "n_chars"]),
+        lambda t: pc.greater(t.column("n_chars"), 400),
+    )
+    u = R.union_tagged([("en", docs_en), ("long", docs_long)], tag_col="subset")
+    return R.grouped_count_having(u, "subset", count_name="n")
+
+
+def _q_token_count(sf_dir: str):
+    from open_thoughts_ray.ops.textstats import token_count_batch
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(token_count_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens"]
+    )
+
+
+def _q_quality_stats(sf_dir: str):
+    from open_thoughts_ray.ops.textstats import quality_stats_batch
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(quality_stats_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens", "n_unique", "rep_ratio"]
+    )
+
+
+def _q_doc_quality_filter(sf_dir: str):
+    """Documents-table quality filter (keep/drop decision, SQL-checked):
+    keep iff 50 ≤ n_chars ≤ 500 and repetition ratio ≤ 0.6."""
+    from open_thoughts_ray.ops.textstats import quality_stats_batch
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "n_chars", "text"])
+    ds = ds.map_batches(quality_stats_batch, batch_format="pyarrow")
+
+    def decide(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(t.column("n_chars"), 50),
+                pc.less_equal(t.column("n_chars"), 500),
+            ),
+            pc.less_equal(t.column("rep_ratio"), 0.6),
+        )
+        return pa.table({"doc_id": t.column("doc_id"), "keep": keep})
+
+    return ds.map_batches(decide, batch_format="pyarrow")
+
+
+def _q_md5_fingerprint(sf_dir: str):
+    from open_thoughts_ray.ops.textstats import md5_fingerprint_batch
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(md5_fingerprint_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "fp"]
+    )
+
+
+def _q_cosine_dedup(sf_dir: str):
+    from open_thoughts_ray.ops.similarity import cosine_dedup_earlier
+
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return cosine_dedup_earlier(ds, threshold=0.4).select_columns(["vec_id"])
+
+
+def _q_ann_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from open_thoughts_ray.ops.similarity import ann_topk
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qtab = emb.filter(pc.less(emb.column("vec_id"), 8))
+    flat = qtab.column("embedding").combine_chunks().flatten().to_numpy(
+        zero_copy_only=False
+    )
+    q = flat.reshape(qtab.num_rows, -1)
+    qids = qtab.column("vec_id").to_pylist()
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ann_topk(ds, q, k=10, query_ids=qids)
+
+
+def _q_minhash_dedup(sf_dir: str):
+    from open_thoughts_ray.ops.dedup_text import minhash_lsh_dedup
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_dedup(ds, threshold=0.7).select_columns(["doc_id"])
+
+
+def _q_simhash_dedup(sf_dir: str):
+    from open_thoughts_ray.ops.dedup_text import simhash_dedup
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_dedup(ds, hamming_max=3).select_columns(["doc_id"])
+
+
+def _q_flagship(sf_dir: str):
+    return entry()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _q1_pricing_summary,
+        "filter_documents": _q_filter_documents,
+        "grouped_count_having": _q_grouped_count_having,
+        "top_k_events": _q_top_k_events,
+        "sample_mod10": _q_sample_mod10,
+        "exact_dedup_documents": _q_exact_dedup_documents,
+        "broadcast_join_orders_customers": _q_broadcast_join,
+        "hash_join_lineitem_orders": _q_hash_join,
+        "quantile_filter_events": _q_quantile_filter_events,
+        "stratified_first2_documents": _q_stratified_first2,
+        "window_events_hourly": _q_window_events,
+        "union_tagged_documents": _q_union_tagged,
+        "token_count_documents": _q_token_count,
+        "quality_stats_documents": _q_quality_stats,
+        "doc_quality_filter": _q_doc_quality_filter,
+        "md5_fingerprint_documents": _q_md5_fingerprint,
+        "embedding_cosine_dedup": _q_cosine_dedup,
+        "ann_topk_embeddings": _q_ann_topk,
+        "minhash_dedup_documents": _q_minhash_dedup,
+        "simhash_dedup_documents": _q_simhash_dedup,
+        "flagship_quality_filter": _q_flagship,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+                   CAST(SUM(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+                   COUNT(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "filter_documents": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE lang = 'en' AND n_chars BETWEEN 100 AND 400
+        """,
+        "grouped_count_having": """
+            SELECT source, COUNT(*) AS n_docs FROM documents
+            GROUP BY source HAVING COUNT(*) >= 5
+        """,
+        "top_k_events": """
+            SELECT event_id, value FROM events
+            ORDER BY value DESC, event_id LIMIT 50
+        """,
+        "sample_mod10": """
+            SELECT doc_id, lang FROM documents WHERE doc_id % 10 = 3
+        """,
+        "exact_dedup_documents": """
+            SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "broadcast_join_orders_customers": """
+            SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_total_cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "hash_join_lineitem_orders": """
+            SELECT o.o_orderpriority,
+                   CAST(SUM(CAST(floor(l.l_extendedprice*(1-l.l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   COUNT(*) AS n_items
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority
+        """,
+        "quantile_filter_events": """
+            SELECT event_id, value FROM events
+            WHERE value >= (SELECT quantile_cont(value, 0.9) FROM events)
+        """,
+        "stratified_first2_documents": """
+            SELECT doc_id, lang FROM documents
+            QUALIFY row_number() OVER (PARTITION BY lang ORDER BY doc_id) <= 2
+        """,
+        "window_events_hourly": """
+            SELECT event_type,
+                   CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS window_start,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+            FROM events GROUP BY event_type, window_start
+        """,
+        "union_tagged_documents": """
+            SELECT subset, COUNT(*) AS n FROM (
+                SELECT 'en' AS subset, doc_id FROM documents WHERE lang = 'en'
+                UNION ALL
+                SELECT 'long' AS subset, doc_id FROM documents WHERE n_chars > 400
+            ) GROUP BY subset
+        """,
+        "token_count_documents": """
+            SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "quality_stats_documents": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique,
+                   floor((1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                          / len(string_split(text, ' '))) * 1000000) / 1000000 AS rep_ratio
+            FROM documents
+        """,
+        "doc_quality_filter": """
+            SELECT doc_id,
+                   (n_chars BETWEEN 50 AND 500) AND
+                   (floor((1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                           / len(string_split(text, ' '))) * 1000000) / 1000000 <= 0.6) AS keep
+            FROM documents
+        """,
+        "md5_fingerprint_documents": """
+            SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "embedding_cosine_dedup": """
+            SELECT a.vec_id FROM embeddings a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM embeddings b
+                WHERE b.vec_id < a.vec_id
+                  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4)
+        """,
+        "ann_topk_embeddings": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+            s AS (
+                SELECT q.qid AS query_id, e.vec_id,
+                       list_cosine_similarity(q.qe, e.embedding) AS cos
+                FROM q, embeddings e WHERE e.vec_id <> q.qid
+            )
+            SELECT query_id, vec_id, rank FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, vec_id) AS rank
+                FROM s
+            ) WHERE rank <= 10
+        """,
+        # minhash_dedup_documents / simhash_dedup_documents /
+        # flagship_quality_filter: not SQL-expressible (LSH signatures,
+        # model scoring) → rows-only checks.
+    }

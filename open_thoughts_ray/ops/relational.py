@@ -1,0 +1,281 @@
+"""Relational operator library — the reference's ``commons.py`` + filter
+utils re-expressed Ray-Data-first (SURVEY.md §2.2 / §2.6 / §2.7).
+
+Every function takes and returns a ``ray.data.Dataset`` (lazy; no
+materialization of big data).  Vectorized per-batch bodies; broadcast
+lookups for small sides; two-pass global thresholds instead of the
+reference's per-shard percentile bug (fasttext_operator.py:148-152).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+# ------------------------------------------------------------ projections
+def keep_only_columns(ds, cols: list[str]):
+    """commons.py:310-314."""
+    return ds.select_columns(cols)
+
+
+def remove_columns(ds, cols: list[str]):
+    """commons.py:306-307."""
+    return ds.drop_columns(cols)
+
+
+def rename_columns(ds, mapping: dict[str, str]):
+    """commons.py:317-336 (force_rename_columns)."""
+    return ds.rename_columns(mapping)
+
+
+def add_constant_columns(ds, constants: dict):
+    """commons.py:529-544 — literal columns on every row."""
+
+    def add(batch: pa.Table) -> pa.Table:
+        for k, v in constants.items():
+            batch = batch.append_column(k, pa.array([v] * batch.num_rows))
+        return batch
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- filters
+def filter_in(ds, column: str, values: list):
+    """commons.py:174-209 filter_dataset(include list) — vectorized isin."""
+    vset = pa.array(values)
+
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column(column), value_set=vset))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def filter_not_in(ds, column: str, values: list):
+    vset = pa.array(values)
+
+    def f(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(batch.column(column), value_set=vset))
+        return batch.filter(pc.fill_null(mask, True))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def remove_nones(ds, column: str):
+    """commons.py:19-20."""
+    return ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t.column(column))), batch_format="pyarrow"
+    )
+
+
+def filter_expr(ds, fn):
+    """Vectorized predicate: fn(pa.Table) -> boolean mask array."""
+    return ds.map_batches(lambda t: t.filter(fn(t)), batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ rows
+def add_hash_id(ds, cols: list[str], out: str = "row_id"):
+    """Content-addressed id (reference: md5 problem_id,
+    open_thoughts/code/standardize.py:65-66) — stable across partitioning,
+    unlike a monotonic counter."""
+    import hashlib
+
+    def f(batch: pa.Table) -> pa.Table:
+        parts = [batch.column(c).to_pylist() for c in cols]
+        ids = [
+            hashlib.md5("|".join(str(v) for v in row).encode()).hexdigest()
+            for row in zip(*parts)
+        ]
+        return batch.append_column(out, pa.array(ids, pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def repeat_rows(ds, n: int):
+    """commons.py:547-572 repeat_dataset — row multiplication ×n."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.concat_tables([batch] * n)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------- sampling
+def sample_by_hash(ds, column: str, keep_every: int, residue: int = 0):
+    """Deterministic, partition-independent sample: keep rows where
+    ``column % keep_every == residue`` (SQL-checkable, unlike seeded
+    engine-internal shuffles)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        col = batch.column(column).to_numpy(zero_copy_only=False)
+        mask = (col % keep_every) == residue
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def uniform_sample_fixed(ds, n: int, seed: int = 42):
+    """commons.py:597-603 — seeded shuffle then take n."""
+    return ds.random_shuffle(seed=seed).limit(n)
+
+
+def stratified_first_k(ds, group_col, k: int, order_col: str):
+    """_B2_Dedup/utils.py:5-50 stratified sample, made deterministic:
+    per group take the k smallest by ``order_col``."""
+    cols = [group_col] if isinstance(group_col, str) else list(group_col)
+
+    def head(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(order_col, kind="mergesort").head(k)
+
+    return ds.groupby(cols[0] if len(cols) == 1 else cols).map_groups(
+        head, batch_format="pandas"
+    )
+
+
+# ------------------------------------------------------- top-k / quantile
+def top_k(ds, column: str, k: int, descending: bool = True):
+    """_B2_Filtering/utils.py:4-29 filter_top_n — global sort + limit.
+    Ray's sort is a distributed range-partitioned shuffle; k rows reach
+    the driver."""
+    return ds.sort(column, descending=descending).limit(k)
+
+
+def global_quantile_threshold(ds, column: str, q: float, keep: str = "ge"):
+    """Two-pass global quantile filter — the corrected version of the
+    reference's per-shard percentile (fasttext_operator.py:148-152).
+
+    Pass 1 collects ONLY the score column to compute the exact quantile
+    (at 10^12 rows swap in a distributed t-digest/KLL sketch — the
+    mergeable-sketch pattern; the two-pass structure stays the same).
+    Pass 2 is a vectorized filter.  Interpolation matches DuckDB's
+    ``quantile_cont`` (linear).
+    """
+    vals = np.concatenate(
+        [
+            b.column(column).to_numpy(zero_copy_only=False)
+            for b in ds.select_columns([column]).iter_batches(
+                batch_size=1 << 16, batch_format="pyarrow"
+            )
+        ]
+    )
+    thr = float(np.quantile(vals, q, method="linear"))
+
+    def f(batch: pa.Table) -> pa.Table:
+        col = batch.column(column)
+        mask = pc.greater_equal(col, thr) if keep == "ge" else pc.less_equal(col, thr)
+        return batch.filter(mask)
+
+    return ds.map_batches(f, batch_format="pyarrow"), thr
+
+
+# --------------------------------------------------------------- set ops
+def union_all(datasets: list):
+    """concatenate operator (concatenate_operator.py:31-97)."""
+    out = datasets[0]
+    for d in datasets[1:]:
+        out = out.union(d)
+    return out
+
+
+def union_tagged(tagged: list[tuple], tag_col: str = "source_tag"):
+    """mix/concatenate with provenance column (mix_operator.py:33-104)."""
+    parts = []
+    for tag, d in tagged:
+        parts.append(add_constant_columns(d, {tag_col: tag}))
+    return union_all(parts)
+
+
+def mix(datasets: list, seed: int = 42):
+    """mix operator — union + global seeded shuffle."""
+    return union_all(datasets).random_shuffle(seed=seed)
+
+
+# ----------------------------------------------------------------- joins
+def broadcast_join(ds, right: pd.DataFrame, on: str, how: str = "left",
+                   columns: list[str] | None = None):
+    """Small right side: broadcast via ray.put once, pandas merge per
+    batch (the reference's domain-set lookup, WebInstruct/utils.py:170-192,
+    and MergeOperator semantics for small sides, merge_operator.py:88-168).
+    No shuffle."""
+    import ray
+
+    if columns is not None:
+        right = right[columns]
+    right_ref = ray.put(right)
+
+    class Joiner:
+        def __init__(self):
+            self.right = ray.get(right_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(self.right, on=on, how=how)
+
+    return ds.map_batches(Joiner, batch_format="pandas", concurrency=(1, 8),
+                          num_cpus=0.5)
+
+
+def hash_join(left, right, on: str, num_partitions: int = 16,
+              join_type: str = "inner"):
+    """Both sides large: Ray Data's hash-partitioned join (shuffles both
+    sides on the key; pick num_partitions ≈ total cores)."""
+    return left.join(right, join_type=join_type, num_partitions=num_partitions,
+                     on=(on,))
+
+
+def semi_anti_join_broadcast(ds, keys, column: str, anti: bool = False):
+    """Semi/anti join against a broadcast key set — the decontamination
+    pattern (open_thoughts/decontaminate.py:12-59): drop (anti) or keep
+    (semi) rows whose ``column`` value is in ``keys``."""
+    import ray
+
+    keys_ref = ray.put(set(keys))
+
+    class F:
+        def __init__(self):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vals = batch.column(column).to_pylist()
+            mask = np.array([v in self.keys for v in vals], dtype=bool)
+            if anti:
+                mask = ~mask
+            return batch.filter(pa.array(mask))
+
+    return ds.map_batches(F, batch_format="pyarrow", concurrency=(1, 8),
+                          num_cpus=0.5)
+
+
+# ------------------------------------------------------------- aggregates
+def grouped_count_having(ds, group_cols, min_count: int = 0,
+                         count_name: str = "n"):
+    """The domain-count pattern (WebInstruct/utils.py:122-167):
+    groupby → count → HAVING count ≥ min.  Ray pre-aggregates partial
+    counts per block before the shuffle (built into groupby.count)."""
+    from ray.data.aggregate import Count
+
+    out = ds.groupby(group_cols).aggregate(Count(alias_name=count_name))
+    if min_count > 1:
+        out = out.map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column(count_name), min_count)),
+            batch_format="pyarrow",
+        )
+    return out
+
+
+def tumbling_window_agg(ds, ts_col: str, key_col: str, window_s: int, aggs):
+    """Streaming-shaped tumbling window as a grouped aggregate: bucket =
+    floor(epoch(ts)/window)·window (int64 seconds), then groupby
+    (key, bucket).  Ray Data has no event-time watermarks; the input is
+    treated as a complete partitioned log (ray_guide.md streaming note).
+    """
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).cast(pa.int64())  # µs since epoch
+        bucket = pc.multiply(pc.divide(ts, 1_000_000 * window_s), window_s)
+        return batch.append_column("window_start", bucket.cast(pa.int64()))
+
+    return ds.map_batches(bucketize, batch_format="pyarrow").groupby(
+        [key_col, "window_start"]
+    ).aggregate(*aggs)
