@@ -1,0 +1,164 @@
+"""Benchmark runner (driver contract: prints ONE JSON line).
+
+Headline: the flagship image+caption quality-filter pipeline
+(checkpointed scale path) over a deterministically generated bench table
+(cached under /tmp so both scaling runs see identical input).  Also times
+a representative set of the SQL-checked queries over $GRAFT_SF_DIR.
+
+    python bench.py              # one run at $RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling    # fresh processes at 8 and 32 CPUs on the
+                                 # same input → throughputs + efficiency
+
+Scaling evidence per BASELINE.json north_rule: no multi-node cluster in
+this sandbox, so N vs 4N nodes is evidenced by N vs 4N CPUs in fresh
+``ray.init`` processes (same input, page cache pre-warmed).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+BENCH_TABLE = os.environ.get("OTR_BENCH_TABLE", "/tmp/otr_bench_images")
+BENCH_N = int(os.environ.get("OTR_BENCH_N", "250000"))
+BENCH_PARTS = int(os.environ.get("OTR_BENCH_PARTS", "256"))
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+QUERY_SUBSET = [
+    "q1_pricing_summary",
+    "grouped_count_having",
+    "top_k_events",
+    "exact_dedup_documents",
+    "broadcast_join_orders_customers",
+    "hash_join_lineitem_orders",
+    "window_events_hourly",
+    "quality_stats_documents",
+    "embedding_cosine_dedup",
+    "ann_topk_embeddings",
+    "minhash_dedup_documents",
+]
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def _ensure_inputs():
+    """Generate the bench table (cached) + warm artifacts + page cache."""
+    from open_thoughts_ray.fixtures.images import build_images_table
+    from open_thoughts_ray.io import lance_table
+    from open_thoughts_ray.models.artifacts import get_artifact_bytes
+
+    get_artifact_bytes("langid")
+    get_artifact_bytes("lm")
+    build_images_table(BENCH_TABLE, n_rows=BENCH_N, n_parts=BENCH_PARTS, seed=42,
+                       use_ray=True, with_meta=False)
+    # warm the OS page cache so we measure compute+shuffle, not cold disk
+    for p in lance_table.fragment_paths(BENCH_TABLE):
+        with open(p, "rb") as f:
+            while f.read(1 << 22):
+                pass
+
+
+def run_flagship(num_cpus: int) -> dict:
+    from open_thoughts_ray.pipeline import PipelineOptions, run_checkpointed
+
+    out_dir = f"/tmp/otr_bench_out_{num_cpus}"
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    opts = PipelineOptions.for_cluster(num_cpus)
+    t0 = time.time()
+    _decisions_dir, metrics = run_checkpointed(
+        BENCH_TABLE, out_dir, opts, chunk_fragments=BENCH_PARTS // 2
+    )
+    dt = time.time() - t0
+    return {"sec": dt, "images_per_sec": BENCH_N / dt, "rows": metrics["rows"],
+            "kept": metrics["kept"]}
+
+
+def run_queries(sf_dir: str) -> dict:
+    import __ray_entry__ as E
+
+    qs = E.queries()
+    out = {}
+    for name in QUERY_SUBSET:
+        t0 = time.time()
+        res = qs[name](sf_dir)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main_single() -> dict:
+    _init_ray(NUM_CPUS)
+    _ensure_inputs()
+    flagship = run_flagship(NUM_CPUS)
+    queries = {} if os.environ.get("OTR_BENCH_FLAGSHIP_ONLY") else run_queries(SF_DIR)
+    doc = {
+        "metric": "flagship quality-filter wall time (sec) over "
+                  f"{BENCH_N} synthesized image+caption rows",
+        "value": round(flagship["sec"], 2),
+        "unit": "sec",
+        "images_per_sec": round(flagship["images_per_sec"], 1),
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "bench_rows": BENCH_N,
+    }
+    import ray
+
+    ray.shutdown()
+    return doc
+
+
+def _subprocess_run(num_cpus: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus), OTR_BENCH_FLAGSHIP_ONLY="1")
+    out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                         capture_output=True, text=True, check=True,
+                         cwd=os.path.dirname(os.path.abspath(__file__)))
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main_scaling() -> dict:
+    # generate the shared input once (also warms /tmp artifact cache)
+    _init_ray(NUM_CPUS)
+    _ensure_inputs()
+    import ray
+
+    ray.shutdown()
+    lo, hi = 8, 32
+    r_lo = _subprocess_run(lo)
+    r_hi = _subprocess_run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "flagship scaling 8→32 CPUs (fresh ray.init processes, same input)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "images_per_sec_8": r_lo["images_per_sec"],
+        "images_per_sec_32": r_hi["images_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "bench_rows": BENCH_N,
+    }
+
+
+if __name__ == "__main__":
+    result = main_scaling() if "--scaling" in sys.argv else main_single()
+    print(json.dumps(result))

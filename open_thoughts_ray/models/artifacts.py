@@ -16,7 +16,7 @@ import json
 import os
 import tempfile
 
-ARTIFACT_VERSION = 2
+ARTIFACT_VERSION = 3
 _CACHE_DIR = os.environ.get("OTR_ARTIFACT_DIR", f"/tmp/otr_artifacts_v{ARTIFACT_VERSION}")
 
 _LANGID_N_PER_LANG = 3000

@@ -16,24 +16,70 @@ are bit-identical across processes and machines.
 from __future__ import annotations
 
 import io
-import zlib
 
 import numpy as np
 
 DEFAULT_DIM = 1 << 15
-_NGRAM_NS = (2, 3)
+
+_P1 = np.uint64(65599)
+_MIX = np.uint64(2654435761)
+_MASK32 = np.uint64(0xFFFFFFFF)
+
+
+def _features_concat(texts: list[str], dim: int) -> tuple[np.ndarray, np.ndarray]:
+    """Hashed byte-2/3-gram indices for a whole batch, fully vectorized.
+
+    Returns (grams, owner, counts): feature indices, the text index owning
+    each feature, and per-text feature counts.  Each text is padded with
+    one space on both sides; rolling polynomial hashes are computed over
+    the concatenation of all padded texts at once, then n-grams that
+    straddle a text boundary are masked out — identical feature BAGS to
+    hashing each text separately, at numpy speed.
+    """
+    enc = [f" {t.lower()} ".encode("utf-8", "ignore") for t in texts]
+    lens_b = np.asarray([len(e) for e in enc], dtype=np.int64)
+    if len(enc) == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z
+    a = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.uint64)
+    ends = np.cumsum(lens_b)
+    starts = ends - lens_b
+    n_feats = np.maximum(lens_b - 1, 0) + np.maximum(lens_b - 2, 0)
+    total = len(a)
+    with np.errstate(over="ignore"):
+        h2 = (a[:-1] * _P1 + a[1:]) if total >= 2 else np.empty(0, np.uint64)
+        h3 = (h2[:-1] * _P1 + a[2:]) if total >= 3 else np.empty(0, np.uint64)
+        i2 = (((h2 * _MIX) & _MASK32) % np.uint64(dim)).astype(np.int64)
+        i3 = (((h3 * _MIX) & _MASK32) % np.uint64(dim)).astype(np.int64)
+    # valid gram start positions per text: [start, end - n]
+    pos2_text = np.searchsorted(ends, np.arange(total - 1), side="right") if total >= 2 else None
+    out_idx = []
+    out_lens = np.zeros(len(enc), dtype=np.int64)
+    if total >= 2:
+        valid2 = np.arange(total - 1) <= (ends[pos2_text] - 2)
+        keep2 = i2[valid2]
+        owner2 = pos2_text[valid2]
+    else:
+        keep2 = np.empty(0, np.int64)
+        owner2 = np.empty(0, np.int64)
+    if total >= 3:
+        pos3_text = pos2_text[: total - 2]
+        valid3 = np.arange(total - 2) <= (ends[pos3_text] - 3)
+        keep3 = i3[valid3]
+        owner3 = pos3_text[valid3]
+    else:
+        keep3 = np.empty(0, np.int64)
+        owner3 = np.empty(0, np.int64)
+    owner = np.concatenate([owner2, owner3])
+    grams = np.concatenate([keep2, keep3])
+    counts = np.bincount(owner, minlength=len(enc)).astype(np.int64)
+    return grams, owner, counts
 
 
 def _features(text: str, dim: int) -> np.ndarray:
-    """Hashed char-n-gram feature indices (with multiplicity)."""
-    s = f" {text.lower()} "
-    b = s.encode("utf-8", "ignore")
-    idx = []
-    for n in _NGRAM_NS:
-        step = 1
-        for i in range(0, len(b) - n + 1, step):
-            idx.append(zlib.crc32(b[i : i + n]) % dim)
-    return np.asarray(idx, dtype=np.int64)
+    """Hashed char-n-gram feature indices for one text (bag, unordered)."""
+    idx, _owner, _counts = _features_concat([text], dim)
+    return idx
 
 
 class HashedNgramClassifier:
@@ -54,12 +100,13 @@ class HashedNgramClassifier:
         cidx = {c: i for i, c in enumerate(classes)}
         counts = np.zeros((len(classes), dim), dtype=np.float64)
         prior = np.zeros(len(classes), dtype=np.float64)
-        for text, lab in zip(texts, labels):
-            ci = cidx[lab]
-            prior[ci] += 1
-            f = _features(text, dim)
+        lab_idx = np.asarray([cidx[l] for l in labels], dtype=np.int64)
+        for ci in range(len(classes)):
+            sel = np.nonzero(lab_idx == ci)[0]
+            prior[ci] = len(sel)
+            f, _owner, _counts = _features_concat([texts[i] for i in sel], dim)
             if f.size:
-                np.add.at(counts[ci], f, 1.0)
+                counts[ci] += np.bincount(f, minlength=dim).astype(np.float64)
         totals = counts.sum(axis=1, keepdims=True)
         W = np.log((counts + alpha) / (totals + alpha * dim)).astype(np.float32)
         b = np.log(prior / prior.sum()).astype(np.float32)
@@ -69,26 +116,24 @@ class HashedNgramClassifier:
     def predict_batch(self, texts: list[str]) -> tuple[list[str], np.ndarray]:
         """(labels, confidences) for a batch; vectorized scoring."""
         n = len(texts)
-        feats = [_features(t, self.dim) for t in texts]
-        lens = np.asarray([f.size for f in feats], dtype=np.int64)
+        grams, owner, lens = _features_concat(texts, self.dim)
         labels = [""] * n
         confs = np.zeros(n, dtype=np.float32)
+        scores = np.zeros((n, len(self.classes)), dtype=np.float32)
+        for ci in range(len(self.classes)):
+            scores[:, ci] = np.bincount(
+                owner, weights=self.W[ci][grams].astype(np.float64), minlength=n
+            ).astype(np.float32)
+        scores += self.b
         nonempty = np.nonzero(lens > 0)[0]
         if nonempty.size:
-            all_idx = np.concatenate([feats[i] for i in nonempty])
-            starts = np.zeros(nonempty.size, dtype=np.int64)
-            np.cumsum(lens[nonempty][:-1], out=starts[1:])
-            scores = np.empty((nonempty.size, len(self.classes)), dtype=np.float32)
-            for ci in range(len(self.classes)):
-                vals = self.W[ci][all_idx]
-                scores[:, ci] = np.add.reduceat(vals, starts) if all_idx.size else 0.0
-            scores += self.b
+            sc = scores[nonempty]
             # length-normalize before softmax so confidence is comparable
-            scores_n = scores / np.maximum(lens[nonempty, None], 1)
+            scores_n = sc / np.maximum(lens[nonempty, None], 1)
             m = scores_n.max(axis=1, keepdims=True)
             p = np.exp((scores_n - m) * 8.0)  # temperature to sharpen
             p /= p.sum(axis=1, keepdims=True)
-            arg = scores.argmax(axis=1)
+            arg = sc.argmax(axis=1)
             for k, i in enumerate(nonempty):
                 labels[i] = self.classes[arg[k]]
                 confs[i] = p[k, arg[k]]

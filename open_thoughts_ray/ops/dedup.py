@@ -126,16 +126,71 @@ def union_find_canonical(edges_a: list, edges_b: list) -> dict:
     return {x: find(x) for x in parent}
 
 
+def partition_pairs(group: pd.DataFrame, hamming_max: int,
+                    max_bucket: int = 512, window: int = 64) -> pa.Table:
+    """Pair-finding over a whole hash partition of band rows.
+
+    One partition holds MANY band buckets (part = band_key % P), so bucket
+    boundaries are found vectorized with np.unique and only buckets with
+    ≥2 members pay any per-bucket Python cost — crucial when nearly every
+    bucket is a singleton (the common case)."""
+    empty = pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.string())})
+    n = len(group)
+    if n < 2:
+        return empty
+    keys = group["band_key"].to_numpy(dtype=np.int64)
+    ph = group["phash"].to_numpy(dtype=np.int64).view(np.uint64)
+    ids = group["id"].to_numpy(dtype=object)
+    order = np.lexsort((ids, ph, keys))
+    keys, ph, ids = keys[order], ph[order], ids[order]
+    _, starts, counts = np.unique(keys, return_index=True, return_counts=True)
+    a_out: list = []
+    b_out: list = []
+    for s, c in zip(starts[counts >= 2], counts[counts >= 2]):
+        bp = ph[s : s + c]
+        bi = ids[s : s + c]
+        m = int(c)
+        if m <= max_bucket:
+            for i in range(m - 1):
+                d = _popcount64(np.bitwise_xor(bp[i + 1 :], bp[i]))
+                for j in np.nonzero(d <= hamming_max)[0]:
+                    a_out.append(bi[i])
+                    b_out.append(bi[i + 1 + j])
+        else:
+            for i in range(m - 1):
+                hi = min(m, i + 1 + window)
+                d = _popcount64(np.bitwise_xor(bp[i + 1 : hi], bp[i]))
+                for j in np.nonzero(d <= hamming_max)[0]:
+                    a_out.append(bi[i])
+                    b_out.append(bi[i + 1 + j])
+    if not a_out:
+        return empty
+    return pa.table({"a": pa.array([str(x) for x in a_out], pa.string()),
+                     "b": pa.array([str(x) for x in b_out], pa.string())})
+
+
 def near_dup_canonical_map(kept, bands: int, hamming_max: int,
-                           max_bucket: int = 512, window: int = 64) -> dict:
+                           max_bucket: int = 512, window: int = 64,
+                           num_partitions: int = 64) -> dict:
     """Dataset[(image_id, phash)] → {image_id: canonical} via the banded
-    shuffle.  ``kept`` should already be projected to the two columns."""
+    shuffle.  ``kept`` should already be projected to the two columns.
+
+    The shuffle key is ``part = band_key % P`` (P ≈ total cores), NOT the
+    raw band_key: a groupby on the raw key creates millions of singleton
+    groups whose per-group dispatch dominates; partition-level grouping
+    keeps the same candidate set (band buckets never straddle partitions)
+    with vectorized bucket detection inside each partition."""
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = t.column("band_key").to_numpy(zero_copy_only=False) % num_partitions
+        return t.append_column("part", pa.array(part.astype(np.int64), pa.int64()))
+
     exploded = kept.map_batches(
         band_explode_batch, batch_format="pyarrow",
         fn_kwargs={"bands": bands},
-    )
-    edges = exploded.groupby("band_key").map_groups(
-        bucket_pairs, batch_format="pandas",
+    ).map_batches(add_part, batch_format="pyarrow")
+    edges = exploded.groupby("part").map_groups(
+        partition_pairs, batch_format="pandas",
         fn_kwargs={"hamming_max": hamming_max, "max_bucket": max_bucket,
                    "window": window},
     )

@@ -53,6 +53,21 @@ class PipelineOptions:
     score_num_cpus: float = 0.5
     max_bucket: int = 512
     neighbor_window: int = 64
+    dedup_partitions: int = 64
+
+    @classmethod
+    def for_cluster(cls, num_cpus: int, **overrides) -> "PipelineOptions":
+        """Size the actor pools and shuffle partitioning to the cluster:
+        each scoring pool autoscale-caps at ~3/4 of the CPUs (at 0.5 CPU
+        per actor the two pools can then reserve at most ~75 % of the
+        cluster, leaving slots for the stateless stages)."""
+        hi = max(4, int(num_cpus * 3 / 4))
+        defaults = dict(
+            score_concurrency=(max(2, num_cpus // 4), hi),
+            dedup_partitions=max(16, num_cpus * 2),
+        )
+        defaults.update(overrides)
+        return cls(**defaults)
 
 
 def broadcast_models():
@@ -152,6 +167,7 @@ def dedup_stage(scored, opts: PipelineOptions):
     canon = near_dup_canonical_map(
         kept, bands=opts.rules.dup_bands, hamming_max=opts.rules.dup_hamming_max,
         max_bucket=opts.max_bucket, window=opts.neighbor_window,
+        num_partitions=opts.dedup_partitions,
     )
     canon_ref = ray.put(canon)
     final = scored.map_batches(
