@@ -60,9 +60,21 @@ def _chunks(paths: list[str], size: int) -> list[tuple[str, list[str]]]:
 def run_flagship(table_dir: str, out_dir: str, opts, chunk_fragments: int = 16):
     """Run score stage chunk-by-chunk with resume, then dedup + finalize.
 
-    Returns (decisions_dir, metrics dict).
+    Returns (decisions_dir, metrics dict).  Set OTR_TRACE=1 for phase
+    timings on stderr.
     """
+    import sys
+    import time as _time
+
     import ray.data as rd
+
+    trace = os.environ.get("OTR_TRACE")
+    _t0 = _time.time()
+
+    def _mark(label: str) -> None:
+        if trace:
+            print(f"[otr-trace] {label} +{_time.time() - _t0:.1f}s",
+                  file=sys.stderr, flush=True)
 
     from .io import lance_table
     from .pipeline import broadcast_models, dedup_stage, score_stage
@@ -85,7 +97,8 @@ def run_flagship(table_dir: str, out_dir: str, opts, chunk_fragments: int = 16):
             shutil.rmtree(staging)
         if os.path.isdir(final_chunk_dir):  # completed write, missed manifest
             shutil.rmtree(final_chunk_dir)
-        ds = rd.read_parquet(chunk_paths)
+        nb = max(opts.num_cpus * 2, 2)
+        ds = rd.read_parquet(chunk_paths, override_num_blocks=min(nb, len(chunk_paths) * 4))
         scored = score_stage(ds, model_refs, opts)
         scored.write_parquet(staging)
         os.replace(staging, final_chunk_dir)
@@ -94,19 +107,27 @@ def run_flagship(table_dir: str, out_dir: str, opts, chunk_fragments: int = 16):
             for p in glob.glob(os.path.join(final_chunk_dir, "*.parquet"))
         )
         manifest.mark_done(chunk_id, {"rows": n, "fragments": len(chunk_paths)})
+        _mark(f"scored {chunk_id}")
 
     scored_paths = sorted(glob.glob(os.path.join(scored_dir, "chunk-*", "*.parquet")))
-    scored_ds = rd.read_parquet(scored_paths)
-    decisions = dedup_stage(scored_ds, opts)
+    scored_ds = rd.read_parquet(scored_paths,
+                                override_num_blocks=max(opts.num_cpus, 2))
+    # the edge-finding pass needs only 3 thin columns — prune at the read
+    kept_ds = rd.read_parquet(scored_paths, columns=["image_id", "phash", "keep"],
+                              override_num_blocks=max(opts.num_cpus, 2))
+    decisions = dedup_stage(scored_ds, opts, kept_source=kept_ds)
     if os.path.isdir(decisions_dir):
         shutil.rmtree(decisions_dir)
     staging = decisions_dir + ".staging"
     if os.path.isdir(staging):
         shutil.rmtree(staging)
+    _mark("dedup plan built")
     decisions.write_parquet(staging)
     os.replace(staging, decisions_dir)
+    _mark("decisions written")
 
     metrics = compute_metrics(decisions_dir)
+    _mark("metrics done")
     metrics["chunks_skipped_on_resume"] = skipped
     with open(os.path.join(out_dir, "metrics.json"), "w") as f:
         json.dump(metrics, f, indent=2)
@@ -116,13 +137,17 @@ def run_flagship(table_dir: str, out_dir: str, opts, chunk_fragments: int = 16):
 def compute_metrics(decisions_dir: str) -> dict:
     """Per-reason row counts from the persisted decisions (recomputed from
     output, like the reference's logged filter percentages,
-    commons.py:366-371)."""
-    import ray.data as rd
+    commons.py:366-371).  A single-node DuckDB scan: the decisions table
+    is two thin columns, so spinning up a Ray shuffle would be pure
+    overhead (swap for ds.groupby().count() if decisions ever outgrow
+    one node's scan throughput)."""
+    import duckdb
 
-    ds = rd.read_parquet(sorted(glob.glob(os.path.join(decisions_dir, "*.parquet"))),
-                         columns=["keep", "drop_reason"])
-    counts = ds.groupby("drop_reason").count().to_pandas()
-    by_reason = dict(zip(counts["drop_reason"], counts["count()"].astype(int)))
+    counts = duckdb.connect().execute(
+        "SELECT drop_reason, count(*) AS n FROM "
+        f"read_parquet('{os.path.join(decisions_dir, '*.parquet')}') GROUP BY 1"
+    ).df()
+    by_reason = dict(zip(counts["drop_reason"], counts["n"].astype(int)))
     total = int(sum(by_reason.values()))
     kept = int(by_reason.get("", 0))
     return {

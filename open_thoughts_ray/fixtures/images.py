@@ -41,25 +41,34 @@ _FMT_CUM = np.cumsum([0.3, 0.4, 0.3])
 DUP_PROB = 0.08
 
 
-GEN_VERSION = 2
+GEN_VERSION = 3
 
 
-def _gen_pixels(rng: np.random.Generator) -> np.ndarray:
-    """Procedural RGB image: two superposed random sinusoids + gradient +
-    noise, so average-phashes are well-distributed across rows (a pure
-    gradient admits only a handful of distinct 8×8 hash patterns)."""
-    w = int(rng.integers(16, 129))
-    h = int(rng.integers(16, 129))
+def _gen_pixels(rng: np.random.Generator,
+                side_range: tuple[int, int] = (16, 128)) -> np.ndarray:
+    """Procedural RGB image: four superposed random sinusoids (wide
+    frequency range) + gradient + smoothed low-res blob field + noise.
+    High pattern entropy so average-phashes are well-distributed across
+    rows (smooth low-frequency patterns alone admit few distinct 8×8
+    threshold patterns, which floods the near-dup bands with collisions);
+    planted duplicates (±2 pixel noise) still hash within Hamming ≤ 6."""
+    w = int(rng.integers(side_range[0], side_range[1] + 1))
+    h = int(rng.integers(side_range[0], side_range[1] + 1))
     ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
     base = np.zeros((h, w))
-    for _ in range(2):
-        fx = float(rng.uniform(0.5, 4.0)) / w
-        fy = float(rng.uniform(0.5, 4.0)) / h
+    for _ in range(4):
+        fx = float(rng.uniform(0.3, 6.0)) / w
+        fy = float(rng.uniform(0.3, 6.0)) / h
         phase = float(rng.uniform(0, 2 * np.pi))
-        amp = float(rng.uniform(30, 70))
+        amp = float(rng.uniform(15, 45))
         base += amp * np.sin(2 * np.pi * (fx * xs + fy * ys) + phase)
     ax, ay = float(rng.uniform(-1.5, 1.5)), float(rng.uniform(-1.5, 1.5))
     base += ax * xs + ay * ys + 128.0
+    # low-res random blob field upsampled by pixel repetition: breaks the
+    # smooth-pattern degeneracy that makes 8×8 average-hashes collide
+    gh, gw = (h + 7) // 8, (w + 7) // 8
+    blob = rng.uniform(-40.0, 40.0, size=(gh, gw))
+    base += np.repeat(np.repeat(blob, 8, axis=0), 8, axis=1)[:h, :w]
     shifts = rng.integers(-25, 26, size=3)
     noise = rng.integers(-8, 9, size=(h, w, 3), dtype=np.int32)
     px = np.clip(base[:, :, None] + shifts[None, None, :] + noise, 0, 255)
@@ -72,7 +81,8 @@ def _pick_fmt(rng: np.random.Generator) -> str:
 
 
 def generate_partition(
-    seed: int, part_id: int, start: int, n_rows: int
+    seed: int, part_id: int, start: int, n_rows: int,
+    side_range: tuple[int, int] = (16, 128),
 ) -> tuple[pa.Table, pa.Table]:
     """Generate one fragment → (images table, generator-metadata table).
 
@@ -97,7 +107,7 @@ def generate_partition(
             cls = "dup"
             dup_src = ids[src]
         else:
-            px = _gen_pixels(rng)
+            px = _gen_pixels(rng, side_range)
             cls = textgen.pick_class(rng)
             caption = textgen.gen_caption(rng, cls)
             dup_src = ""
@@ -147,6 +157,7 @@ def build_images_table(
     seed: int = 42,
     use_ray: bool = False,
     with_meta: bool = True,
+    side_range: tuple[int, int] = (16, 128),
 ) -> str:
     """Write the benchmark table (idempotent: returns early if present)."""
     import os
@@ -159,6 +170,7 @@ def build_images_table(
             and meta.get("gen_version") == GEN_VERSION
             and meta.get("seed") == seed
             and meta.get("n_parts") == n_parts
+            and tuple(meta.get("side_range", (16, 128))) == tuple(side_range)
         ):
             return out_dir
     meta_dir = os.path.join(out_dir, "_gen_meta")
@@ -174,13 +186,13 @@ def build_images_table(
         import ray
 
         gen = ray.remote(num_cpus=1)(generate_partition)
-        refs = [gen.remote(seed, p, s, n) for p, (s, n) in enumerate(bounds)]
+        refs = [gen.remote(seed, p, s, n, side_range) for p, (s, n) in enumerate(bounds)]
         for p, ref in enumerate(refs):
             images, meta = ray.get(ref)
             finish(p, images, meta)
     else:
         for p, (s, n) in enumerate(bounds):
-            images, meta = generate_partition(seed, p, s, n)
+            images, meta = generate_partition(seed, p, s, n, side_range)
             finish(p, images, meta)
     if with_meta:
         lance_table.write_manifest(meta_dir, [f for f in frags], {"kind": "gen_meta"})
@@ -188,6 +200,6 @@ def build_images_table(
     lance_table.write_manifest(
         out_dir, frags,
         {"seed": seed, "n_rows": n_rows, "n_parts": n_parts,
-         "gen_version": GEN_VERSION},
+         "gen_version": GEN_VERSION, "side_range": list(side_range)},
     )
     return out_dir

@@ -127,7 +127,8 @@ def union_find_canonical(edges_a: list, edges_b: list) -> dict:
 
 
 def partition_pairs(group: pd.DataFrame, hamming_max: int,
-                    max_bucket: int = 512, window: int = 64) -> pa.Table:
+                    max_bucket: int = 512, window: int = 64,
+                    bands: int = 4) -> pa.Table:
     """Pair-finding over a whole hash partition of band rows.
 
     One partition holds MANY band buckets (part = band_key % P), so bucket
@@ -146,23 +147,37 @@ def partition_pairs(group: pd.DataFrame, hamming_max: int,
     _, starts, counts = np.unique(keys, return_index=True, return_counts=True)
     a_out: list = []
     b_out: list = []
+    width = BAND_BITS[bands]
+
+    def emit(i: int, lo: int, hi_: int, bp, bi, band_id: int, width: int) -> None:
+        d = _popcount64(np.bitwise_xor(bp[lo:hi_], bp[i]))
+        for j in np.nonzero(d <= hamming_max)[0]:
+            other = lo + j
+            # de-duplicate cross-band edges locally: emit a pair only from
+            # the LOWEST band in which the two hashes agree (connectivity
+            # is unchanged; the edge list shrinks ~bands×)
+            x, y = bp[i], bp[other]
+            mask = np.uint64((1 << width) - 1)
+            first_band = next(
+                b for b in range(64 // width)
+                if ((x >> np.uint64(b * width)) & mask)
+                == ((y >> np.uint64(b * width)) & mask)
+            )
+            if first_band == band_id:
+                a_out.append(bi[i])
+                b_out.append(bi[other])
+
     for s, c in zip(starts[counts >= 2], counts[counts >= 2]):
         bp = ph[s : s + c]
         bi = ids[s : s + c]
         m = int(c)
+        band_id = int(keys[s]) >> width
         if m <= max_bucket:
             for i in range(m - 1):
-                d = _popcount64(np.bitwise_xor(bp[i + 1 :], bp[i]))
-                for j in np.nonzero(d <= hamming_max)[0]:
-                    a_out.append(bi[i])
-                    b_out.append(bi[i + 1 + j])
+                emit(i, i + 1, m, bp, bi, band_id, width)
         else:
             for i in range(m - 1):
-                hi = min(m, i + 1 + window)
-                d = _popcount64(np.bitwise_xor(bp[i + 1 : hi], bp[i]))
-                for j in np.nonzero(d <= hamming_max)[0]:
-                    a_out.append(bi[i])
-                    b_out.append(bi[i + 1 + j])
+                emit(i, i + 1, min(m, i + 1 + window), bp, bi, band_id, width)
     if not a_out:
         return empty
     return pa.table({"a": pa.array([str(x) for x in a_out], pa.string()),
@@ -192,7 +207,7 @@ def near_dup_canonical_map(kept, bands: int, hamming_max: int,
     edges = exploded.groupby("part").map_groups(
         partition_pairs, batch_format="pandas",
         fn_kwargs={"hamming_max": hamming_max, "max_bucket": max_bucket,
-                   "window": window},
+                   "window": window, "bands": bands},
     )
     # Edge list is O(#dups) — small; collected for driver union-find.
     # Scale path for 10^12 rows: label_propagation() below.

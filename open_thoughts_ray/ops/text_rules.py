@@ -54,7 +54,7 @@ class RuleConfig:
     rep_max: float = 0.3
     sym_max: float = 0.1
     stop_min: float = 0.05
-    dup_hamming_max: int = 6
+    dup_hamming_max: int = 2
     dup_bands: int = 4  # 4 bands × 16 bits over the 64-bit phash
     scrub_version: int = 1
 

@@ -50,10 +50,25 @@ class PipelineOptions:
     # decode/rules tasks or the dedup shuffle of scheduling slots (a
     # full-reservation pool deadlocks the streaming executor).
     score_concurrency: int | tuple = 2
-    score_num_cpus: float = 0.5
+    # per-stage fixed pool sizes (None → fall back to score_concurrency);
+    # fixed (not autoscaling) because upstream task operators keep every
+    # free slot busy, so an autoscaling pool never grows past its min
+    langid_concurrency: int | tuple | None = None
+    ppl_concurrency: int | tuple | None = None
+    # combined ScoreActor pool size (None → 3/4 of num_cpus)
+    score_pool: int | None = None
+    # 1.0 CPU per scoring actor measured fastest at BOTH 8 and 32 cores
+    # (0.5-CPU oversubscription thrashes caches); the two-level scaling
+    # runs are additionally pinned to physical cores with taskset because
+    # Ray scheduler tokens alone don't confine a process to N cores.
+    score_num_cpus: float = 1.0
     max_bucket: int = 512
     neighbor_window: int = 64
-    dedup_partitions: int = 64
+    dedup_partitions: int = 16
+    # cluster size the options were built for (for_cluster); drives the
+    # read-block sizing (~2 blocks per CPU keeps tasks coarse enough that
+    # per-task overhead stays <5% while still feeding every core)
+    num_cpus: int = 8
 
     @classmethod
     def for_cluster(cls, num_cpus: int, **overrides) -> "PipelineOptions":
@@ -61,10 +76,15 @@ class PipelineOptions:
         each scoring pool autoscale-caps at ~3/4 of the CPUs (at 0.5 CPU
         per actor the two pools can then reserve at most ~75 % of the
         cluster, leaving slots for the stateless stages)."""
-        hi = max(4, int(num_cpus * 3 / 4))
+        # fixed pool sizes proportional to each stage's measured per-row
+        # cost (ppl ≈ 2× langid); together ≤ 3/8 of the CPUs so the
+        # stateless decode/rules/write stages always keep slots (a
+        # full-reservation pool set would deadlock the executor)
         defaults = dict(
-            score_concurrency=(max(2, num_cpus // 4), hi),
-            dedup_partitions=max(16, num_cpus * 2),
+            langid_concurrency=max(1, num_cpus // 8),
+            ppl_concurrency=max(1, num_cpus // 4),
+            dedup_partitions=max(8, num_cpus // 2),
+            num_cpus=num_cpus,
         )
         defaults.update(overrides)
         return cls(**defaults)
@@ -105,20 +125,86 @@ def _rules_scrub_batch(batch: pa.Table, cfg: RuleConfig) -> pa.Table:
     return out.append_column("scrubbed_caption", pa.array(scrubbed, pa.string()))
 
 
+class ScoreActor:
+    """Combined per-row scorer: decode/validate → langid → perplexity →
+    rules → scrub in ONE actor ``__call__``.
+
+    One actor pool instead of four chained operators: the image payload is
+    decoded and dropped inside the same task that consumes it (bytes never
+    re-enter the object store), both models load once per actor from the
+    broadcast refs, and Ray's operator fusion can't accidentally funnel
+    the stateless decode work through an undersized pool (which is exactly
+    what happened with a chained task-op → actor-op layout: the fused
+    operator inherits the actor pool's concurrency).
+    """
+
+    def __init__(self, langid_ref=None, lm_ref=None, cfg: RuleConfig | None = None,
+                 model_bytes: tuple | None = None):
+        from .models.fasttext_like import HashedNgramClassifier
+        from .models.ngram_lm import BigramLM
+
+        if model_bytes is None:
+            import ray
+
+            model_bytes = (ray.get(langid_ref), ray.get(lm_ref))
+        self.langid = HashedNgramClassifier.from_bytes(model_bytes[0])
+        self.lm = BigramLM.from_bytes(model_bytes[1])
+        self.cfg = cfg or RuleConfig()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = decode_validate_batch(batch)
+        captions = batch.column("caption").to_pylist()
+        labels, confs = self.langid.predict_batch(captions)
+        batch = batch.append_column("lang", pa.array(labels, pa.string()))
+        batch = batch.append_column(
+            "lang_conf", pa.array(np.asarray(confs, dtype=np.float32), pa.float32())
+        )
+        batch = batch.append_column(
+            "ppl", pa.array(self.lm.perplexity_batch(captions), pa.float32())
+        )
+        return _rules_scrub_batch(batch, self.cfg)
+
+
 def score_stage(ds, model_refs, opts: PipelineOptions):
-    """Per-row stages only (no shuffle): decode → langid → ppl → rules."""
+    """Per-row scoring (no shuffle): one combined actor pool sized to
+    ~3/4 of the cluster; read + write tasks use the remaining slots."""
+    import ray
+
+    pool = opts.score_pool or max(2, opts.num_cpus * 3 // 4)
+    # never request more fixed actors than the live cluster can schedule
+    # (a fixed pool larger than the CPU count deadlocks waiting to start)
+    live = int(ray.cluster_resources().get("CPU", pool))
+    pool = max(1, min(pool, live * 3 // 4 or 1))
+    return ds.map_batches(
+        ScoreActor, batch_format="pyarrow", batch_size=opts.decode_batch_size,
+        concurrency=pool, num_cpus=opts.score_num_cpus,
+        fn_constructor_kwargs={
+            "langid_ref": model_refs["langid"],
+            "lm_ref": model_refs["lm"],
+            "cfg": opts.rules,
+        },
+    )
+
+
+def score_stage_chained(ds, model_refs, opts: PipelineOptions):
+    """The four-operator form (decode task pool → langid actor pool → ppl
+    actor pool → rules tasks).  Kept as the reference layout for the
+    operator library; slower than the combined ScoreActor because Ray
+    fuses the decode tasks into the first actor pool."""
     ds = ds.map_batches(
         decode_validate_batch, batch_format="pyarrow",
         batch_size=opts.decode_batch_size,
     )
     ds = ds.map_batches(
         LangIdScorer, batch_format="pyarrow", batch_size=opts.score_batch_size,
-        concurrency=opts.score_concurrency, num_cpus=opts.score_num_cpus,
+        concurrency=opts.langid_concurrency or opts.score_concurrency,
+        num_cpus=opts.score_num_cpus,
         fn_constructor_kwargs={"model_ref": model_refs["langid"]},
     )
     ds = ds.map_batches(
         PerplexityScorer, batch_format="pyarrow", batch_size=opts.score_batch_size,
-        concurrency=opts.score_concurrency, num_cpus=opts.score_num_cpus,
+        concurrency=opts.ppl_concurrency or opts.score_concurrency,
+        num_cpus=opts.score_num_cpus,
         fn_constructor_kwargs={"model_ref": model_refs["lm"]},
     )
     return ds.map_batches(
@@ -137,30 +223,32 @@ class _ApplyDedup:
         self.canon = canon
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column("image_id").to_pylist()
+        import pandas as pd
+
+        ids = pd.Series(batch.column("image_id").to_pylist(), dtype=object)
         keep = batch.column("keep").to_numpy(zero_copy_only=False).copy()
-        reasons = batch.column("drop_reason").to_pylist()
-        dup_group = []
-        for i, (iid, k) in enumerate(zip(ids, keep)):
-            if not k:
-                dup_group.append("")
-                continue
-            c = self.canon.get(iid, iid)
-            dup_group.append(c)
-            if c != iid:
-                keep[i] = False
-                reasons[i] = "near_dup"
+        reasons = np.asarray(batch.column("drop_reason").to_pylist(), dtype=object)
+        # vectorized: canonical id per row (own id when not in a dup group)
+        canon = ids.map(self.canon).fillna(ids).to_numpy(dtype=object)
+        dup_group = np.where(keep, canon, "")
+        demoted = keep & (canon != ids.to_numpy(dtype=object))
+        keep[demoted] = False
+        reasons[demoted] = "near_dup"
         out = batch.drop_columns(["keep", "drop_reason"])
         out = out.append_column("keep", pa.array(keep, pa.bool_()))
-        out = out.append_column("drop_reason", pa.array(reasons, pa.string()))
-        return out.append_column("dup_group", pa.array(dup_group, pa.string()))
+        out = out.append_column("drop_reason", pa.array(list(reasons), pa.string()))
+        return out.append_column("dup_group", pa.array(list(dup_group), pa.string()))
 
 
-def dedup_stage(scored, opts: PipelineOptions):
-    """Near-dup collapse over already-scored rows → final decisions."""
+def dedup_stage(scored, opts: PipelineOptions, kept_source=None):
+    """Near-dup collapse over already-scored rows → final decisions.
+
+    ``kept_source`` lets the caller pass a column-pruned reread of the
+    scored table (only image_id/phash/keep) so the edge-finding pass does
+    not decompress every column twice."""
     import ray
 
-    kept = scored.map_batches(
+    kept = (kept_source if kept_source is not None else scored).map_batches(
         lambda t: t.filter(t.column("keep")).select(["image_id", "phash"]),
         batch_format="pyarrow",
     )
@@ -170,8 +258,13 @@ def dedup_stage(scored, opts: PipelineOptions):
         num_partitions=opts.dedup_partitions,
     )
     canon_ref = ray.put(canon)
+    # fixed-size pool: an autoscaling pool never grows past its min while
+    # upstream read tasks keep the scheduler busy
+    live = int(ray.cluster_resources().get("CPU", opts.num_cpus))
+    pool = max(2, min(opts.num_cpus, live) // 2)
     final = scored.map_batches(
-        _ApplyDedup, batch_format="pyarrow", concurrency=2,
+        _ApplyDedup, batch_format="pyarrow", batch_size=4096,
+        concurrency=pool, num_cpus=0.5,
         fn_constructor_kwargs={"canon_ref": canon_ref},
     )
     return final.select_columns(DECISION_COLUMNS)

@@ -53,7 +53,7 @@ def test_phash_stability_under_noise():
         noise = rng.integers(-2, 3, size=px.shape).astype(np.int16)
         px2 = np.clip(px.astype(np.int16) + noise, 0, 255).astype(np.uint8)
         d = codecs.hamming64(codecs.average_phash(px), codecs.average_phash(px2))
-        assert d <= 6
+        assert d <= 2
 
 
 def test_phash_distinct_across_images():
