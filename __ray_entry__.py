@@ -320,6 +320,43 @@ def _q_simhash_dedup(sf_dir: str):
     return simhash_dedup(ds, hamming_max=3).select_columns(["doc_id"])
 
 
+def _q_majority_event_type(sf_dir: str):
+    from open_thoughts_ray.ops.consensus import majority_vote
+
+    ds = _rp(sf_dir, "events", ["user_id", "event_type"])
+    return majority_vote(ds, "user_id", "event_type")
+
+
+def _q_token_entropy(sf_dir: str):
+    from open_thoughts_ray.ops.consensus import token_entropy
+
+    ds = _rp(sf_dir, "documents", ["text"])
+    val = token_entropy(ds)
+    import math
+
+    q = math.floor(val * 1_000_000) / 1_000_000
+    return pa.table({"entropy": pa.array([q], pa.float64())})
+
+
+def _q_decontaminate(sf_dir: str):
+    """Broadcast anti-join decontamination: documents minus rows whose
+    8-gram overlap with the first-5-docs 'benchmark' is >= 0.5."""
+    import pyarrow.parquet as pq
+
+    from open_thoughts_ray.ops.decontaminate import decontaminate
+
+    bench = (
+        pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .head(5)["text"]
+        .tolist()
+    )
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return decontaminate(ds, bench, overlap_threshold=0.5).select_columns(["doc_id"])
+
+
 def _q_flagship(sf_dir: str):
     return entry()
 
@@ -346,6 +383,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_embeddings": _q_ann_topk,
         "minhash_dedup_documents": _q_minhash_dedup,
         "simhash_dedup_documents": _q_simhash_dedup,
+        "majority_event_type_per_user": _q_majority_event_type,
+        "token_entropy_documents": _q_token_entropy,
+        "decontaminate_documents": _q_decontaminate,
         "flagship_quality_filter": _q_flagship,
     }
 
@@ -457,7 +497,26 @@ def oracle_sql() -> dict[str, str]:
                 FROM s
             ) WHERE rank <= 10
         """,
+        "majority_event_type_per_user": """
+            SELECT user_id, event_type AS majority_event_type,
+                   CAST(n AS BIGINT) AS votes, CAST(tot AS BIGINT) AS n_group
+            FROM (
+                SELECT user_id, event_type, count(*) AS n,
+                       sum(count(*)) OVER (PARTITION BY user_id) AS tot,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY count(*) DESC, event_type) AS rn
+                FROM events GROUP BY user_id, event_type
+            ) WHERE rn = 1
+        """,
+        "token_entropy_documents": """
+            WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+            c AS (SELECT t, CAST(count(*) AS DOUBLE) AS n FROM tok GROUP BY t),
+            s AS (SELECT sum(n) AS tot FROM c)
+            SELECT floor((-sum((n/tot) * ln(n/tot))) * 1000000) / 1000000 AS entropy
+            FROM c, s
+        """,
         # minhash_dedup_documents / simhash_dedup_documents /
-        # flagship_quality_filter: not SQL-expressible (LSH signatures,
-        # model scoring) → rows-only checks.
+        # decontaminate_documents / flagship_quality_filter: not
+        # SQL-expressible (LSH signatures, n-gram inverted index, model
+        # scoring) → rows-only checks.
     }

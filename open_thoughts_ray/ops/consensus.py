@@ -1,0 +1,107 @@
+"""Grouped consensus + corpus diversity aggregates.
+
+* ``majority_vote`` — the reference's ``majority_consensus``
+  (dcft/data_strategies/MultipleSamples/utils.py:74-127): per group, the
+  modal value of a column with a deterministic tie-break (lexicographic
+  min among the tied values) → ``groupby(key).map_groups``.
+* ``token_entropy`` / ``distinct_ngram_ratio`` — diversity metrics
+  (DiversityExperiments/diversity_metrics.py:118-304) as two-level
+  partial/final aggregations: per-batch token counts (partial) are tiny
+  dicts merged in a final reduce — no row-level shuffle.
+"""
+
+from __future__ import annotations
+
+import math
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def majority_vote(ds, group_col: str, value_col: str,
+                  out_col: str | None = None):
+    """One row per group: the most frequent value (ties → lexicographic
+    min), plus its count and the group size."""
+    out_col = out_col or f"majority_{value_col}"
+
+    def vote(g: pd.DataFrame) -> pd.DataFrame:
+        counts = g[value_col].value_counts()
+        top = counts.max()
+        winner = sorted(counts[counts == top].index)[0]
+        return pd.DataFrame(
+            {
+                group_col: [g[group_col].iloc[0]],
+                out_col: [winner],
+                "votes": [int(top)],
+                "n_group": [len(g)],
+            }
+        )
+
+    return ds.groupby(group_col).map_groups(vote, batch_format="pandas")
+
+
+def _partial_token_counts(batch: pa.Table, text_col: str) -> pa.Table:
+    """Partial aggregate: (token, count) rows for one batch."""
+    counts: dict[str, int] = {}
+    for t in batch.column(text_col).to_pylist():
+        for tok in (t or "").split(" "):
+            counts[tok] = counts.get(tok, 0) + 1
+    return pa.table(
+        {
+            "token": pa.array(list(counts.keys()), pa.string()),
+            "c": pa.array(list(counts.values()), pa.int64()),
+        }
+    )
+
+
+def token_entropy(ds, text_col: str = "text") -> float:
+    """Shannon entropy (nats) of the corpus token distribution.
+
+    Two-level: per-batch partial counts → small groupby sum → driver
+    entropy over the (vocabulary-sized) final counts."""
+    from ray.data.aggregate import Sum
+
+    partial = ds.map_batches(
+        _partial_token_counts, batch_format="pyarrow",
+        fn_kwargs={"text_col": text_col},
+    )
+    totals = partial.groupby("token").aggregate(Sum("c", alias_name="n")).to_pandas()
+    c = totals["n"].to_numpy(dtype=np.float64)
+    p = c / c.sum()
+    return float(-(p * np.log(p)).sum())
+
+
+def distinct_ngram_ratio(ds, text_col: str = "text", n: int = 2) -> float:
+    """#distinct word-n-grams / #total n-grams over the corpus — the
+    classic diversity score.  Partial per-batch hash sets (crc32 of the
+    joined gram) merged via a distinct count; exact, not sketched, since
+    vocabulary ≪ corpus (swap in HLL for open-vocab web scale)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        grams: dict[int, int] = {}
+        total = 0
+        for t in batch.column(text_col).to_pylist():
+            toks = (t or "").split(" ")
+            for i in range(max(0, len(toks) - n + 1)):
+                g = zlib.crc32(" ".join(toks[i : i + n]).encode())
+                grams[g] = grams.get(g, 0) + 1
+                total += 1
+        return pa.table(
+            {
+                "gram": pa.array(list(grams.keys()), pa.int64()),
+                "c": pa.array(list(grams.values()), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(Sum("c", alias_name="n"))
+        .to_pandas()
+    )
+    total = float(counts["n"].sum())
+    return float(len(counts) / total) if total else 0.0

@@ -1,0 +1,96 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from open_thoughts_ray.ops.dedup import exact_dedup, label_propagation, union_find_canonical
+from open_thoughts_ray.ops.dedup_text import (
+    minhash_lsh_dedup,
+    minhash_signature,
+    ngram_jaccard,
+    simhash64,
+    simhash_dedup,
+)
+
+
+def test_union_find_canonical():
+    canon = union_find_canonical(["b", "c", "x"], ["a", "b", "y"])
+    assert canon["a"] == "a" and canon["b"] == "a" and canon["c"] == "a"
+    assert canon["x"] == "x" and canon["y"] == "x"
+
+
+def test_exact_dedup_keep_first(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({
+        "id": [5, 1, 3, 2, 4],
+        "key": ["a", "a", "b", "b", "c"],
+        "payload": list("vwxyz"),
+    })
+    out = exact_dedup(rd.from_pandas(df), ["key"], "id").to_pandas().sort_values("key")
+    assert list(out.id) == [1, 2, 4]  # min id per key survives
+
+
+def test_minhash_similarity_estimate():
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    c = "completely different content with nothing shared at all whatsoever here"
+    sa, sb, sc = (minhash_signature(t) for t in (a, b, c))
+    est_ab = (sa == sb).mean()
+    est_ac = (sa == sc).mean()
+    assert est_ab > 0.5 > est_ac
+
+
+def test_minhash_lsh_dedup_finds_planted(ray_session):
+    import ray.data as rd
+
+    base = ("the quick brown fox jumps over the lazy dog while the calm "
+            "river flows past the old stone bridge in the quiet valley")
+    rows = []
+    for i in range(30):
+        rows.append({"doc_id": i, "text": f"unique document number {i} about topic "
+                                          + " ".join(f"w{i}{j}" for j in range(12))})
+    rows.append({"doc_id": 100, "text": base})
+    rows.append({"doc_id": 101, "text": base.replace("quiet", "silent")})
+    rows.append({"doc_id": 102, "text": base})
+    out = minhash_lsh_dedup(rd.from_pandas(pd.DataFrame(rows)), threshold=0.6).to_pandas()
+    ids = set(out.doc_id)
+    assert 100 in ids and 101 not in ids and 102 not in ids
+    assert all(i in ids for i in range(30))
+
+
+def test_simhash_dedup_finds_planted(ray_session):
+    import ray.data as rd
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [{"doc_id": i, "text": f"doc {i} " + " ".join(f"tok{i}_{j}" for j in range(15))}
+            for i in range(20)]
+    rows.append({"doc_id": 50, "text": base})
+    rows.append({"doc_id": 51, "text": base.replace("kappa", "kappa2")})
+    out = simhash_dedup(rd.from_pandas(pd.DataFrame(rows)), hamming_max=6).to_pandas()
+    ids = set(out.doc_id)
+    assert 50 in ids and 51 not in ids
+
+
+def test_simhash_identical_texts():
+    assert simhash64("a b c") == simhash64("a b c")
+    assert simhash64("a b c") != simhash64("x y z")
+
+
+def test_ngram_jaccard():
+    assert ngram_jaccard("a b c d e", "a b c d e") == 1.0
+    assert ngram_jaccard("a b c d e", "v w x y z") == 0.0
+    assert 0.0 < ngram_jaccard("a b c d e f", "a b c d e g") < 1.0
+
+
+def test_label_propagation_components(ray_session):
+    import ray.data as rd
+
+    nodes = rd.from_pandas(pd.DataFrame({"id": list("abcdexy")}))
+    edges = rd.from_pandas(pd.DataFrame({"a": ["b", "c", "d", "x"],
+                                         "b": ["a", "b", "e", "y"]}))
+    out = label_propagation(nodes, edges).to_pandas().set_index("id")["label"].to_dict()
+    assert out["a"] == out["b"] == out["c"] == "a"
+    assert out["d"] == out["e"]
+    assert out["x"] == out["y"] == "x"

@@ -1,0 +1,132 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from open_thoughts_ray.ops.consensus import distinct_ngram_ratio, majority_vote, token_entropy
+from open_thoughts_ray.ops.multimodal import ImageFeatureExtractor, ImageResizer, frame_sample_batch
+from open_thoughts_ray.yaml_pipeline import parse_pipeline, run_pipeline
+
+
+def test_majority_vote(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({
+        "qid": [1, 1, 1, 2, 2, 2, 3, 3],
+        "answer": ["a", "b", "a", "x", "y", "x", "m", "n"],  # qid 3 ties m/n
+    })
+    out = majority_vote(rd.from_pandas(df), "qid", "answer").to_pandas().set_index("qid")
+    assert out.loc[1, "majority_answer"] == "a" and out.loc[1, "votes"] == 2
+    assert out.loc[2, "majority_answer"] == "x"
+    assert out.loc[3, "majority_answer"] == "m"  # deterministic tie-break
+
+
+def test_token_entropy_matches_direct(ray_session):
+    import math
+
+    import ray.data as rd
+
+    texts = ["a a b", "b c", "a"]
+    ds = rd.from_pandas(pd.DataFrame({"text": texts}))
+    got = token_entropy(ds)
+    from collections import Counter
+
+    c = Counter(t for s in texts for t in s.split(" "))
+    tot = sum(c.values())
+    expect = -sum(v / tot * math.log(v / tot) for v in c.values())
+    assert abs(got - expect) < 1e-9
+
+
+def test_distinct_ngram_ratio(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_pandas(pd.DataFrame({"text": ["a b a b", "a b"]}))
+    # bigrams: (a b), (b a), (a b) | (a b) → 2 distinct / 4 total
+    assert distinct_ngram_ratio(ds, n=2) == pytest.approx(0.5)
+
+
+def _image_batch(n=4, seed=0):
+    from open_thoughts_ray.fixtures.images import _gen_pixels
+    from open_thoughts_ray.io import codecs
+
+    rows = {"image_id": [], "bytes": [], "w": [], "h": [], "fmt": []}
+    for i in range(n):
+        px = _gen_pixels(np.random.default_rng(seed + i))
+        rows["image_id"].append(f"img-{i}")
+        rows["bytes"].append(codecs.encode(px, "pngz"))
+        rows["w"].append(px.shape[1])
+        rows["h"].append(px.shape[0])
+        rows["fmt"].append("pngz")
+    return pa.table({
+        "image_id": pa.array(rows["image_id"], pa.string()),
+        "bytes": pa.array(rows["bytes"], pa.binary()),
+        "w": pa.array(rows["w"], pa.int32()),
+        "h": pa.array(rows["h"], pa.int32()),
+        "fmt": pa.array(rows["fmt"], pa.string()),
+    })
+
+
+def test_image_resizer(ray_session):
+    import ray.data as rd
+
+    out = rd.from_arrow(_image_batch()).map_batches(
+        ImageResizer, batch_format="pyarrow", concurrency=1,
+        fn_constructor_kwargs={"target": 24},
+    ).to_pandas()
+    assert (out.w == 24).all() and (out.h == 24).all()
+    assert all(len(b) == 24 * 24 * 3 for b in out.bytes)
+
+
+def test_image_features(ray_session):
+    import ray.data as rd
+
+    out = rd.from_arrow(_image_batch()).map_batches(
+        ImageFeatureExtractor, batch_format="pyarrow", concurrency=1
+    ).take_all()
+    assert len(out[0]["features"]) == ImageFeatureExtractor.DIM
+
+
+def test_frame_sample_is_stub():
+    with pytest.raises(NotImplementedError):
+        frame_sample_batch(_image_batch())
+
+
+def test_yaml_parse_wiring():
+    doc = {"operators": [
+        {"id": "src", "config": {"type": "parquet_source", "path": "x"}},
+        {"id": "lim", "config": {"type": "limit", "n": 5}},
+        {"id": "both", "input_ids": ["src", "lim"], "config": {"type": "concatenate"}},
+    ]}
+    ops = parse_pipeline(doc)
+    assert ops[1].input_ids == ["src"]          # default chain wiring
+    assert ops[2].input_ids == ["src", "lim"]
+    with pytest.raises(ValueError):
+        parse_pipeline({"operators": [
+            {"id": "a", "config": {"type": "limit", "n": 1},
+             "input_ids": ["missing"]}]})
+
+
+def test_yaml_pipeline_end_to_end(ray_session, tmp_path):
+    """Mirror of the reference engine test (engine/tests/test_execution.py:24-69):
+    source → transform chain → assert rows + transforms applied."""
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"id": pa.array(range(10), pa.int64()),
+                  "output": pa.array([f"sample text {i}" for i in range(10)],
+                                     pa.string())}),
+        str(tmp_path / "dummy.parquet"),
+    )
+    doc = {"operators": [
+        {"id": "src", "config": {"type": "parquet_source",
+                                 "path": str(tmp_path / "dummy.parquet")}},
+        {"id": "upper", "config": {
+            "type": "map_batches_function",
+            "function": "tests.yaml_udfs.uppercase_output"}},
+        {"id": "bang", "config": {
+            "type": "map_batches_function",
+            "function": "tests.yaml_udfs.add_exclamation"}},
+    ]}
+    out = run_pipeline(doc).to_pandas().sort_values("id")
+    assert len(out) == 10
+    assert out.output.iloc[0] == "SAMPLE TEXT 0!"

@@ -1,0 +1,93 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from open_thoughts_ray.ops.embed import TextEmbedder, embed_dataset, train_text_classifier
+from open_thoughts_ray.ops.similarity import ann_topk, cosine_dedup_earlier, lsh_bucket_batch
+
+
+def _emb_df(n=60, dim=16, seed=3):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, dim)).astype(np.float32)
+    # plant near-duplicates: rows 10/11 and 20/21 nearly identical
+    m[11] = m[10] + rng.standard_normal(dim).astype(np.float32) * 0.01
+    m[21] = m[20] + rng.standard_normal(dim).astype(np.float32) * 0.01
+    return pd.DataFrame({"vec_id": range(n), "embedding": [v.tolist() for v in m]}), m
+
+
+def test_ann_topk_matches_numpy(ray_session):
+    import ray.data as rd
+
+    df, m = _emb_df()
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    out = ann_topk(rd.from_pandas(df), m[:3], k=5, query_ids=[0, 1, 2]).to_pandas()
+    for q in range(3):
+        sims = mn @ mn[q]
+        order = sorted(range(len(sims)), key=lambda i: (-sims[i], i))
+        expect = [i for i in order if i != q][:5]
+        got = list(out[out.query_id == q].sort_values("rank").vec_id)
+        assert got == expect, (q, got, expect)
+
+
+def test_cosine_dedup_earlier(ray_session):
+    import ray.data as rd
+
+    df, m = _emb_df()
+    out = cosine_dedup_earlier(rd.from_pandas(df), threshold=0.95).to_pandas()
+    ids = set(out.vec_id)
+    assert 10 in ids and 11 not in ids
+    assert 20 in ids and 21 not in ids
+    assert len(ids) == 58
+
+
+def test_lsh_bucket_batch_groups_near_dups():
+    df, m = _emb_df()
+    t = pa.table({"vec_id": pa.array(df.vec_id, pa.int64()),
+                  "embedding": pa.array(df.embedding, pa.list_(pa.float32()))})
+    out = lsh_bucket_batch(t)
+    buckets = out.column("lsh_bucket").to_pylist()
+    assert buckets[10] == buckets[11]
+    assert buckets[20] == buckets[21]
+
+
+def test_text_embedder_deterministic_and_normalized():
+    e1, e2 = TextEmbedder(), TextEmbedder()
+    v1 = e1._encode(["the small cat sits on the mat", "another text"])
+    v2 = e2._encode(["the small cat sits on the mat", "another text"])
+    assert np.array_equal(v1, v2)
+    assert np.allclose(np.linalg.norm(v1, axis=1), 1.0, atol=1e-5)
+    # similar texts → closer than dissimilar
+    a, b, c = e1._encode([
+        "the small cat sits on the mat",
+        "the small cat sits on the old mat",
+        "zorvax pelmight quandrosite verbelung",
+    ])
+    assert a @ b > a @ c
+
+
+def test_embed_dataset_schema(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": [1, 2], "text": ["a b c", "d e f"]}))
+    out = embed_dataset(ds).take_all()
+    assert len(out[0]["embedding"]) == 64
+
+
+def test_train_text_classifier_separates(ray_session):
+    import ray.data as rd
+
+    from open_thoughts_ray.fixtures import textgen
+    from open_thoughts_ray.models.fasttext_like import HashedNgramClassifier
+
+    pos = [textgen.gen_clean_en(np.random.default_rng(100 + i)) for i in range(150)]
+    neg = [textgen.gen_lang(np.random.default_rng(500 + i), "xx1") for i in range(150)]
+    model_bytes = train_text_classifier(
+        rd.from_pandas(pd.DataFrame({"text": pos})),
+        rd.from_pandas(pd.DataFrame({"text": neg})),
+    )
+    clf = HashedNgramClassifier.from_bytes(model_bytes)
+    labels, _ = clf.predict_batch(
+        [textgen.gen_clean_en(np.random.default_rng(900 + i)) for i in range(50)]
+    )
+    assert labels.count("pos") >= 49
