@@ -170,6 +170,26 @@ def global_quantile_threshold(ds, column: str, q: float, keep: str = "ge"):
     return ds.map_batches(f, batch_format="pyarrow"), thr
 
 
+def repartition_by_length(ds, text_col: str, num_buckets: int = 8):
+    """Tame text-length skew ahead of token-cost-proportional stages (the
+    caption-length skew named in the north rule): bucket rows by text
+    length and hash-repartition so every output block mixes lengths —
+    batches downstream then have comparable token budgets instead of a
+    few all-long-caption stragglers.  One extra narrow shuffle; use only
+    when the length distribution is genuinely heavy-tailed."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        lens = pc.utf8_length(batch.column(text_col))
+        b = pc.bit_wise_and(lens, num_buckets - 1)
+        return batch.append_column("_len_bucket", b.cast(pa.int64()))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .repartition(num_buckets, shuffle=True)
+        .drop_columns(["_len_bucket"])
+    )
+
+
 # --------------------------------------------------------------- set ops
 def union_all(datasets: list):
     """concatenate operator (concatenate_operator.py:31-97)."""
