@@ -25,7 +25,7 @@ import sys
 import time
 
 BENCH_TABLE = os.environ.get("OTR_BENCH_TABLE", "/tmp/otr_bench_images")
-BENCH_N = int(os.environ.get("OTR_BENCH_N", "1000000"))
+BENCH_N = int(os.environ.get("OTR_BENCH_N", "500000"))
 BENCH_PARTS = int(os.environ.get("OTR_BENCH_PARTS", "256"))
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))

