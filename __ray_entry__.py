@@ -357,6 +357,38 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(ds, bench, overlap_threshold=0.5).select_columns(["doc_id"])
 
 
+def _q_asof_join(sf_dir: str):
+    """As-of join: each 'error' event ⟵ latest prior 'purchase' by the
+    same user (co-group merge_asof; one groupby shuffle)."""
+    from open_thoughts_ray.ops import relational as R
+    from open_thoughts_ray.ops.temporal import asof_join
+
+    ev = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    errors = R.filter_in(ev, "event_type", ["error"]).drop_columns(["event_type"])
+    purchases = (
+        R.filter_in(ev, "event_type", ["purchase"])
+        .drop_columns(["event_type"])
+        .rename_columns({"event_id": "p_event_id"})
+    )
+    out = asof_join(errors, purchases, key="user_id", ts="ts",
+                    right_value_cols=["p_event_id"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id").cast(pa.int64()),
+            "p_event_id": t.column("p_event_id").cast(pa.int64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_sessionize(sf_dir: str):
+    from open_thoughts_ray.ops.temporal import sessionize
+
+    ev = _rp(sf_dir, "events", ["ts", "user_id"])
+    return sessionize(ev, key="user_id", ts_col="ts", gap_s=1800)
+
+
 def _q_flagship(sf_dir: str):
     return entry()
 
@@ -386,6 +418,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "majority_event_type_per_user": _q_majority_event_type,
         "token_entropy_documents": _q_token_entropy,
         "decontaminate_documents": _q_decontaminate,
+        "asof_join_events": _q_asof_join,
+        "sessionize_events": _q_sessionize,
         "flagship_quality_filter": _q_flagship,
     }
 
@@ -514,6 +548,34 @@ def oracle_sql() -> dict[str, str]:
             s AS (SELECT sum(n) AS tot FROM c)
             SELECT floor((-sum((n/tot) * ln(n/tot))) * 1000000) / 1000000 AS entropy
             FROM c, s
+        """,
+        "asof_join_events": """
+            SELECT e.event_id, p.p_event_id
+            FROM (SELECT event_id, ts, user_id FROM events
+                  WHERE event_type = 'error') e
+            ASOF JOIN (SELECT event_id AS p_event_id, ts, user_id FROM events
+                       WHERE event_type = 'purchase') p
+            ON e.user_id = p.user_id AND e.ts >= p.ts
+        """,
+        "sessionize_events": """
+            WITH t AS (
+                SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                       CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                                 - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                                   OVER (PARTITION BY user_id ORDER BY ts) > 1800
+                            OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+            ), lab AS (
+                SELECT user_id, s,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY s
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                FROM t
+            )
+            SELECT user_id, CAST(min(s) AS BIGINT) AS session_start,
+                   COUNT(*) AS n_events,
+                   CAST(max(s) - min(s) AS BIGINT) AS duration_s
+            FROM lab GROUP BY user_id, sid
         """,
         # minhash_dedup_documents / simhash_dedup_documents /
         # decontaminate_documents / flagship_quality_filter: not
