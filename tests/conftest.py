@@ -25,11 +25,11 @@ def ray_session():
 
 @pytest.fixture(scope="session")
 def images_table(ray_session) -> str:
-    """Small deterministic benchmark table (FIXTURES.md F1, sf-test-mini)."""
+    """Deterministic benchmark table (FIXTURES.md F1 sf-test: N=10,000, 64 fragments)."""
     from open_thoughts_ray.fixtures.images import build_images_table
 
     return build_images_table(
-        "/tmp/otr_pytest_images", n_rows=2000, n_parts=16, seed=42, use_ray=True
+        "/tmp/otr_pytest_images", n_rows=10000, n_parts=64, seed=42, use_ray=True
     )
 
 

@@ -18,22 +18,22 @@ def out_dir(tmp_path):
 def test_checkpointed_run_and_resume(ray_session, images_table, oracle_frame, out_dir):
     opts = PipelineOptions()
     # full run
-    decisions_dir, metrics = run_flagship(images_table, out_dir, opts, chunk_fragments=4)
-    assert metrics["rows"] == 2000
+    decisions_dir, metrics = run_flagship(images_table, out_dir, opts, chunk_fragments=16)
+    assert metrics["rows"] == 10000
     assert metrics["chunks_skipped_on_resume"] == 0
     first_metrics = dict(metrics)
 
     # simulate a crash after 2 completed chunks: drop later chunks + manifest tail
     man_path = os.path.join(out_dir, "chunks.jsonl")
     lines = open(man_path).read().strip().splitlines()
-    assert len(lines) == 4  # 16 fragments / 4 per chunk
+    assert len(lines) == 4  # 64 fragments / 16 per chunk
     with open(man_path, "w") as f:
         f.write("\n".join(lines[:2]) + "\n")
     for rec in [json.loads(l) for l in lines[2:]]:
         shutil.rmtree(os.path.join(out_dir, "scored", rec["chunk_id"]))
     shutil.rmtree(decisions_dir)
 
-    decisions_dir, metrics = run_flagship(images_table, out_dir, opts, chunk_fragments=4)
+    decisions_dir, metrics = run_flagship(images_table, out_dir, opts, chunk_fragments=16)
     assert metrics["chunks_skipped_on_resume"] == 2
     assert metrics["rows"] == first_metrics["rows"]
     assert metrics["kept"] == first_metrics["kept"]
@@ -46,7 +46,7 @@ def test_checkpointed_matches_oracle(ray_session, images_table, oracle_frame, ou
     import pyarrow.parquet as pq
 
     decisions_dir, _ = run_flagship(images_table, out_dir, PipelineOptions(),
-                                    chunk_fragments=8)
+                                    chunk_fragments=32)
     import pyarrow as pa
 
     dec = (

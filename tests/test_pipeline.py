@@ -16,7 +16,7 @@ def decisions(ray_session, images_table):
 
 
 def test_rowcount_and_schema(decisions):
-    assert len(decisions) == 2000
+    assert len(decisions) == 10000
     assert list(decisions.columns) == [
         "image_id", "keep", "drop_reason", "scrubbed_caption", "dup_group",
         "lang", "lang_conf", "ppl",
