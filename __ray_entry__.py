@@ -389,6 +389,55 @@ def _q_sessionize(sf_dir: str):
     return sessionize(ev, key="user_id", ts_col="ts", gap_s=1800)
 
 
+def _q_approx_distinct(sf_dir: str):
+    """HyperLogLog approximate COUNT(DISTINCT user_id) (rows-only: DuckDB
+    has its own sketch; exactness checked in tests/test_sketch.py)."""
+    from open_thoughts_ray.ops.sketch import approx_distinct
+
+    ds = _rp(sf_dir, "events", ["user_id"])
+    est = approx_distinct(ds, "user_id")
+    return pa.table({"approx_distinct_users": pa.array([int(round(est))], pa.int64())})
+
+
+def _q3_shipping_priority(sf_dir: str):
+    """3-way join: customer (broadcast) ⋈ orders ⋈ lineitem (hash) →
+    revenue per market segment and order priority."""
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Count, Sum
+
+    from open_thoughts_ray.ops import relational as R
+
+    cust = (
+        pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                      columns=["c_custkey", "c_mktsegment"])
+        .to_pandas()
+        .rename(columns={"c_custkey": "o_custkey"})
+    )
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderpriority"])
+    orders = R.broadcast_join(orders, cust, on="o_custkey", how="inner")
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def add_cents(t: pa.Table) -> pa.Table:
+        rev = _r2i(
+            pc.multiply(
+                pc.multiply(t.column("l_extendedprice"),
+                            pc.subtract(pa.scalar(1.0), t.column("l_discount"))),
+                100.0,
+            )
+        )
+        return t.append_column("rev_cents", rev).drop_columns(
+            ["l_extendedprice", "l_discount"]
+        )
+
+    li = li.map_batches(add_cents, batch_format="pyarrow")
+    orders = orders.rename_columns({"o_orderkey": "l_orderkey"})
+    joined = R.hash_join(li, orders, on="l_orderkey", num_partitions=16)
+    return joined.groupby(["c_mktsegment", "o_orderpriority"]).aggregate(
+        Sum("rev_cents", alias_name="revenue_cents"), Count(alias_name="n_items")
+    )
+
+
 def _q_flagship(sf_dir: str):
     return entry()
 
@@ -419,6 +468,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_entropy_documents": _q_token_entropy,
         "decontaminate_documents": _q_decontaminate,
         "asof_join_events": _q_asof_join,
+        "approx_distinct_users": _q_approx_distinct,
+        "q3_revenue_by_segment_priority": _q3_shipping_priority,
         "sessionize_events": _q_sessionize,
         "flagship_quality_filter": _q_flagship,
     }
@@ -548,6 +599,15 @@ def oracle_sql() -> dict[str, str]:
             s AS (SELECT sum(n) AS tot FROM c)
             SELECT floor((-sum((n/tot) * ln(n/tot))) * 1000000) / 1000000 AS entropy
             FROM c, s
+        """,
+        "q3_revenue_by_segment_priority": """
+            SELECT c.c_mktsegment, o.o_orderpriority,
+                   CAST(SUM(CAST(floor(l.l_extendedprice*(1-l.l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   COUNT(*) AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment, o.o_orderpriority
         """,
         "asof_join_events": """
             SELECT e.event_id, p.p_event_id

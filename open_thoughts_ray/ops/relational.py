@@ -229,8 +229,12 @@ def broadcast_join(ds, right: pd.DataFrame, on: str, how: str = "left",
         def __init__(self):
             self.right = ray.get(right_ref)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(self.right, on=on, how=how)
+        def __call__(self, batch: pd.DataFrame) -> pa.Table:
+            # emit Arrow so downstream schema ops (rename_columns, …)
+            # see Arrow blocks, not pandas
+            return pa.Table.from_pandas(
+                batch.merge(self.right, on=on, how=how), preserve_index=False
+            )
 
     return ds.map_batches(Joiner, batch_format="pandas", concurrency=(1, 8),
                           num_cpus=0.5)

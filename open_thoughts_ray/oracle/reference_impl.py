@@ -13,7 +13,6 @@ the decision path, no Ray — so agreement is meaningful evidence.
 
 from __future__ import annotations
 
-import math
 import re
 
 import pyarrow as pa

@@ -45,10 +45,7 @@ class PipelineOptions:
     rules: RuleConfig = field(default_factory=RuleConfig)
     decode_batch_size: int = 256        # byte-aware: ~256 images ≈ 3-12 MB raw
     score_batch_size: int = 2048
-    # Actor-pool size per scoring stage.  The pools reserve fractional
-    # CPUs so that together they can never starve the stateless
-    # decode/rules tasks or the dedup shuffle of scheduling slots (a
-    # full-reservation pool deadlocks the streaming executor).
+    # pool size for the chained (non-combined) scoring layout
     score_concurrency: int | tuple = 2
     # per-stage fixed pool sizes (None → fall back to score_concurrency);
     # fixed (not autoscaling) because upstream task operators keep every
@@ -72,10 +69,10 @@ class PipelineOptions:
 
     @classmethod
     def for_cluster(cls, num_cpus: int, **overrides) -> "PipelineOptions":
-        """Size the actor pools and shuffle partitioning to the cluster:
-        each scoring pool autoscale-caps at ~3/4 of the CPUs (at 0.5 CPU
-        per actor the two pools can then reserve at most ~75 % of the
-        cluster, leaving slots for the stateless stages)."""
+        """Size the actor pools and shuffle partitioning to the cluster.
+
+        The combined ScoreActor pool takes ~3/4 of the CPUs (set in
+        score_stage); read/write task operators use the rest."""
         # fixed pool sizes proportional to each stage's measured per-row
         # cost (ppl ≈ 2× langid); together ≤ 3/8 of the CPUs so the
         # stateless decode/rules/write stages always keep slots (a
