@@ -172,6 +172,15 @@ def _machine_ceiling(lo: int, hi: int) -> float:
 
 
 def main_scaling() -> dict:
+    # Scaling mode uses a larger input than the plain bench (unless the
+    # caller pinned OTR_BENCH_N): the fixed shuffle/launch overheads
+    # (~10 s) must be amortized for the efficiency measurement to
+    # reflect the pipeline rather than constant costs.
+    global BENCH_N, BENCH_PARTS
+    if "OTR_BENCH_N" not in os.environ:
+        BENCH_N, BENCH_PARTS = 2_000_000, 512
+        os.environ["OTR_BENCH_N"] = str(BENCH_N)
+        os.environ["OTR_BENCH_PARTS"] = str(BENCH_PARTS)
     # generate the shared input once (also warms /tmp artifact cache)
     _init_ray(NUM_CPUS)
     _ensure_inputs()
