@@ -212,6 +212,8 @@ def near_dup_canonical_map(kept, bands: int, hamming_max: int,
     # Edge list is O(#dups) — small; collected for driver union-find.
     # Scale path for 10^12 rows: label_propagation() below.
     edf = edges.to_pandas()
+    if edf.empty or "a" not in edf.columns:  # no candidates at all
+        return {}
     return union_find_canonical(edf["a"].tolist(), edf["b"].tolist())
 
 

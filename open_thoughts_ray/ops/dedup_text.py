@@ -126,6 +126,8 @@ def minhash_lsh_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
         fn_kwargs={"threshold": threshold},
     )
     edf = edges.to_pandas()
+    if edf.empty or "a" not in edf.columns:
+        return ds
     canon = union_find_canonical(edf["a"].tolist(), edf["b"].tolist())
     drop = {m for m, c in canon.items() if m != c}
     drop_ref = ray.put(drop)
@@ -185,6 +187,8 @@ def simhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
         bucket_pairs, batch_format="pandas", fn_kwargs={"hamming_max": hamming_max}
     )
     edf = edges.to_pandas()
+    if edf.empty or "a" not in edf.columns:
+        return ds
     canon = union_find_canonical(edf["a"].tolist(), edf["b"].tolist())
     drop = {m for m, c in canon.items() if m != c}
     drop_ref = ray.put(drop)

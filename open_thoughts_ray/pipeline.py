@@ -1,10 +1,13 @@
 """Flagship quality-filter pipeline over image+caption Lance-style tables.
 
-    read fragments → decode/validate (drops payload bytes)
-    → langid actor pool → perplexity actor pool
-    → heuristic rules + regex scrub (vectorized, stateless)
+    read fragments
+    → ScoreActor pool (decode/validate → langid → perplexity → rules →
+      scrub, one combined stateful stage; payload bytes dropped inside)
     → phash-banded near-dup collapse (groupby shuffle + union-find)
     → decisions table
+
+(The four-operator chained layout is kept as score_stage_chained and
+tested equivalent; the combined pool is the fast path — see BASELINE.md.)
 
 Ray-Data-first rebuild of the reference's curation DAG
 (open_thoughts/math/maths.py:15-36: load → heuristic filter → dedup →

@@ -1,0 +1,87 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from open_thoughts_ray.io import codecs
+from open_thoughts_ray.ops.scrub import scrub_text
+
+
+def test_all_rows_dropped_pipeline(ray_session):
+    """Flagship on a table where every row fails the rules → zero kept,
+    dedup stage must handle the empty kept set."""
+    import ray.data as rd
+
+    from open_thoughts_ray.fixtures.images import generate_partition
+    from open_thoughts_ray.pipeline import PipelineOptions, quality_filter_dataset
+
+    imgs, _ = generate_partition(42, 0, 0, 50)
+    # blank out the captions → every row fails 'empty'
+    cols = {c: imgs.column(c) for c in imgs.schema.names}
+    cols["caption"] = pa.array([""] * imgs.num_rows, pa.string())
+    out = quality_filter_dataset(
+        rd.from_arrow(pa.table(cols)), PipelineOptions.for_cluster(4)
+    ).to_pandas()
+    assert len(out) == 50
+    assert not out.keep.any()
+    assert (out.drop_reason == "empty").all()
+
+
+def test_chained_layout_matches_combined(ray_session):
+    """The four-operator reference layout (score_stage_chained) must
+    produce identical decisions to the combined ScoreActor."""
+    from open_thoughts_ray.io import lance_table
+    from open_thoughts_ray.pipeline import (
+        PipelineOptions,
+        broadcast_models,
+        score_stage,
+        score_stage_chained,
+    )
+
+    opts = PipelineOptions.for_cluster(4)
+    refs = broadcast_models()
+    paths = lance_table.fragment_paths("/tmp/otr_pytest_images")[:4]
+    a = (
+        score_stage(lance_table.read_dataset("/tmp/otr_pytest_images", paths=paths),
+                    refs, opts)
+        .to_pandas().sort_values("image_id").reset_index(drop=True)
+    )
+    b = (
+        score_stage_chained(
+            lance_table.read_dataset("/tmp/otr_pytest_images", paths=paths),
+            refs, opts)
+        .to_pandas().sort_values("image_id").reset_index(drop=True)
+    )
+    assert (a.drop_reason.values == b.drop_reason.values).all()
+    assert (a.scrubbed_caption.values == b.scrubbed_caption.values).all()
+    assert np.array_equal(a.ppl.values, b.ppl.values)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+    fmt=st.sampled_from(["raw", "pngz", "qjpg"]),
+)
+def test_codec_roundtrip_property(w, h, seed, fmt):
+    px = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+    out = codecs.decode(codecs.encode(px, fmt), w, h, fmt)
+    if fmt == "qjpg":
+        assert np.abs(out.astype(int) - px.astype(int)).max() <= codecs.QJPG_STEP // 2
+    else:
+        assert np.array_equal(out, px)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(max_size=200))
+def test_scrub_never_crashes_and_is_deterministic(text):
+    assert scrub_text(text) == scrub_text(text)
+
+
+def test_phash_of_constant_image():
+    px = np.full((16, 16, 3), 128, dtype=np.uint8)
+    h = codecs.average_phash(px)  # all cells equal the mean → all bits 0
+    assert h == 0
