@@ -1,0 +1,49 @@
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from open_thoughts_ray.ops import columns as C
+
+
+@pytest.fixture
+def ds(ray_session):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "a": pa.array(["  x ", "y", " z"], pa.string()),
+        "b": pa.array(["cat", "dog", "bird"], pa.string()),
+        "lst": pa.array([["p", "q"], ["r"], []], pa.list_(pa.string())),
+    }))
+
+
+def test_strip_column(ds):
+    out = C.strip_column(ds, "a").to_pandas()
+    assert list(out.a) == ["x", "y", "z"]
+
+
+def test_concatenate_columns(ds):
+    out = C.concatenate_columns(ds, ["a", "b"], out="ab", sep="|").to_pandas()
+    assert out.ab.iloc[0] == "  x |cat"
+
+
+def test_list_to_string(ds):
+    out = C.list_to_string(ds, "lst").to_pandas()
+    assert list(out.lst) == ["p q", "r", ""]
+
+
+def test_extract_list_index(ds):
+    out = C.extract_list_index(ds, "lst", 0, out="first").to_pandas()
+    assert list(out["first"]) == ["p", "r", None]
+
+
+def test_select_rows_regex(ds):
+    out = C.select_rows_regex(ds, "b", r"^d.g$").to_pandas()
+    assert list(out.id) == [2]
+
+
+def test_upsample_rows(ds):
+    out = C.upsample_rows(ds, 8, current_rows=3).to_pandas()
+    assert len(out) == 8
+    # whole copies preserved: each original id appears ≥2 times
+    assert out.id.value_counts().min() >= 2
