@@ -189,3 +189,33 @@ def oracle_labels(images: pa.Table, langid, lm, cfg: RuleConfig | None = None) -
             "ppl": pa.array([float(p) for p in ppls], pa.float32()),
         }
     )
+
+
+def write_labels_table(images_dir: str, out_dir: str | None = None) -> str:
+    """Materialize the oracle labels as a Lance-style table next to the
+    images (FIXTURES.md F1 'images_labels') — one labels fragment per
+    image fragment, same ids."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..io import lance_table
+    from ..models import artifacts
+
+    out_dir = out_dir or os.path.join(images_dir, "_labels")
+    langid = artifacts.load_langid()
+    lm = artifacts.load_lm()
+    paths = lance_table.fragment_paths(images_dir)
+    tables = [pq.read_table(p) for p in paths]
+    # oracle must run GLOBALLY (near-dup groups span fragments), then the
+    # labels are sliced back along the original fragment boundaries
+    labels = oracle_labels(pa.concat_tables(tables), langid, lm)
+    frags = []
+    off = 0
+    for i, t in enumerate(tables):
+        frags.append(
+            lance_table.write_fragment(out_dir, i, labels.slice(off, t.num_rows))
+        )
+        off += t.num_rows
+    lance_table.write_manifest(out_dir, frags, {"kind": "images_labels"})
+    return out_dir

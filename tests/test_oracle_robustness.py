@@ -29,3 +29,19 @@ def test_second_seed_agreement(ray_session):
     assert (dec.drop_reason.values == lab.drop_reason.values).all()
     assert (dec.scrubbed_caption.values == lab.scrubbed_caption.values).all()
     assert (dec.dup_group.values == lab.dup_group.values).all()
+
+
+def test_labels_table_materialization(ray_session, images_table):
+    """FIXTURES.md F1: labels persisted alongside the images table."""
+    import pyarrow.parquet as pq
+
+    from open_thoughts_ray.oracle.reference_impl import write_labels_table
+
+    out = write_labels_table("/tmp/otr_pytest_images_seed7")
+    paths = lance_table.fragment_paths(out)
+    t = pq.read_table(paths[0])
+    assert set(t.schema.names) >= {"image_id", "keep", "drop_reason",
+                                   "scrubbed_caption", "dup_group", "lang",
+                                   "lang_conf", "ppl"}
+    total = sum(pq.read_metadata(p).num_rows for p in paths)
+    assert total == 800
