@@ -134,7 +134,16 @@ def partition_pairs(group: pd.DataFrame, hamming_max: int,
     One partition holds MANY band buckets (part = band_key % P), so bucket
     boundaries are found vectorized with np.unique and only buckets with
     ≥2 members pay any per-bucket Python cost — crucial when nearly every
-    bucket is a singleton (the common case)."""
+    bucket is a singleton (the common case).
+
+    Every detecting band emits the pair.  (An earlier "emit only from the
+    lowest agreeing band" optimization silently LOST edges when the lowest
+    band's bucket was oversized and the pair fell outside its neighbor
+    window there — the lowest band's bucket size is not knowable from a
+    different partition, so no local suppression is safe.)  Duplicate
+    edges across bands are ≤ bands× on true dup pairs only; union-find /
+    label propagation absorb them, and the local per-bucket emit below is
+    already unique within a band."""
     empty = pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.string())})
     n = len(group)
     if n < 2:
@@ -147,48 +156,35 @@ def partition_pairs(group: pd.DataFrame, hamming_max: int,
     _, starts, counts = np.unique(keys, return_index=True, return_counts=True)
     a_out: list = []
     b_out: list = []
-    width = BAND_BITS[bands]
 
-    def emit(i: int, lo: int, hi_: int, bp, bi, band_id: int, width: int) -> None:
+    def emit(i: int, lo: int, hi_: int, bp, bi) -> None:
         d = _popcount64(np.bitwise_xor(bp[lo:hi_], bp[i]))
         for j in np.nonzero(d <= hamming_max)[0]:
-            other = lo + j
-            # de-duplicate cross-band edges locally: emit a pair only from
-            # the LOWEST band in which the two hashes agree (connectivity
-            # is unchanged; the edge list shrinks ~bands×)
-            x, y = bp[i], bp[other]
-            mask = np.uint64((1 << width) - 1)
-            first_band = next(
-                b for b in range(64 // width)
-                if ((x >> np.uint64(b * width)) & mask)
-                == ((y >> np.uint64(b * width)) & mask)
-            )
-            if first_band == band_id:
-                a_out.append(bi[i])
-                b_out.append(bi[other])
+            a_out.append(bi[i])
+            b_out.append(bi[lo + j])
 
     for s, c in zip(starts[counts >= 2], counts[counts >= 2]):
         bp = ph[s : s + c]
         bi = ids[s : s + c]
         m = int(c)
-        band_id = int(keys[s]) >> width
         if m <= max_bucket:
             for i in range(m - 1):
-                emit(i, i + 1, m, bp, bi, band_id, width)
+                emit(i, i + 1, m, bp, bi)
         else:
             for i in range(m - 1):
-                emit(i, i + 1, min(m, i + 1 + window), bp, bi, band_id, width)
+                emit(i, i + 1, min(m, i + 1 + window), bp, bi)
     if not a_out:
         return empty
     return pa.table({"a": pa.array([str(x) for x in a_out], pa.string()),
                      "b": pa.array([str(x) for x in b_out], pa.string())})
 
 
-def near_dup_canonical_map(kept, bands: int, hamming_max: int,
-                           max_bucket: int = 512, window: int = 64,
-                           num_partitions: int = 64) -> dict:
-    """Dataset[(image_id, phash)] → {image_id: canonical} via the banded
-    shuffle.  ``kept`` should already be projected to the two columns.
+def near_dup_edges(kept, bands: int, hamming_max: int,
+                   max_bucket: int = 512, window: int = 64,
+                   num_partitions: int = 64):
+    """Dataset[(image_id, phash)] → verified edge Dataset[a,b] via the
+    banded shuffle.  ``kept`` should already be projected to the two
+    columns.
 
     The shuffle key is ``part = band_key % P`` (P ≈ total cores), NOT the
     raw band_key: a groupby on the raw key creates millions of singleton
@@ -204,33 +200,91 @@ def near_dup_canonical_map(kept, bands: int, hamming_max: int,
         band_explode_batch, batch_format="pyarrow",
         fn_kwargs={"bands": bands},
     ).map_batches(add_part, batch_format="pyarrow")
-    edges = exploded.groupby("part").map_groups(
+    return exploded.groupby("part").map_groups(
         partition_pairs, batch_format="pandas",
         fn_kwargs={"hamming_max": hamming_max, "max_bucket": max_bucket,
                    "window": window, "bands": bands},
     )
-    # Edge list is O(#dups) — small; collected for driver union-find.
-    # Scale path for 10^12 rows: label_propagation() below.
+
+
+def near_dup_canonical_map(kept, bands: int, hamming_max: int,
+                           max_bucket: int = 512, window: int = 64,
+                           num_partitions: int = 64, edges=None) -> dict:
+    """{image_id: canonical} for every dup-component member, via driver
+    union-find over the O(#dups) edge list.  The flagship switches to
+    edges_to_labels() (distributed label propagation) above an edge-count
+    threshold — see pipeline.dedup_stage."""
+    if edges is None:
+        edges = near_dup_edges(kept, bands, hamming_max, max_bucket, window,
+                               num_partitions)
     edf = edges.to_pandas()
     if edf.empty or "a" not in edf.columns:  # no candidates at all
         return {}
     return union_find_canonical(edf["a"].tolist(), edf["b"].tolist())
 
 
-def label_propagation(nodes, edges, max_iters: int = 10):
-    """Pure-Dataset connected components (scale path, no driver state).
-
-    nodes: Dataset[id:string]; edges: Dataset[a,b].  Iteratively assigns
-    each node the min label among itself and its neighbors until a fixed
-    point; returns Dataset[id, label].  Each round is one groupby shuffle
-    over the edge list — O(rounds · |E|), rounds ≈ component diameter.
-    """
-    import ray.data as rd
+def edges_to_labels(edges, num_partitions: int = 16):
+    """Edge Dataset[a,b] → Dataset[id,label] restricted to demoted
+    members (label < id), ready for a join against the full table.
+    Fully distributed: node extraction, propagation, and the final
+    filter are all Dataset ops."""
+    nodes = edges.map_batches(
+        lambda t: pa.table({"id": pa.concat_arrays(
+            [t.column("a").combine_chunks(), t.column("b").combine_chunks()])}),
+        batch_format="pyarrow",
+    )
+    labels = label_propagation(nodes, edges, num_partitions=num_partitions)
     import pyarrow.compute as pc
 
-    labels = nodes.map_batches(
-        lambda t: pa.table({"id": t.column("id"), "label": t.column("id")}),
+    return labels.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("label"), t.column("id"))),
         batch_format="pyarrow",
+    )
+
+
+def _labels_checksum(labels) -> int:
+    """Order-independent 64-bit checksum of a Dataset[id,label] — the only
+    value that ever reaches the driver in label_propagation (8 bytes)."""
+    import zlib
+
+    def chk(t: pa.Table) -> pa.Table:
+        ids = t.column("id").to_pylist()
+        lbl = t.column("label").to_pylist()
+        s = sum(zlib.crc32(f"{i}\x00{l}".encode()) for i, l in zip(ids, lbl))
+        return pa.table({"chk": pa.array([s], pa.int64())})
+
+    out = labels.map_batches(chk, batch_format="pyarrow").sum("chk")
+    return int(out or 0)
+
+
+def label_propagation(nodes, edges, max_iters: int = 20,
+                      num_partitions: int = 16):
+    """Distributed connected components via min-label propagation — the
+    scale path replacing driver union-find at 10^12 rows.
+
+    nodes: Dataset[id:string]; edges: Dataset[a,b].  Per round: one hash
+    join (current labels onto edge endpoints) + one groupby-min — both
+    distributed shuffles over the O(#dups)-sized dup graph; the only
+    driver-side state is an 8-byte change checksum per round.  Labels are
+    materialized each round (bounded: one row per node that appears in a
+    dup bucket).  O(rounds·|E|); rounds ≈ max component diameter (phash
+    dup components are star-like — 2-3 rounds typical).  Returns
+    Dataset[id, label] with label = min id of the component.
+    """
+    # canonical unique node set → initial label = own id.  The trailing
+    # repartition after every groupby matters: Ray's hash-shuffle
+    # aggregator emits schema-LESS empty blocks for untouched partitions,
+    # and a zero-field block poisons the next join's right side
+    # (pyarrow: "No match for FieldRef").  Repartition rebuilds blocks as
+    # slices of typed tables.
+    labels = (
+        nodes.groupby("id").count()
+        .map_batches(
+            lambda t: pa.table({"id": t.column("id"), "label": t.column("id")}),
+            batch_format="pyarrow",
+        )
+        .repartition(num_partitions)
+        .materialize()
     )
     sym = edges.map_batches(
         lambda t: pa.table(
@@ -239,29 +293,32 @@ def label_propagation(nodes, edges, max_iters: int = 10):
         ),
         batch_format="pyarrow",
     ).materialize()
+    if sym.count() == 0:
+        return labels
+    prev_chk = _labels_checksum(labels)
     for _ in range(max_iters):
-        lbl_df = labels.to_pandas()  # bounded: one row per node in dup buckets
-        lbl_map = dict(zip(lbl_df["id"], lbl_df["label"]))
-
-        def relabel(t: pa.Table) -> pa.Table:
-            nbr_lbl = [lbl_map.get(x, x) for x in t.column("nbr").to_pylist()]
-            return pa.table({"id": t.column("id"), "cand": pa.array(nbr_lbl, pa.string())})
-
-        cand = sym.map_batches(relabel, batch_format="pyarrow")
-        mins = cand.groupby("id").min("cand")
-        mdf = mins.to_pandas()
-        new_map = dict(lbl_map)
-        changed = False
-        col = "min(cand)" if "min(cand)" in mdf.columns else "cand"
-        for i, m in zip(mdf["id"], mdf[col]):
-            if m < new_map.get(i, i):
-                new_map[i] = m
-                changed = True
-        labels = rd.from_pandas(
-            pd.DataFrame({"id": list(new_map), "label": [new_map[k] for k in new_map]})
+        nbr_labels = labels.map_batches(
+            lambda t: pa.table({"nbr": t.column("id"), "cand": t.column("label")}),
+            batch_format="pyarrow",
         )
-        if not changed:
+        cand = sym.join(
+            nbr_labels, join_type="inner", on=("nbr",),
+            num_partitions=num_partitions,
+        ).select_columns(["id", "cand"])
+        self_cand = labels.map_batches(
+            lambda t: pa.table({"id": t.column("id"), "cand": t.column("label")}),
+            batch_format="pyarrow",
+        )
+        mins = cand.union(self_cand).groupby("id").min("cand")
+        labels = mins.map_batches(
+            lambda t: pa.table({"id": t.column("id"),
+                                "label": t.column(t.schema.names[-1])}),
+            batch_format="pyarrow",
+        ).repartition(num_partitions).materialize()
+        chk = _labels_checksum(labels)
+        if chk == prev_chk:
             break
+        prev_chk = chk
     return labels
 
 
@@ -276,23 +333,37 @@ def add_hash_column(batch: pa.Table, cols: list[str], out: str = "_key_hash") ->
     return batch.append_column(out, pa.array(np.asarray(h, dtype=np.int64), pa.int64()))
 
 
-def exact_dedup(ds, key_cols: list[str], order_col: str):
+def exact_dedup(ds, key_cols: list[str], order_col: str,
+                num_partitions: int = 64):
     """Keep-first exact dedup: deterministic winner = min(order_col) per
-    key group (commons.py:344-371 semantics, made order-independent)."""
+    key group (commons.py:344-371 semantics, made order-independent).
+
+    Shuffle key is ``_key_hash % P`` (partition-level), NOT the raw
+    content hash: a near-unique hash makes almost every group a
+    singleton, and groupby(raw).map_groups pays one Python/pandas
+    dispatch per row.  Hash-partitioning co-locates every row of a key,
+    so one vectorized pandas drop-duplicates per PARTITION gives the
+    same result with P dispatches total (same trick as
+    near_dup_canonical_map's partition_pairs)."""
     hashed = ds.map_batches(
         add_hash_column, batch_format="pyarrow", fn_kwargs={"cols": key_cols}
+    ).map_batches(
+        lambda t: t.append_column(
+            "_part",
+            pa.array(t.column("_key_hash").to_numpy(zero_copy_only=False)
+                     % num_partitions, pa.int64()),
+        ),
+        batch_format="pyarrow",
     )
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        # hash collisions: group again by real keys inside the bucket
         return (
-            g.sort_values(order_col, kind="mergesort")
-            .groupby(key_cols, as_index=False, sort=True)
-            .head(1)
+            g.sort_values([order_col], kind="mergesort")
+            .drop_duplicates(subset=key_cols, keep="first")
         )
 
     return (
-        hashed.groupby("_key_hash")
+        hashed.groupby("_part")
         .map_groups(keep_first, batch_format="pandas")
-        .drop_columns(["_key_hash"])
+        .drop_columns(["_key_hash", "_part"])
     )

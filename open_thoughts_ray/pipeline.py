@@ -31,7 +31,6 @@ import numpy as np
 import pyarrow as pa
 
 from .ops.decode import decode_validate_batch
-from .ops.dedup import near_dup_canonical_map
 from .ops.langid import LangIdScorer
 from .ops.perplexity import PerplexityScorer
 from .ops.scrub import scrub_many
@@ -65,6 +64,10 @@ class PipelineOptions:
     max_bucket: int = 512
     neighbor_window: int = 64
     dedup_partitions: int = 16
+    # above this many near-dup edges the flagship abandons driver-side
+    # union-find for distributed label propagation (a 99%-duplicate crawl
+    # shard has O(N) edges — they must never be collected to the driver)
+    max_driver_edges: int = 2_000_000
     # cluster size the options were built for (for_cluster); drives the
     # read-block sizing (~2 blocks per CPU keeps tasks coarse enough that
     # per-task overhead stays <5% while still feeding every core)
@@ -240,27 +243,77 @@ class _ApplyDedup:
         return out.append_column("dup_group", pa.array(list(dup_group), pa.string()))
 
 
-def dedup_stage(scored, opts: PipelineOptions, kept_source=None):
+def _apply_dedup_joined_batch(batch: pa.Table) -> pa.Table:
+    """Join-path analogue of _ApplyDedup: ``dup_canon`` column (null for
+    rows outside any dup group, else the canonical min-id; only demoted
+    members carry a non-null value ≠ own id)."""
+    import pyarrow.compute as pc
+
+    ids = batch.column("image_id")
+    keep = batch.column("keep").to_numpy(zero_copy_only=False).copy()
+    reasons = np.asarray(batch.column("drop_reason").to_pylist(), dtype=object)
+    canon = pc.coalesce(batch.column("dup_canon"), ids)
+    demoted = keep & pc.not_equal(canon, ids).to_numpy(zero_copy_only=False)
+    dup_group = np.where(keep, canon.to_numpy(zero_copy_only=False), "")
+    keep[demoted] = False
+    reasons[demoted] = "near_dup"
+    out = batch.drop_columns(["keep", "drop_reason", "dup_canon"])
+    out = out.append_column("keep", pa.array(keep, pa.bool_()))
+    out = out.append_column("drop_reason", pa.array(list(reasons), pa.string()))
+    return out.append_column("dup_group", pa.array(list(dup_group), pa.string()))
+
+
+def dedup_stage(scored, opts: PipelineOptions, kept_source=None,
+                force_distributed: bool = False):
     """Near-dup collapse over already-scored rows → final decisions.
 
     ``kept_source`` lets the caller pass a column-pruned reread of the
     scored table (only image_id/phash/keep) so the edge-finding pass does
-    not decompress every column twice."""
+    not decompress every column twice.
+
+    Two component-labeling paths with identical decisions:
+    * edge list ≤ opts.max_driver_edges → driver union-find + broadcast
+      canonical map (no extra shuffle over the full table),
+    * above the threshold (or ``force_distributed``) → distributed label
+      propagation + left-outer join of the demoted-member labels — no
+      O(#edges) driver state, the 99%-duplicate-shard safe path.
+    """
     import ray
+
+    from .ops.dedup import edges_to_labels, near_dup_edges, union_find_canonical
 
     kept = (kept_source if kept_source is not None else scored).map_batches(
         lambda t: t.filter(t.column("keep")).select(["image_id", "phash"]),
         batch_format="pyarrow",
     )
-    canon = near_dup_canonical_map(
+    edges = near_dup_edges(
         kept, bands=opts.rules.dup_bands, hamming_max=opts.rules.dup_hamming_max,
         max_bucket=opts.max_bucket, window=opts.neighbor_window,
         num_partitions=opts.dedup_partitions,
+    ).materialize()
+    live = int(ray.cluster_resources().get("CPU", opts.num_cpus))
+    if force_distributed or edges.count() > opts.max_driver_edges:
+        labels = edges_to_labels(edges, num_partitions=opts.dedup_partitions)
+        canon_ds = labels.map_batches(
+            lambda t: pa.table({"image_id": t.column("id"),
+                                "dup_canon": t.column("label")}),
+            batch_format="pyarrow",
+        )
+        joined = scored.join(
+            canon_ds, join_type="left_outer", on=("image_id",),
+            num_partitions=opts.dedup_partitions,
+        )
+        final = joined.map_batches(_apply_dedup_joined_batch,
+                                   batch_format="pyarrow", batch_size=4096)
+        return final.select_columns(DECISION_COLUMNS)
+    edf = edges.to_pandas()
+    canon = (
+        union_find_canonical(edf["a"].tolist(), edf["b"].tolist())
+        if not edf.empty and "a" in edf.columns else {}
     )
     canon_ref = ray.put(canon)
     # fixed-size pool: an autoscaling pool never grows past its min while
     # upstream read tasks keep the scheduler busy
-    live = int(ray.cluster_resources().get("CPU", opts.num_cpus))
     pool = max(2, min(opts.num_cpus, live) // 2)
     final = scored.map_batches(
         _ApplyDedup, batch_format="pyarrow", batch_size=4096,
@@ -270,7 +323,8 @@ def dedup_stage(scored, opts: PipelineOptions, kept_source=None):
     return final.select_columns(DECISION_COLUMNS)
 
 
-def quality_filter_dataset(ds, opts: PipelineOptions | None = None, model_refs=None):
+def quality_filter_dataset(ds, opts: PipelineOptions | None = None, model_refs=None,
+                           force_distributed: bool = False):
     """images Dataset → decisions Dataset (in-memory path).
 
     Materializes the scored intermediate once because two consumers read
@@ -281,7 +335,7 @@ def quality_filter_dataset(ds, opts: PipelineOptions | None = None, model_refs=N
     opts = opts or PipelineOptions()
     model_refs = model_refs or broadcast_models()
     scored = score_stage(ds, model_refs, opts).materialize()
-    return dedup_stage(scored, opts)
+    return dedup_stage(scored, opts, force_distributed=force_distributed)
 
 
 def run_checkpointed(

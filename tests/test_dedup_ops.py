@@ -94,3 +94,34 @@ def test_label_propagation_components(ray_session):
     assert out["a"] == out["b"] == out["c"] == "a"
     assert out["d"] == out["e"]
     assert out["x"] == out["y"] == "x"
+
+
+def test_cross_band_edge_survives_skewed_lowest_band(ray_session):
+    """Regression (ADVICE r1): a Hamming-2 pair whose LOWEST agreeing
+    band has an oversized bucket (pair outside the neighbor window there)
+    must still be detected via a higher band.  The old emit-only-from-
+    the-lowest-band optimization silently lost this edge."""
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.dedup import near_dup_edges
+
+    base = 0x0000_1234_5678_9ABC  # low 48 bits shared by x and y
+    x = (0x1000 << 48) | base
+    y = (0x1003 << 48) | base  # differs from x in 2 bits, all in band 3
+    rows = [("x", x), ("y", y)]
+    # fillers: same band-0 value, numerically BETWEEN x and y (band3 is
+    # the numeric high part), Hamming-far from both in bands 1-2
+    for i, mid in enumerate((0x1001, 0x1002)):
+        for j in range(3):
+            filler = (mid << 48) | ((0xBEE0 + 0x1111 * (i * 3 + j)) << 16) | (base & 0xFFFF)
+            rows.append((f"f{i}{j}", filler))
+    df = pd.DataFrame({
+        "image_id": [r[0] for r in rows],
+        "phash": np.array([r[1] for r in rows], dtype=np.uint64).view(np.int64),
+    })
+    edges = near_dup_edges(
+        rd.from_pandas(df), bands=4, hamming_max=2, max_bucket=3, window=1,
+        num_partitions=4,
+    ).to_pandas()
+    pairs = set(map(tuple, edges[["a", "b"]].itertuples(index=False)))
+    assert ("x", "y") in pairs or ("y", "x") in pairs

@@ -63,3 +63,15 @@ def test_planted_dups_collapse(decisions, images_table):
     """Kept rows must contain no two members of the same dup group."""
     kept = decisions[decisions.keep]
     assert kept.dup_group.is_unique
+
+
+def test_distributed_labeling_identical(decisions, ray_session, images_table):
+    """The label-propagation scale path (no driver union-find) must make
+    byte-identical decisions to the broadcast-dict path."""
+    ds = lance_table.read_dataset(images_table)
+    out = quality_filter_dataset(ds, force_distributed=True)
+    dist = out.to_pandas().sort_values("image_id").reset_index(drop=True)
+    assert list(dist.image_id) == list(decisions.image_id)
+    assert (dist.keep.values == decisions.keep.values).all()
+    assert (dist.drop_reason.values == decisions.drop_reason.values).all()
+    assert (dist.dup_group.values == decisions.dup_group.values).all()
