@@ -309,8 +309,22 @@ def _q_ann_topk(sf_dir: str):
 def _q_minhash_dedup(sf_dir: str):
     from open_thoughts_ray.ops.dedup_text import minhash_lsh_dedup
 
+    path = os.path.join(sf_dir, "documents.parquet")
+
+    def fetch(cand_ids):
+        # predicate-pushdown candidate re-read (no second Dataset pass)
+        import pyarrow.dataset as pads
+
+        return (
+            pads.dataset(path)
+            .to_table(columns=["doc_id", "text"],
+                      filter=pads.field("doc_id").isin(sorted(cand_ids)))
+            .to_pandas()
+        )
+
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
-    return minhash_lsh_dedup(ds, threshold=0.7).select_columns(["doc_id"])
+    return minhash_lsh_dedup(ds, threshold=0.7,
+                             source_fetch=fetch).select_columns(["doc_id"])
 
 
 def _q_simhash_dedup(sf_dir: str):

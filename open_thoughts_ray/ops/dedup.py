@@ -200,7 +200,9 @@ def near_dup_edges(kept, bands: int, hamming_max: int,
         band_explode_batch, batch_format="pyarrow",
         fn_kwargs={"bands": bands},
     ).map_batches(add_part, batch_format="pyarrow")
-    return exploded.groupby("part").map_groups(
+    # num_partitions caps the hash-shuffle fan-out (Ray's default 200
+    # aggregator partitions are pure fixed cost at P ≈ cores)
+    return exploded.groupby("part", num_partitions=num_partitions).map_groups(
         partition_pairs, batch_format="pandas",
         fn_kwargs={"hamming_max": hamming_max, "max_bucket": max_bucket,
                    "window": window, "bands": bands},

@@ -125,3 +125,42 @@ def test_cross_band_edge_survives_skewed_lowest_band(ray_session):
     ).to_pandas()
     pairs = set(map(tuple, edges[["a", "b"]].itertuples(index=False)))
     assert ("x", "y") in pairs or ("y", "x") in pairs
+
+
+def test_minhash_batch_matches_single():
+    from open_thoughts_ray.ops.dedup_text import (
+        _hash_family,
+        minhash_signature,
+        minhash_signatures_batch,
+    )
+
+    fam = _hash_family(64)
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "",
+        "x y",
+        "one two three four five six seven eight nine ten",
+    ]
+    batch = minhash_signatures_batch(texts, 64, 3, fam)
+    for i, t in enumerate(texts):
+        assert (batch[i] == minhash_signature(t, 64, 3, fam)).all()
+
+
+def test_minhash_oversized_bucket_window_fallback():
+    """Oversized LSH buckets must use a neighbor window, not silently
+    truncate members (ADVICE r1)."""
+    from open_thoughts_ray.ops.dedup_text import minhash_partition_pairs
+
+    n = 10
+    g = pd.DataFrame({
+        "band_key": [7] * n,
+        "id": [f"d{i:02d}" for i in range(n)],
+    })
+    out = minhash_partition_pairs(g, max_bucket=4, window=2).to_pandas()
+    pairs = set(map(tuple, out[["a", "b"]].itertuples(index=False)))
+    # adjacent ids are within the window even though the bucket (10) far
+    # exceeds max_bucket (4)
+    for i in range(n - 1):
+        assert (f"d{i:02d}", f"d{i+1:02d}") in pairs
+    # all-pairs was NOT used (far pair absent) — the skew cap is active
+    assert ("d00", "d09") not in pairs
