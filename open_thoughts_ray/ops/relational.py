@@ -142,25 +142,35 @@ def top_k(ds, column: str, k: int, descending: bool = True):
     return ds.sort(column, descending=descending).limit(k)
 
 
-def global_quantile_threshold(ds, column: str, q: float, keep: str = "ge"):
+def global_quantile_threshold(ds, column: str, q: float, keep: str = "ge",
+                              exact_threshold: int = 2_000_000,
+                              num_points: int = 1024):
     """Two-pass global quantile filter — the corrected version of the
     reference's per-shard percentile (fasttext_operator.py:148-152).
 
-    Pass 1 collects ONLY the score column to compute the exact quantile
-    (at 10^12 rows swap in a distributed t-digest/KLL sketch — the
-    mergeable-sketch pattern; the two-pass structure stays the same).
-    Pass 2 is a vectorized filter.  Interpolation matches DuckDB's
-    ``quantile_cont`` (linear).
+    Pass 1 computes the threshold: row counts ≤ ``exact_threshold``
+    collect only the score column and take the EXACT linear-interpolation
+    quantile (bit-identical to DuckDB ``quantile_cont``); larger inputs
+    use the distributed mergeable order-statistic summary
+    (ops.sketch.distributed_quantile — map_batches partials → tree merge,
+    driver memory O(fanin·num_points), rank error ≈ 1/num_points).
+    Pass 2 is a vectorized filter.
     """
-    vals = np.concatenate(
-        [
-            b.column(column).to_numpy(zero_copy_only=False)
-            for b in ds.select_columns([column]).iter_batches(
-                batch_size=1 << 16, batch_format="pyarrow"
-            )
-        ]
-    )
-    thr = float(np.quantile(vals, q, method="linear"))
+    total = ds.count()
+    if total <= exact_threshold:
+        vals = np.concatenate(
+            [
+                b.column(column).to_numpy(zero_copy_only=False)
+                for b in ds.select_columns([column]).iter_batches(
+                    batch_size=1 << 16, batch_format="pyarrow"
+                )
+            ]
+        )
+        thr = float(np.quantile(vals, q, method="linear"))
+    else:
+        from .sketch import distributed_quantile
+
+        thr = distributed_quantile(ds, column, q, num_points=num_points)
 
     def f(batch: pa.Table) -> pa.Table:
         col = batch.column(column)
@@ -170,23 +180,29 @@ def global_quantile_threshold(ds, column: str, q: float, keep: str = "ge"):
     return ds.map_batches(f, batch_format="pyarrow"), thr
 
 
-def repartition_by_length(ds, text_col: str, num_buckets: int = 8):
+def repartition_by_length(ds, text_col: str, blocks_per_cpu: int = 4):
     """Tame text-length skew ahead of token-cost-proportional stages (the
-    caption-length skew named in the north rule): bucket rows by text
-    length and hash-repartition so every output block mixes lengths —
-    batches downstream then have comparable token budgets instead of a
-    few all-long-caption stragglers.  One extra narrow shuffle; use only
+    caption-length skew named in the north rule): globally sort by text
+    length, then split into many MORE blocks than cores.  Each downstream
+    batch is length-homogeneous (uniform token budget within a task) and
+    the dynamic scheduler balances the cheap-short vs expensive-long
+    blocks across workers — the standard length-bucketing fix for
+    heavy-tailed inputs.  One range-partitioned sort shuffle; use only
     when the length distribution is genuinely heavy-tailed."""
+    import ray
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        lens = pc.utf8_length(batch.column(text_col))
-        b = pc.bit_wise_and(lens, num_buckets - 1)
-        return batch.append_column("_len_bucket", b.cast(pa.int64()))
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+
+    def add_len(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_text_len", pc.utf8_length(batch.column(text_col)).cast(pa.int64())
+        )
 
     return (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
-        .repartition(num_buckets, shuffle=True)
-        .drop_columns(["_len_bucket"])
+        ds.map_batches(add_len, batch_format="pyarrow")
+        .sort("_text_len")
+        .repartition(cpus * blocks_per_cpu)
+        .drop_columns(["_text_len"])
     )
 
 

@@ -151,3 +151,117 @@ def bloom_semi_join(ds, keys: list, column: str, anti: bool = False,
 
     return ds.map_batches(F, batch_format="pyarrow", concurrency=(1, 8),
                           num_cpus=1)
+
+
+# ----------------------------------------------------- quantile summary
+class QuantileSummary:
+    """Mergeable order-statistic summary: ``points`` = the block's sorted
+    values sampled at ``num_points`` evenly spaced ranks, plus the block
+    count.  Merging pools the points, evaluates the summed rank function
+    at every pooled point, and resamples — the classic interpolated-
+    histogram compaction (GK/t-digest-lite).  Rank error of a single
+    summary ≤ n/num_points; merged error adds ≤ 1 rank per merged
+    summary.  Deterministic (pure order statistics, no randomness)."""
+
+    __slots__ = ("n", "points")
+
+    def __init__(self, n: int, points: np.ndarray):
+        self.n = int(n)
+        self.points = np.asarray(points, dtype=np.float64)
+
+    @classmethod
+    def from_values(cls, values: np.ndarray, num_points: int = 1024) -> "QuantileSummary":
+        v = np.sort(np.asarray(values, dtype=np.float64))
+        n = len(v)
+        if n == 0:
+            return cls(0, np.empty(0))
+        if n <= num_points:
+            return cls(n, v)
+        idx = np.round(np.linspace(0, n - 1, num_points)).astype(np.int64)
+        return cls(n, v[idx])
+
+    def _ranks(self) -> np.ndarray:
+        """Global (0-based, fractional) order-statistic position of each
+        stored point within its block."""
+        m = len(self.points)
+        if m == 0:
+            return np.empty(0)
+        if self.n == m:
+            return np.arange(m, dtype=np.float64)
+        return np.linspace(0.0, self.n - 1, m)
+
+    def rank_of(self, v: np.ndarray) -> np.ndarray:
+        """Estimated fractional position of value(s) v within this block
+        (clipped to [0, n-1]); 0 below min is adjusted by -? — callers sum
+        positions across blocks and invert."""
+        if self.n == 0:
+            return np.zeros(np.shape(v))
+        return np.interp(v, self.points, self._ranks())
+
+    @staticmethod
+    def merge_all(summaries: list["QuantileSummary"],
+                  num_points: int = 1024) -> "QuantileSummary":
+        live = [s for s in summaries if s.n > 0]
+        if not live:
+            return QuantileSummary(0, np.empty(0))
+        total = sum(s.n for s in live)
+        pooled = np.unique(np.concatenate([s.points for s in live]))
+        # summed rank function at every pooled point → resample at evenly
+        # spaced target ranks
+        summed = np.zeros(len(pooled))
+        for s in live:
+            summed += s.rank_of(pooled)
+        target = np.linspace(summed[0], summed[-1], min(num_points, len(pooled)))
+        points = np.interp(target, summed, pooled)
+        return QuantileSummary(total, points)
+
+    def quantile(self, q: float) -> float:
+        """Linear-interpolation quantile (np.quantile 'linear' analogue);
+        EXACT when the summary stores all n values."""
+        if self.n == 0:
+            return float("nan")
+        h = q * (self.n - 1)
+        return float(np.interp(h, self._ranks(), self.points))
+
+
+def distributed_quantile(ds, column: str, q: float,
+                         num_points: int = 1024,
+                         merge_fanin: int = 64) -> float:
+    """Approximate global quantile with bounded driver memory.
+
+    map_batches partials (one summary row per ~64k values) → repartition
+    to ``merge_fanin`` blocks → per-block merge → driver merges
+    ≤ merge_fanin summaries.  Driver memory O(merge_fanin · num_points);
+    rank error ≤ ~1/num_points + (#summaries)/N.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(column).to_numpy(zero_copy_only=False)
+        s = QuantileSummary.from_values(vals, num_points)
+        return pa.table({
+            "n": pa.array([s.n], pa.int64()),
+            "points": pa.array([s.points.tolist()], pa.list_(pa.float64())),
+        })
+
+    def merge_block(batch: pa.Table) -> pa.Table:
+        ss = [QuantileSummary(n, np.asarray(p))
+              for n, p in zip(batch.column("n").to_pylist(),
+                              batch.column("points").to_pylist())]
+        s = QuantileSummary.merge_all(ss, num_points)
+        return pa.table({
+            "n": pa.array([s.n], pa.int64()),
+            "points": pa.array([s.points.tolist()], pa.list_(pa.float64())),
+        })
+
+    merged = (
+        ds.select_columns([column])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .repartition(merge_fanin)
+        .map_batches(merge_block, batch_format="pyarrow", batch_size=None)
+        .to_pandas()  # ≤ merge_fanin rows
+    )
+    final = QuantileSummary.merge_all(
+        [QuantileSummary(r.n, np.asarray(r.points)) for r in merged.itertuples()],
+        num_points,
+    )
+    return final.quantile(q)

@@ -130,3 +130,56 @@ def test_yaml_pipeline_end_to_end(ray_session, tmp_path):
     out = run_pipeline(doc).to_pandas().sort_values("id")
     assert len(out) == 10
     assert out.output.iloc[0] == "SAMPLE TEXT 0!"
+
+
+def test_quantile_summary_merge_accuracy():
+    import numpy as np
+
+    from open_thoughts_ray.ops.sketch import QuantileSummary
+
+    rng = np.random.default_rng(7)
+    vals = rng.lognormal(0.0, 2.0, size=1_000_000)
+    blocks = np.array_split(vals, 37)
+    summaries = [QuantileSummary.from_values(b, 1024) for b in blocks]
+    merged = QuantileSummary.merge_all(summaries, 1024)
+    assert merged.n == len(vals)
+    # bounded driver state: the merged summary is ≤1024 points
+    assert len(merged.points) <= 1024
+    srt = np.sort(vals)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = merged.quantile(q)
+        # rank error ≤ 0.5 %
+        rank = np.searchsorted(srt, est) / len(vals)
+        assert abs(rank - q) < 0.005, (q, rank)
+
+
+def test_quantile_summary_exact_small():
+    import numpy as np
+
+    from open_thoughts_ray.ops.sketch import QuantileSummary
+
+    vals = np.asarray([3.0, 1.0, 4.0, 1.5, 9.0, 2.6])
+    s = QuantileSummary.from_values(vals, 1024)
+    for q in (0.0, 0.25, 0.5, 0.77, 1.0):
+        assert s.quantile(q) == float(np.quantile(vals, q, method="linear"))
+
+
+def test_distributed_quantile_bounded(ray_session):
+    """Sketch path at 10^6 rows: driver never holds the value column."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.relational import global_quantile_threshold
+
+    rng = np.random.default_rng(3)
+    n = 1_000_000
+    df = pd.DataFrame({"v": rng.exponential(5.0, size=n)})
+    ds = rd.from_pandas(df).repartition(16)
+    out, thr = global_quantile_threshold(ds, "v", 0.9, exact_threshold=100_000)
+    true_thr = float(np.quantile(df.v.to_numpy(), 0.9, method="linear"))
+    # approximate threshold within 0.5% rank error
+    rank = (df.v.to_numpy() <= thr).mean()
+    assert abs(rank - 0.9) < 0.005, (thr, true_thr, rank)
+    kept = out.count()
+    assert abs(kept / n - 0.1) < 0.006
