@@ -486,7 +486,92 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_revenue_by_segment_priority": _q3_shipping_priority,
         "sessionize_events": _q_sessionize,
         "flagship_quality_filter": _q_flagship,
+        "llm_annotate_documents": _q_llm_annotate,
+        "llm_score_filter_documents": _q_llm_score_filter,
+        "llm_list_fanout_documents": _q_llm_list_fanout,
+        "json_source_documents": _q_json_source,
     }
+
+
+def _q_llm_annotate(sf_dir: str):
+    """LLM annotation (completions operator + ChatMap + deterministic
+    mock backend, SURVEY.md §2.5): every response is md5 of the canonical
+    prompt, so DuckDB reproduces the column bit-for-bit."""
+    from open_thoughts_ray.llm import completions
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    out = completions(
+        ds, "chat",
+        {"user_message": "Summarize: {{text}}", "output_column": "annotation"},
+        concurrency=4, batch_size=512,
+    )
+    return out.select_columns(["doc_id", "annotation"])
+
+
+def _q_llm_score_filter(sf_dir: str):
+    """ScorerMap annotation + threshold filter (the reference's AskLLM /
+    quality-score rank filtering shape)."""
+    from open_thoughts_ray.llm import completions
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    out = completions(
+        ds, "scorer",
+        {"user_message": "Rate: {{text}}", "output_column": "score"},
+        concurrency=4, batch_size=512,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        scores = t.column("score").cast(pa.int64())
+        t = t.drop_columns(["score"]).append_column("score", scores)
+        return t.filter(pc.greater_equal(t.column("score"), 50))
+
+    return out.map_batches(finish, batch_format="pyarrow").select_columns(
+        ["doc_id", "score"])
+
+
+def _q_llm_list_fanout(sf_dir: str):
+    """ListMap fan-out: one input row → num_items annotation rows
+    (list_map.py:28-42 semantics as a flat-map over batches)."""
+    from open_thoughts_ray.llm import completions
+    from open_thoughts_ray.ops import relational as R
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    ds = R.sample_by_hash(ds, "doc_id", keep_every=25, residue=0)
+    out = completions(
+        ds, "list",
+        {"user_message": "Ideas: {{text}}", "output_column": "idea",
+         "num_items": 3},
+        concurrency=2, batch_size=512,
+    )
+    return out.select_columns(["doc_id", "idea"])
+
+
+def _q_json_source(sf_dir: str):
+    """JSON source wrapper (json_source_operator.py:41-216 semantics:
+    file/dir read + projection + truncate).  A deterministic JSONL.gz
+    derived from the documents table is written once, read back through
+    the wrapper, projected and truncated."""
+    import gzip
+    import hashlib
+
+    import duckdb
+
+    from open_thoughts_ray.io.json_source import read_json_source
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/otr_json_src_{tag}.jsonl.gz"
+    if not os.path.exists(path):
+        df = duckdb.sql(
+            "SELECT doc_id, text, lang, source FROM "
+            f"read_parquet('{os.path.join(sf_dir, 'documents.parquet')}') "
+            "ORDER BY doc_id"
+        ).df()
+        tmp = path + ".tmp"
+        with gzip.open(tmp, "wt") as f:
+            df.to_json(f, orient="records", lines=True)
+        os.replace(tmp, path)
+    ds = read_json_source(path, columns=["doc_id", "lang"], limit=200)
+    return ds
 
 
 def oracle_sql() -> dict[str, str]:
@@ -650,6 +735,36 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    CAST(max(s) - min(s) AS BIGINT) AS duration_s
             FROM lab GROUP BY user_id, sid
+        """,
+        # the mock LLM backend is a pure md5 function of the canonical
+        # prompt ("user\n" + filled template), so annotation queries ARE
+        # SQL-expressible — DuckDB md5 reproduces them bit-for-bit
+        "llm_annotate_documents": """
+            SELECT doc_id,
+                   md5('user' || chr(10) || 'Summarize: ' || text) AS annotation
+            FROM documents
+        """,
+        "llm_score_filter_documents": """
+            WITH m AS (
+                SELECT doc_id,
+                       md5('user' || chr(10) || 'Rate: ' || text) AS h
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(1 + (ascii(substr(h,1,1))*256 + ascii(substr(h,2,1))) % 100
+                        AS BIGINT) AS score
+            FROM m
+            WHERE 1 + (ascii(substr(h,1,1))*256 + ascii(substr(h,2,1))) % 100 >= 50
+        """,
+        "llm_list_fanout_documents": """
+            SELECT d.doc_id,
+                   md5('user' || chr(10) || 'Ideas: ' || d.text
+                       || '#' || CAST(t.i AS VARCHAR)) AS idea
+            FROM documents d CROSS JOIN range(3) t(i)
+            WHERE d.doc_id % 25 = 0
+        """,
+        "json_source_documents": """
+            SELECT doc_id, lang FROM documents ORDER BY doc_id LIMIT 200
         """,
         # minhash_dedup_documents / simhash_dedup_documents /
         # decontaminate_documents / flagship_quality_filter: not

@@ -1,0 +1,140 @@
+"""LLM backends + shared rate limiting for the completions operator.
+
+No LLM exists in this environment, so the default backend is a
+DETERMINISTIC mock: every response is a pure function (md5) of the
+canonical prompt text, so pipelines are reproducible and SQL-checkable
+(DuckDB md5 over the same template reproduces the annotation column
+bit-for-bit).  The actor-pool + shared-rate-limiter shape matches the
+reference's curator-based operator (completions_operator.py:220-300:
+a singleton actor shares the QPS budget across operators in online
+mode); swapping in a real HTTP backend is implementing ``complete``.
+
+Mock response rules by response_format tag (see llm.maps):
+  None        → md5_hex(canonical)
+  "score"     → {response: 1 + (ascii(h[0])·256 + ascii(h[1])) % 100,
+                 reasoning: "mock-reasoning-" + h[:8]}
+  "bool"      → {response: ascii(h[0]) % 2 == 0, reasoning: ...}
+  "judgement" → "Mock judgement " + h[:8] + ".\n" + (yes|no by ascii(h[0])%2)
+  "list:<n>"  → [md5_hex(canonical + "#" + str(i)) for i in range(n)]
+where h = md5_hex(canonical) and canonical = "\n".join(role + "\n" +
+content per message).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import time
+
+
+def canonical_prompt(messages: list[dict] | str) -> str:
+    if isinstance(messages, str):
+        messages = [{"role": "user", "content": messages}]
+    return "\n".join(f"{m['role']}\n{m['content']}" for m in messages)
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+class MockLLMBackend:
+    """Deterministic seeded mock; see module docstring for the response
+    rules (each is chosen to be reproducible in ANSI SQL)."""
+
+    def __init__(self, fail_every: int = 0):
+        #: fail_every=k makes every k-th request raise ONCE (retry path
+        #: testing); retried requests succeed.
+        self.fail_every = int(fail_every)
+        self._calls = 0
+        self._failed: set[str] = set()
+
+    def complete(self, messages: list[dict] | str, response_format: str | None):
+        self._calls += 1
+        canonical = canonical_prompt(messages)
+        if self.fail_every and self._calls % self.fail_every == 0 \
+                and canonical not in self._failed:
+            self._failed.add(canonical)
+            raise TimeoutError("mock transient failure")
+        h = _md5(canonical)
+        if response_format is None:
+            return h
+        if response_format == "score":
+            return {"response": 1 + (ord(h[0]) * 256 + ord(h[1])) % 100,
+                    "reasoning": "mock-reasoning-" + h[:8]}
+        if response_format == "bool":
+            return {"response": ord(h[0]) % 2 == 0,
+                    "reasoning": "mock-reasoning-" + h[:8]}
+        if response_format == "judgement":
+            verdict = "yes" if ord(h[0]) % 2 == 0 else "no"
+            return f"Mock judgement {h[:8]}.\n{verdict}"
+        if response_format.startswith("list:"):
+            n = int(response_format.split(":", 1)[1])
+            return [_md5(canonical + "#" + str(i)) for i in range(n)]
+        raise ValueError(f"unknown response_format {response_format!r}")
+
+
+BACKENDS = {"mock": MockLLMBackend}
+
+
+def register_backend(name: str, factory) -> None:
+    BACKENDS[name] = factory
+
+
+def build_backend(name: str, **kwargs):
+    if name not in BACKENDS:
+        raise KeyError(f"unknown backend '{name}'; registered: {sorted(BACKENDS)}")
+    return BACKENDS[name](**kwargs)
+
+
+def rate_limiter_actor():
+    """Lazy @ray.remote class definition (module import must not require
+    an initialized Ray)."""
+    import ray
+
+    @ray.remote(num_cpus=0)
+    class RateLimiter:
+        """Shared token bucket: requests/min + tokens/min, the
+        reference's online-mode budget (completions_operator.py:284-296,
+        herorun3_math.yaml:271-272).  ``acquire`` returns the seconds
+        the caller must sleep before sending — state lives in ONE actor
+        so every pool worker draws from the same budget."""
+
+        def __init__(self, requests_per_min: float = 1e9,
+                     tokens_per_min: float = 1e12):
+            self.rpm = float(requests_per_min)
+            self.tpm = float(tokens_per_min)
+            self.req_allow = self.rpm  # burst capacity = 1 minute
+            self.tok_allow = self.tpm
+            self.last = time.monotonic()
+            self.granted_requests = 0
+
+        def acquire(self, n_requests: int, n_tokens: int) -> float:
+            now = time.monotonic()
+            dt = now - self.last
+            self.last = now
+            self.req_allow = min(self.rpm, self.req_allow + dt * self.rpm / 60.0)
+            self.tok_allow = min(self.tpm, self.tok_allow + dt * self.tpm / 60.0)
+            self.req_allow -= n_requests
+            self.tok_allow -= n_tokens
+            self.granted_requests += n_requests
+            wait = 0.0
+            if self.req_allow < 0:
+                wait = max(wait, -self.req_allow * 60.0 / self.rpm)
+            if self.tok_allow < 0:
+                wait = max(wait, -self.tok_allow * 60.0 / self.tpm)
+            return wait
+
+        def stats(self) -> dict:
+            return {"granted_requests": self.granted_requests}
+
+    return RateLimiter
+
+
+def shared_rate_limiter(requests_per_min: float = 1e9,
+                        tokens_per_min: float = 1e12, name: str | None = None):
+    """Create (or fetch, when ``name`` given) the shared limiter actor —
+    named get-if-exists mirrors the reference's CompletionsSingleton."""
+    RateLimiter = rate_limiter_actor()
+    if name:
+        return RateLimiter.options(name=name, get_if_exists=True).remote(
+            requests_per_min, tokens_per_min)
+    return RateLimiter.remote(requests_per_min, tokens_per_min)

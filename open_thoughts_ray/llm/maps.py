@@ -1,0 +1,185 @@
+"""CompletionsMap plugin surface — the reference's prompt/parse registry
+(engine/maps/base_map.py:4-33, map_registry.py:57-112) re-expressed for
+Ray Data batch execution.
+
+A map turns a dataset row into an LLM request and a response back into
+one-or-more rows; the executor (llm.completions) runs maps inside an
+actor pool over Arrow batches.  Implemented maps mirror the reference's
+core family:
+
+* ChatMap              — {{column}} template filling (chat_map.py:29-51)
+* BinaryClassifierMap  — bool + reasoning (binary_classifier_map.py:13-36)
+* ScorerMap            — bounded score + reasoning (scorer_map.py:8-36)
+* JudgeMap             — yes/no verdict, last-word protocol (judge_map.py:30-60)
+* ListMap              — structured list response fanned out to rows
+                         (list_map.py:28-42)
+
+Register custom maps with ``register_map`` (the reference's
+COMPLETIONS_MAPS dict).  Configs are plain dicts — validated in
+``__init__`` — so maps serialize cleanly into Ray actor constructors.
+"""
+
+from __future__ import annotations
+
+import re
+from abc import ABC, abstractmethod
+
+_TEMPLATE_RE = re.compile(r"\{\{(\w+)\}\}")
+
+
+def fill_template(template: str, row: dict) -> str:
+    """Replace ``{{column}}`` patterns with row values (chat_map.py:29-51)."""
+    return _TEMPLATE_RE.sub(lambda m: str(row[m.group(1)]), template)
+
+
+class CompletionsMap(ABC):
+    """prompt(row) → messages; parse(row, response) → row | list[row]."""
+
+    #: response-format tag understood by the backend:
+    #: None (free text), "score", "bool", "judgement", "list:<n>"
+    response_format: str | None = None
+
+    @abstractmethod
+    def prompt(self, row: dict) -> list[dict] | str:
+        """Messages ``[{role, content}, ...]`` (or bare user string)."""
+
+    @abstractmethod
+    def parse(self, row: dict, response) -> dict | list[dict]:
+        """New row(s); returning a list fans out (ListMap semantics)."""
+
+
+class ChatMap(CompletionsMap):
+    """Template-filled single-turn chat; response lands in output_column."""
+
+    response_format = None
+
+    def __init__(self, config: dict):
+        self.user_message = config.get("user_message")
+        self.user_message_column = config.get("user_message_column")
+        self.system_message = config.get("system_message")
+        self.system_message_column = config.get("system_message_column")
+        self.output_column = config["output_column"]
+        if bool(self.user_message) == bool(self.user_message_column):
+            raise ValueError("exactly one of user_message / user_message_column")
+        if self.system_message and self.system_message_column:
+            raise ValueError("only one of system_message / system_message_column")
+
+    def prompt(self, row: dict) -> list[dict]:
+        messages = []
+        sys_msg = None
+        if self.system_message:
+            sys_msg = fill_template(self.system_message, row)
+        elif self.system_message_column:
+            sys_msg = row[self.system_message_column]
+        if sys_msg:
+            messages.append({"role": "system", "content": sys_msg})
+        if self.user_message:
+            user = fill_template(self.user_message, row)
+        else:
+            user = row[self.user_message_column]
+            if user is None:
+                raise ValueError("null user message column")
+        messages.append({"role": "user", "content": user})
+        return messages
+
+    def parse(self, row: dict, response) -> dict:
+        return {**row, self.output_column: response}
+
+
+class BinaryClassifierMap(ChatMap):
+    """Structured bool verdict + reasoning (binary_classifier_map.py:13-36)."""
+
+    response_format = "bool"
+
+    def parse(self, row: dict, response) -> dict:
+        return {**row, self.output_column: bool(response["response"]),
+                "classifier_reasoning": response["reasoning"]}
+
+
+class ScorerMap(ChatMap):
+    """Structured score in [1, 100] + reasoning (scorer_map.py:8-36)."""
+
+    response_format = "score"
+
+    def parse(self, row: dict, response) -> dict:
+        score = float(response["response"])
+        if not 1.0 <= score <= 100.0:
+            raise ValueError(f"score out of range: {score}")
+        return {**row, self.output_column: score,
+                "classifier_reasoning": response["reasoning"]}
+
+
+class JudgeMap(CompletionsMap):
+    """Correctness judge: free-text reasoning ending in yes/no
+    (judge_map.py:30-60 last-word protocol)."""
+
+    response_format = "judgement"
+
+    DEFAULT_SYSTEM = (
+        "Evaluate whether the attempt correctly answers the inputs given "
+        "the targets. End your response with a single word: yes or no."
+    )
+
+    def __init__(self, config: dict):
+        self.input_instruction_column = config["input_instruction_column"]
+        self.input_golden_answer_column = config["input_golden_answer_column"]
+        self.input_attempt_answer_column = config["input_attempt_answer_column"]
+        self.system_message = config.get("input_judge_system_message",
+                                         self.DEFAULT_SYSTEM)
+        self.decision_column = config.get("output_judgement_decision_column",
+                                          "model_judgement")
+        self.reasoning_column = config.get("output_judgement_reasoning_column",
+                                           "model_judgement_full")
+        self.filter_out_negative = config.get("filter_out_negative_judgements",
+                                              False)
+
+    def prompt(self, row: dict) -> list[dict]:
+        user = (
+            f"inputs: {row[self.input_instruction_column]}\n"
+            f"targets: {row[self.input_golden_answer_column]}\n"
+            f"attempt: {row[self.input_attempt_answer_column]}"
+        )
+        return [{"role": "system", "content": self.system_message},
+                {"role": "user", "content": user}]
+
+    def parse(self, row: dict, response) -> dict | list[dict]:
+        text = str(response)
+        last = text.strip().split()[-1].lower().strip(".") if text.strip() else ""
+        decision = last == "yes"
+        if self.filter_out_negative and not decision:
+            return []
+        return {**row, self.decision_column: decision,
+                self.reasoning_column: text}
+
+
+class ListMap(ChatMap):
+    """Structured list response fanned out into one row per item
+    (list_map.py:28-42).  ``num_items`` bounds the mock backend's list."""
+
+    def __init__(self, config: dict):
+        super().__init__(config)
+        self.num_items = int(config.get("num_items", 3))
+        self.response_format = f"list:{self.num_items}"
+
+    def parse(self, row: dict, response) -> list[dict]:
+        return [{**row, self.output_column: item} for item in response]
+
+
+MAP_REGISTRY: dict[str, type[CompletionsMap]] = {}
+
+
+def register_map(name: str, cls: type[CompletionsMap]) -> None:
+    """Plugin hook (reference COMPLETIONS_MAPS, map_registry.py:57-112)."""
+    MAP_REGISTRY[name] = cls
+
+
+for _n, _c in (("chat", ChatMap), ("binary_classifier", BinaryClassifierMap),
+               ("scorer", ScorerMap), ("judge", JudgeMap), ("list", ListMap)):
+    register_map(_n, _c)
+
+
+def build_map(kind: str, config: dict) -> CompletionsMap:
+    if kind not in MAP_REGISTRY:
+        raise KeyError(f"unknown completions map '{kind}'; "
+                       f"registered: {sorted(MAP_REGISTRY)}")
+    return MAP_REGISTRY[kind](config)

@@ -68,6 +68,33 @@ def _resolve(dotted: str):
     return getattr(importlib.import_module(mod), name)
 
 
+#: plugin surface: type name → handler(inputs: list[Dataset], cfg: dict)
+#: → Dataset (the reference's register_operator, operator.py:156-219)
+YAML_OP_REGISTRY: dict = {}
+
+
+def register_yaml_op(name: str, handler) -> None:
+    YAML_OP_REGISTRY[name] = handler
+
+
+def _remote_args(cfg: dict) -> dict:
+    """Per-op resource reservation from YAML (the reference's
+    cpu_function/gpu_function/high_memory_function family,
+    function_operator.py:456-600): ``num_cpus``, ``memory`` (GB),
+    ``concurrency``, ``batch_size`` keys pass straight to map_batches."""
+    out = {}
+    if "num_cpus" in cfg:
+        out["num_cpus"] = float(cfg["num_cpus"])
+    if "memory" in cfg:
+        out["memory"] = float(cfg["memory"]) * 1e9
+    if "concurrency" in cfg:
+        c = cfg["concurrency"]
+        out["concurrency"] = tuple(c) if isinstance(c, list) else int(c)
+    if "batch_size" in cfg:
+        out["batch_size"] = int(cfg["batch_size"])
+    return out
+
+
 def run_pipeline(doc: dict, output_id: str | None = None):
     """Execute a parsed YAML doc → the output Dataset (lazy)."""
     import ray.data as rd
@@ -96,6 +123,36 @@ def run_pipeline(doc: dict, output_id: str | None = None):
             out = ins[0].map_batches(
                 fn, batch_format=cfg.get("batch_format", "pyarrow"),
                 fn_kwargs=cfg.get("function_config", {}),
+                **_remote_args(cfg),
+            )
+        elif typ == "json_source":
+            from .io.json_source import read_json_source
+
+            out = read_json_source(
+                cfg["path"], columns=cfg.get("columns"),
+                limit=cfg.get("limit"), source_tag=cfg.get("source_tag"),
+            )
+        elif typ == "completions":
+            from .llm import completions, shared_rate_limiter
+
+            limiter = None
+            if cfg.get("requests_per_min") or cfg.get("tokens_per_min"):
+                limiter = shared_rate_limiter(
+                    requests_per_min=float(cfg.get("requests_per_min", 1e9)),
+                    tokens_per_min=float(cfg.get("tokens_per_min", 1e12)),
+                    name=cfg.get("limiter_name", "otr_completions_limiter"),
+                )
+            ra = _remote_args(cfg)
+            out = completions(
+                ins[0], cfg["map"], cfg.get("map_config", {}),
+                backend=cfg.get("backend", "mock"),
+                backend_kwargs=cfg.get("backend_config"),
+                limiter=limiter,
+                concurrency=ra.get("concurrency", 4),
+                batch_size=ra.get("batch_size", 256),
+                num_cpus=ra.get("num_cpus", 0.5),
+                max_retries=int(cfg.get("max_retries", 3)),
+                on_parse_error=cfg.get("on_parse_error", "raise"),
             )
         elif typ == "select_columns":
             out = ins[0].select_columns(cfg["columns"])
@@ -119,6 +176,8 @@ def run_pipeline(doc: dict, output_id: str | None = None):
             from .pipeline import PipelineOptions, quality_filter_dataset
 
             out = quality_filter_dataset(ins[0], PipelineOptions())
+        elif typ in YAML_OP_REGISTRY:
+            out = YAML_OP_REGISTRY[typ](ins, cfg)
         else:
             raise ValueError(f"unknown operator type {typ!r}")
         results[op.id] = out

@@ -1,0 +1,225 @@
+"""Completions operator + CompletionsMap registry (SURVEY.md §2.5):
+templating, structured parse maps, fan-out, retries, parse-failure
+handling, shared rate limiting, and end-to-end Dataset annotation."""
+
+import hashlib
+import time
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from open_thoughts_ray.llm import (
+    CompletionsActor,
+    MockLLMBackend,
+    build_map,
+    canonical_prompt,
+    completions,
+    fill_template,
+    register_map,
+    shared_rate_limiter,
+)
+from open_thoughts_ray.llm.maps import ChatMap
+
+
+def md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_fill_template():
+    assert fill_template("Hello {{name}}, age {{age}}", {"name": "A", "age": 3}) \
+        == "Hello A, age 3"
+
+
+def test_chat_map_prompt_and_parse():
+    m = build_map("chat", {"user_message": "Summarize: {{text}}",
+                           "output_column": "annotation"})
+    msgs = m.prompt({"text": "hello world"})
+    assert msgs == [{"role": "user", "content": "Summarize: hello world"}]
+    out = m.parse({"text": "hello world"}, "RESP")
+    assert out["annotation"] == "RESP" and out["text"] == "hello world"
+    with pytest.raises(ValueError):
+        build_map("chat", {"output_column": "x"})  # no user message source
+    with pytest.raises(ValueError):
+        build_map("chat", {"user_message": "a", "user_message_column": "b",
+                           "output_column": "x"})
+
+
+def test_mock_backend_deterministic_chat():
+    be = MockLLMBackend()
+    msgs = [{"role": "user", "content": "Summarize: hello world"}]
+    expect = md5("user\nSummarize: hello world")
+    assert be.complete(msgs, None) == expect
+    assert be.complete(msgs, None) == expect  # stable
+
+
+def test_scorer_map_end_to_end():
+    m = build_map("scorer", {"user_message": "Rate: {{text}}",
+                             "output_column": "score"})
+    be = MockLLMBackend()
+    resp = be.complete(m.prompt({"text": "abc"}), m.response_format)
+    out = m.parse({"text": "abc"}, resp)
+    h = md5("user\nRate: abc")
+    assert out["score"] == 1 + (ord(h[0]) * 256 + ord(h[1])) % 100
+    assert out["classifier_reasoning"].startswith("mock-reasoning-")
+
+
+def test_binary_classifier_map():
+    m = build_map("binary_classifier", {"user_message": "Is good? {{text}}",
+                                        "output_column": "verdict"})
+    be = MockLLMBackend()
+    out = m.parse({"text": "z"}, be.complete(m.prompt({"text": "z"}),
+                                             m.response_format))
+    h = md5("user\nIs good? z")
+    assert out["verdict"] == (ord(h[0]) % 2 == 0)
+
+
+def test_judge_map_last_word_protocol():
+    m = build_map("judge", {"input_instruction_column": "q",
+                            "input_golden_answer_column": "gold",
+                            "input_attempt_answer_column": "att"})
+    row = {"q": "2+2", "gold": "4", "att": "4"}
+    be = MockLLMBackend()
+    out = m.parse(row, be.complete(m.prompt(row), m.response_format))
+    assert out["model_judgement"] in (True, False)
+    assert out["model_judgement_full"].strip().split()[-1] in ("yes", "no")
+    # filter_out_negative drops 'no' rows entirely
+    m2 = build_map("judge", {"input_instruction_column": "q",
+                             "input_golden_answer_column": "gold",
+                             "input_attempt_answer_column": "att",
+                             "filter_out_negative_judgements": True})
+    parsed = m2.parse(row, "reasoning...\nno")
+    assert parsed == []
+
+
+def test_list_map_fanout():
+    m = build_map("list", {"user_message": "Ideas for {{topic}}",
+                           "output_column": "idea", "num_items": 3})
+    be = MockLLMBackend()
+    rows = m.parse({"topic": "x"}, be.complete(m.prompt({"topic": "x"}),
+                                               m.response_format))
+    assert len(rows) == 3
+    canon = canonical_prompt(m.prompt({"topic": "x"}))
+    assert rows[1]["idea"] == md5(canon + "#1")
+
+
+def test_retry_path_recovers():
+    actor = CompletionsActor(
+        "chat", {"user_message": "{{t}}", "output_column": "o"},
+        backend_kwargs={"fail_every": 2}, max_retries=2, retry_base_sleep=0.0,
+    )
+    batch = pa.table({"t": ["a", "b", "c", "d"]})
+    out = actor(batch)
+    assert out.num_rows == 4  # every transient failure retried to success
+
+
+def test_retry_exhaustion_raises():
+    class AlwaysFail:
+        def __init__(self):
+            pass
+
+        def complete(self, messages, response_format):
+            raise TimeoutError("down")
+
+    register_map("chat_tmp", ChatMap)
+    from open_thoughts_ray.llm.backend import register_backend
+
+    register_backend("always_fail", AlwaysFail)
+    actor = CompletionsActor("chat_tmp", {"user_message": "{{t}}",
+                                          "output_column": "o"},
+                             backend="always_fail", max_retries=1,
+                             retry_base_sleep=0.0)
+    with pytest.raises(RuntimeError, match="after 1 retries"):
+        actor(pa.table({"t": ["a"]}))
+
+
+def test_parse_error_modes():
+    class BadParse(ChatMap):
+        def parse(self, row, response):
+            if row["t"] == "bad":
+                raise ValueError("boom")
+            return super().parse(row, response)
+
+    register_map("bad_parse", BadParse)
+    cfg = {"user_message": "{{t}}", "output_column": "o"}
+    batch = pa.table({"t": ["ok", "bad", "ok2"]})
+    dropped = CompletionsActor("bad_parse", cfg, on_parse_error="drop")(batch)
+    assert dropped.num_rows == 2
+    kept = CompletionsActor("bad_parse", cfg, on_parse_error="keep")(batch)
+    assert kept.num_rows == 3
+    errs = [r.get("_parse_error") for r in kept.to_pylist()]
+    assert sum(e is not None for e in errs) == 1
+    with pytest.raises(ValueError):
+        CompletionsActor("bad_parse", cfg, on_parse_error="raise")(batch)
+
+
+def test_rate_limiter_throttles_and_is_shared(ray_session):
+    import ray
+
+    limiter = shared_rate_limiter(requests_per_min=1e9)
+    # drain the burst then verify a wait is returned
+    limiter2 = shared_rate_limiter(requests_per_min=60)  # 1 req/sec
+    ray.get(limiter2.acquire.remote(60, 0))  # consume full burst
+    wait = ray.get(limiter2.acquire.remote(2, 0))
+    assert wait > 0
+    stats = ray.get(limiter2.stats.remote())
+    assert stats["granted_requests"] == 62
+    assert ray.get(limiter.acquire.remote(5, 100)) == 0.0
+
+
+def test_completions_dataset_end_to_end(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": list("wxyz")})
+    out = completions(
+        rd.from_pandas(df), "chat",
+        {"user_message": "Summarize: {{text}}", "output_column": "annotation"},
+        concurrency=2, batch_size=2,
+    ).to_pandas().sort_values("doc_id")
+    assert list(out.columns) == ["doc_id", "text", "annotation"]
+    assert out.annotation.tolist() == [
+        md5(f"user\nSummarize: {t}") for t in "wxyz"
+    ]
+
+
+def test_completions_listmap_fanout_dataset(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({"doc_id": [1, 2], "topic": ["a", "b"]})
+    out = completions(
+        rd.from_pandas(df), "list",
+        {"user_message": "Ideas: {{topic}}", "output_column": "idea",
+         "num_items": 3},
+        concurrency=1, batch_size=8,
+    ).to_pandas()
+    assert len(out) == 6
+    assert out.groupby("doc_id").size().tolist() == [3, 3]
+
+
+def test_yaml_completions_op_with_resources(ray_session, tmp_path):
+    """YAML surface: completions op + per-op resource keys + shared rate
+    limiter + plugin registry (SURVEY.md §2.11 / §2.5)."""
+    import pyarrow.parquet as pq
+
+    from open_thoughts_ray.yaml_pipeline import register_yaml_op, run_pipeline
+
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                  "text": pa.array([f"t{i}" for i in range(6)])}),
+        str(tmp_path / "docs.parquet"),
+    )
+    register_yaml_op("double_rows", lambda ins, cfg: ins[0].union(ins[0]))
+    doc = {"operators": [
+        {"id": "src", "config": {"type": "parquet_source",
+                                 "path": str(tmp_path / "docs.parquet")}},
+        {"id": "annotate", "config": {
+            "type": "completions", "map": "chat",
+            "map_config": {"user_message": "Q: {{text}}",
+                           "output_column": "ans"},
+            "concurrency": 2, "batch_size": 4, "num_cpus": 0.25,
+            "requests_per_min": 1e9}},
+        {"id": "doubled", "config": {"type": "double_rows"}},
+    ]}
+    out = run_pipeline(doc).to_pandas()
+    assert len(out) == 12
+    assert out.ans.iloc[0] == md5(f"user\nQ: {out.text.iloc[0]}")
