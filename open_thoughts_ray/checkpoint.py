@@ -18,12 +18,40 @@ expensive work (decode, model scoring) is what checkpointing protects.
 
 from __future__ import annotations
 
+import dataclasses
 import glob
+import hashlib
 import json
 import os
 import shutil
 
 import pyarrow as pa
+
+#: bump when scoring semantics change (models, rule evaluation, decode):
+#: part of every chunk's cache key, the reference's code-version hash
+#: (engine/operators/hashing_utils.py:16-262 hashes the UDF call graph;
+#: a manual token is the honest equivalent for a library with tests)
+PIPELINE_CODE_VERSION = "2"
+
+
+def config_fingerprint(opts) -> str:
+    """Content-address of everything that affects a chunk's scored
+    output: the rule config + code version (dag.py:111-171 ancestor-hash
+    scheme).  Execution tuning (batch sizes, pool sizes) is deliberately
+    excluded — it cannot change results and must not invalidate caches."""
+    payload = {
+        "rules": dataclasses.asdict(opts.rules),
+        "code": PIPELINE_CODE_VERSION,
+    }
+    return hashlib.md5(
+        json.dumps(payload, sort_keys=True).encode()
+    ).hexdigest()
+
+
+def _fragments_fingerprint(paths: list[str]) -> str:
+    """Input identity of one chunk: fragment basenames + sizes."""
+    parts = [f"{os.path.basename(p)}:{os.path.getsize(p)}" for p in paths]
+    return hashlib.md5("\n".join(parts).encode()).hexdigest()
 
 
 class ChunkManifest:
@@ -84,18 +112,28 @@ def run_flagship(table_dir: str, out_dir: str, opts, chunk_fragments: int = 16):
     manifest = ChunkManifest(os.path.join(out_dir, "chunks.jsonl"))
     done = manifest.done()
     model_refs = broadcast_models()
+    cfg_hash = config_fingerprint(opts)
 
     paths = lance_table.fragment_paths(table_dir)
+    chunks = _chunks(paths, chunk_fragments)
     skipped = 0
-    for chunk_id, chunk_paths in _chunks(paths, chunk_fragments):
+    for chunk_id, chunk_paths in chunks:
         final_chunk_dir = os.path.join(scored_dir, chunk_id)
-        if chunk_id in done and os.path.isdir(final_chunk_dir):
+        frag_hash = _fragments_fingerprint(chunk_paths)
+        rec = done.get(chunk_id)
+        # content-addressed skip: the chunk output is reused ONLY when the
+        # recorded config hash AND input-fragment identity match — a
+        # changed RuleConfig / code version / re-chunked input recomputes
+        # instead of silently resuming over stale rows
+        if (rec and rec.get("config_hash") == cfg_hash
+                and rec.get("frag_hash") == frag_hash
+                and os.path.isdir(final_chunk_dir)):
             skipped += 1
             continue
         staging = final_chunk_dir + ".staging"
         if os.path.isdir(staging):
             shutil.rmtree(staging)
-        if os.path.isdir(final_chunk_dir):  # completed write, missed manifest
+        if os.path.isdir(final_chunk_dir):  # stale or manifest-less write
             shutil.rmtree(final_chunk_dir)
         nb = max(opts.num_cpus * 2, 2)
         ds = rd.read_parquet(chunk_paths, override_num_blocks=min(nb, len(chunk_paths) * 4))
@@ -106,10 +144,17 @@ def run_flagship(table_dir: str, out_dir: str, opts, chunk_fragments: int = 16):
             pa.parquet.read_metadata(p).num_rows
             for p in glob.glob(os.path.join(final_chunk_dir, "*.parquet"))
         )
-        manifest.mark_done(chunk_id, {"rows": n, "fragments": len(chunk_paths)})
+        manifest.mark_done(chunk_id, {"rows": n, "fragments": len(chunk_paths),
+                                      "config_hash": cfg_hash,
+                                      "frag_hash": frag_hash})
         _mark(f"scored {chunk_id}")
 
-    scored_paths = sorted(glob.glob(os.path.join(scored_dir, "chunk-*", "*.parquet")))
+    # read ONLY the current run's chunk dirs (never *.staging or stale
+    # chunk dirs from an earlier different chunking of the input)
+    scored_paths = sorted(
+        p for chunk_id, _ in chunks
+        for p in glob.glob(os.path.join(scored_dir, chunk_id, "*.parquet"))
+    )
     scored_ds = rd.read_parquet(scored_paths,
                                 override_num_blocks=max(opts.num_cpus, 2))
     # the edge-finding pass needs only 3 thin columns — prune at the read

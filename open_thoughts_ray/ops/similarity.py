@@ -7,7 +7,10 @@
 * ``cosine_dedup_earlier`` — drop a row iff an earlier id has cosine ≥ t
   (the deterministic analogue of the reference's first-seen-wins FAISS
   IndexFlatIP filter, similarity_filtering_operator.py:93-114, without
-  the order-dependent sequential actor).
+  the order-dependent sequential actor).  EXACT distributed block-pair
+  plan: no full-matrix driver collect, no per-worker broadcast.
+* ``cosine_dedup_lsh`` — banded hyperplane LSH candidates + exact
+  in-bucket verification: the high-threshold near-dup scale path.
 * ``lsh_bucket_batch`` — random-hyperplane signature (SimHash for dense
   vectors) for bucketed candidate generation at scale.
 """
@@ -88,46 +91,153 @@ def ann_topk(ds, queries: np.ndarray, k: int, id_col: str = "vec_id",
     return cand.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
-def cosine_dedup_earlier(ds, threshold: float, id_col: str = "vec_id",
-                         emb_col: str = "embedding"):
-    """Survivors: rows with NO earlier id at cosine ≥ threshold.
+def _as_table(block) -> pa.Table:
+    """Internal Dataset blocks may be pandas (from_pandas lineage) or
+    Arrow — normalize."""
+    if isinstance(block, pa.Table):
+        return block
+    return pa.Table.from_pandas(block, preserve_index=False)
 
-    The full (normalized) matrix is broadcast once and each batch checks
-    its rows against all earlier ids — O(N²/B) matmuls, N·d·8 bytes
-    broadcast.  Fine to ~10^6 rows; beyond that restrict candidates with
-    lsh_bucket_batch buckets (same verify step per bucket).
+
+def _prep_block(block, id_col: str, emb_col: str):
+    block = _as_table(block)
+    ids = block.column(id_col).to_numpy(zero_copy_only=False)
+    return ids, _normalize(_batch_matrix(block, emb_col))
+
+
+def cosine_dedup_earlier(ds, threshold: float, id_col: str = "vec_id",
+                         emb_col: str = "embedding",
+                         target_block_rows: int = 65536):
+    """Survivors: rows with NO earlier id at cosine ≥ threshold — the
+    deterministic analogue of the reference's first-seen-wins FAISS
+    filter (similarity_filtering_operator.py:93-114), EXACT at any
+    threshold.
+
+    Distributed block-pair plan (no full-matrix driver materialization or
+    per-worker broadcast): sort by id → range-partitioned blocks stay in
+    the object store; each block's normalized matrix is prepared ONCE by
+    a Ray task; block i's survivor task streams the ≤i earlier prepared
+    blocks one at a time (peak memory = 2 blocks) and ORs "has an earlier
+    match" via one matmul per pair.  O(N²/2) total multiply work spread
+    over B tasks — the honest cost of an exact low-threshold scan; use
+    cosine_dedup_lsh for high-threshold near-dup collapse at scale.
     """
     import ray
+    import ray.data as rd
 
-    mats, ids = [], []
-    for b in ds.select_columns([id_col, emb_col]).iter_batches(
-        batch_size=1 << 14, batch_format="pyarrow"
-    ):
-        mats.append(_batch_matrix(b, emb_col))
-        ids.append(b.column(id_col).to_numpy(zero_copy_only=False))
-    all_m = _normalize(np.concatenate(mats))
-    all_ids = np.concatenate(ids)
-    order = np.argsort(all_ids, kind="stable")
-    all_m, all_ids = all_m[order], all_ids[order]
-    m_ref = ray.put((all_ids, all_m))
+    sorted_ds = (
+        ds.select_columns([id_col, emb_col])
+        .sort(id_col)
+        .materialize()
+    )
+    block_refs = [ref for bundle in sorted_ds.iter_internal_ref_bundles()
+                  for ref, _meta in bundle.blocks]
 
-    class F:
-        def __init__(self):
-            self.ids, self.m = ray.get(m_ref)
+    prep = ray.remote(_prep_block)
+    prep_refs = [prep.remote(r, id_col, emb_col) for r in block_refs]
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            bm = _normalize(_batch_matrix(batch, emb_col))
-            bids = batch.column(id_col).to_numpy(zero_copy_only=False)
-            keep = np.ones(len(bids), dtype=bool)
-            sims = bm @ self.m.T  # (B, N)
-            for i, bid in enumerate(bids):
-                n_earlier = np.searchsorted(self.ids, bid)
-                if n_earlier and sims[i, :n_earlier].max() >= threshold:
-                    keep[i] = False
-            return batch.filter(pa.array(keep))
+    @ray.remote
+    def survivors(block, own_prep, earlier_preps: list, thr: float) -> pa.Table:
+        block = _as_table(block)
+        ids, m = own_prep
+        n = len(ids)
+        keep = np.ones(n, dtype=bool)
+        if n > 1:
+            sims = m @ m.T  # within-block: sorted, so earlier = lower index
+            iu = np.triu_indices(n, k=1)
+            mx = np.full(n, -2.0)
+            np.maximum.at(mx, iu[1], sims[iu])
+            keep &= mx < thr
+        for ep in earlier_preps:  # sequential fetch: peak = 2 blocks
+            _eids, em = ray.get(ep)
+            if len(em):
+                keep &= (em @ m.T).max(axis=0) < thr
+        return block.filter(pa.array(keep))
 
-    return ds.map_batches(F, batch_format="pyarrow", concurrency=(1, 8),
-                          num_cpus=0.5)
+    out_refs = [
+        survivors.remote(block_refs[i], prep_refs[i], prep_refs[:i], threshold)
+        for i in range(len(block_refs))
+    ]
+    return rd.from_arrow_refs(out_refs)
+
+
+def cosine_dedup_lsh(ds, threshold: float, id_col: str = "vec_id",
+                     emb_col: str = "embedding", n_planes: int = 8,
+                     bands: int = 16, seed: int = 7,
+                     num_partitions: int = 32):
+    """High-threshold near-dup collapse at scale: banded random-
+    hyperplane LSH (OR over ``bands`` independent n_planes-bit bands)
+    restricts candidates; every candidate pair is verified EXACTLY
+    (cosine + earlier-id) inside its bucket, so there are no false
+    drops — only possible recall loss for pairs near the threshold
+    (miss prob ≈ (1-p^planes)^bands, p = 1-θ/π; at cos ≥ 0.95 and the
+    defaults it is <1e-6).  One (band_key,id,vector) shuffle; use
+    cosine_dedup_earlier's block scan when thresholds are low."""
+    import pandas as pd
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, emb_col))
+        n, d = m.shape
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((d, n_planes * bands))
+        bits = (m @ planes) > 0
+        ids = batch.column(id_col)
+        out_keys = np.empty(n * bands, dtype=np.int64)
+        for b in range(bands):
+            sig = np.zeros(n, dtype=np.int64)
+            for j in range(n_planes):
+                sig = (sig << 1) | bits[:, b * n_planes + j].astype(np.int64)
+            out_keys[b * n : (b + 1) * n] = (np.int64(b) << 32) | sig
+        id_arr = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+        emb = batch.column(emb_col)
+        emb_arr = emb.combine_chunks() if isinstance(emb, pa.ChunkedArray) else emb
+        t = pa.table({
+            "band_key": pa.array(out_keys, pa.int64()),
+            "id": pa.concat_arrays([id_arr] * bands),
+            "emb": pa.concat_arrays([emb_arr] * bands),
+        })
+        part = out_keys % num_partitions
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    def bucket_drops(group: pd.DataFrame) -> pa.Table:
+        empty = pa.table({"id": pa.array([], pa.int64())})
+        if len(group) < 2:
+            return empty
+        keys = group["band_key"].to_numpy(dtype=np.int64)
+        order = np.argsort(keys, kind="stable")
+        g = group.iloc[order]
+        keys = keys[order]
+        _, starts, counts = np.unique(keys, return_index=True,
+                                      return_counts=True)
+        drop: set = set()
+        for s, c in zip(starts[counts >= 2], counts[counts >= 2]):
+            sub = g.iloc[s : s + int(c)]
+            ids = sub["id"].to_numpy()
+            m = _normalize(np.stack(sub["emb"].to_numpy()))
+            o = np.argsort(ids, kind="stable")
+            ids, m = ids[o], m[o]
+            sims = m @ m.T
+            iu = np.triu_indices(len(ids), k=1)
+            hit = sims[iu] >= threshold
+            for j in np.unique(iu[1][hit]):
+                drop.add(int(ids[j]))
+        if not drop:
+            return empty
+        return pa.table({"id": pa.array(sorted(drop), pa.int64())})
+
+    from .dedup_text import _drop_ids_filter
+
+    drops = (
+        ds.select_columns([id_col, emb_col])
+        .map_batches(band_rows, batch_format="pyarrow")
+        .groupby("part", num_partitions=num_partitions)
+        .map_groups(bucket_drops, batch_format="pandas")
+        .to_pandas()  # O(#dropped ids)
+    )
+    drop_ids = set() if drops.empty or "id" not in drops.columns \
+        else {str(v) for v in drops["id"]}
+    ds2 = _drop_ids_filter(ds, id_col, drop_ids)
+    return ds2
 
 
 def lsh_bucket_batch(batch: pa.Table, n_planes: int = 16, seed: int = 7,

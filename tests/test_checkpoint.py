@@ -68,3 +68,33 @@ def test_manifest_append_and_read(tmp_path):
     d = m.done()
     assert set(d) == {"chunk-00000", "chunk-00001"}
     assert d["chunk-00001"]["rows"] == 20
+
+
+def test_config_change_invalidates_chunks(ray_session, images_table, out_dir):
+    """Content-addressed caching (reference dag.py:111-171): a changed
+    rule threshold recomputes every chunk; an unchanged config skips."""
+    from open_thoughts_ray.ops.text_rules import RuleConfig
+
+    opts = PipelineOptions()
+    _, metrics = run_flagship(images_table, out_dir, opts, chunk_fragments=32)
+    assert metrics["chunks_skipped_on_resume"] == 0
+
+    # identical config → all chunks skip
+    _, metrics = run_flagship(images_table, out_dir, opts, chunk_fragments=32)
+    assert metrics["chunks_skipped_on_resume"] == 2
+
+    # changed threshold → stale chunks recompute, decisions change
+    opts2 = PipelineOptions(rules=RuleConfig(min_chars=40))
+    _, metrics2 = run_flagship(images_table, out_dir, opts2, chunk_fragments=32)
+    assert metrics2["chunks_skipped_on_resume"] == 0
+    assert metrics2["drops_by_reason"].get("too_short", 0) \
+        > metrics["drops_by_reason"].get("too_short", 0)
+
+    # stale .staging dirs and foreign chunk dirs must not leak into the
+    # dedup reread
+    os.makedirs(os.path.join(out_dir, "scored", "chunk-99999"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "scored", "chunk-00000.staging"),
+                exist_ok=True)
+    _, metrics3 = run_flagship(images_table, out_dir, opts2, chunk_fragments=32)
+    assert metrics3["rows"] == metrics2["rows"]
+    assert metrics3["chunks_skipped_on_resume"] == 2

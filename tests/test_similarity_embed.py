@@ -91,3 +91,40 @@ def test_train_text_classifier_separates(ray_session):
         [textgen.gen_clean_en(np.random.default_rng(900 + i)) for i in range(50)]
     )
     assert labels.count("pos") >= 49
+
+
+def _brute_force_survivors(m: np.ndarray, threshold: float) -> set:
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    keep = set()
+    for i in range(len(m)):
+        if i == 0 or sims[:i, i].max() < threshold:
+            keep.add(i)
+    return keep
+
+
+def test_cosine_dedup_earlier_multiblock_exact(ray_session):
+    """The block-pair plan must be exact across many blocks (peak task
+    memory = 2 blocks; no full-matrix broadcast)."""
+    import ray.data as rd
+
+    df, m = _emb_df(n=300, dim=16, seed=11)
+    ds = rd.from_pandas(df).repartition(12)  # force many id-range blocks
+    out = cosine_dedup_earlier(ds, threshold=0.4).to_pandas()
+    assert set(out.vec_id) == _brute_force_survivors(m, 0.4)
+
+
+def test_cosine_dedup_lsh_matches_exact_on_near_identicals(ray_session):
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.similarity import cosine_dedup_lsh
+
+    rng = np.random.default_rng(5)
+    n, dim = 400, 32
+    m = rng.standard_normal((n, dim)).astype(np.float32)
+    # plant 40 near-identical pairs (cos ≥ 0.99)
+    for i in range(40):
+        m[200 + i] = m[i] + rng.standard_normal(dim).astype(np.float32) * 0.01
+    df = pd.DataFrame({"vec_id": range(n), "embedding": [v.tolist() for v in m]})
+    out = cosine_dedup_lsh(rd.from_pandas(df), threshold=0.95).to_pandas()
+    assert set(out.vec_id) == _brute_force_survivors(m, 0.95)
