@@ -486,11 +486,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_revenue_by_segment_priority": _q3_shipping_priority,
         "sessionize_events": _q_sessionize,
         "flagship_quality_filter": _q_flagship,
+        "fuzzy_dedup_documents": _q_fuzzy_dedup,
         "llm_annotate_documents": _q_llm_annotate,
         "llm_score_filter_documents": _q_llm_score_filter,
         "llm_list_fanout_documents": _q_llm_list_fanout,
         "json_source_documents": _q_json_source,
     }
+
+
+def _q_fuzzy_dedup(sf_dir: str):
+    """Indel-ratio (fuzz.ratio) dedup — deduplicate.py:12-55 semantics
+    via LSH candidates + exact ratio verification (rows-only: edit
+    distance is not SQL-expressible)."""
+    from open_thoughts_ray.ops.fuzzy import fuzzy_dedup
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return fuzzy_dedup(ds, ratio_threshold=90.0).select_columns(["doc_id"])
 
 
 def _q_llm_annotate(sf_dir: str):
