@@ -311,6 +311,13 @@ def dedup_stage(scored, opts: PipelineOptions, kept_source=None,
         union_find_canonical(edf["a"].tolist(), edf["b"].tolist())
         if not edf.empty and "a" in edf.columns else {}
     )
+    if len(canon) <= 200_000:
+        # small canonical map rides in plain task closures — skips a
+        # second actor-pool launch (~1-2 s fixed cost per run)
+        apply = _ApplyDedup(canon=canon)
+        final = scored.map_batches(apply.__call__, batch_format="pyarrow",
+                                   batch_size=4096)
+        return final.select_columns(DECISION_COLUMNS)
     canon_ref = ray.put(canon)
     # fixed-size pool: an autoscaling pool never grows past its min while
     # upstream read tasks keep the scheduler busy
