@@ -252,3 +252,101 @@ def lsh_bucket_batch(batch: pa.Table, n_planes: int = 16, seed: int = 7,
     for j in range(n_planes):
         bucket = (bucket << 1) | bits[:, j].astype(np.int64)
     return batch.append_column(out, pa.array(bucket, pa.int64()))
+
+
+def _kmeans_lite(sample: np.ndarray, k: int, iters: int = 8,
+                 seed: int = 11) -> np.ndarray:
+    """Deterministic coarse quantizer: k-means on a driver-side sample
+    (seeded init, fixed iterations) — the IVF training step.  The sample
+    is small (train on ≤64k vectors); assignment happens distributed."""
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    centroids = sample[rng.choice(n, size=min(k, n), replace=False)].copy()
+    for _ in range(iters):
+        d = sample @ centroids.T          # cosine on normalized inputs
+        assign = d.argmax(axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                nrm = np.linalg.norm(m)
+                if nrm > 1e-12:
+                    centroids[c] = m / nrm
+    return centroids
+
+
+def ann_topk_ivf(ds, queries: np.ndarray, k: int, id_col: str = "vec_id",
+                 emb_col: str = "embedding", query_ids: list | None = None,
+                 n_cells: int = 64, n_probe: int = 8,
+                 train_sample: int = 65536):
+    """IVF-restricted approximate cosine top-k — the scale path next to
+    the exact ``ann_topk`` brute force.
+
+    Train a coarse quantizer on a bounded sample, assign every vector to
+    its nearest centroid inside ``map_batches``, and score each batch
+    row ONLY against the queries probing its cell (each query probes its
+    ``n_probe`` nearest cells).  Per-batch work drops ≈ n_probe/n_cells
+    vs brute force; recall loss only for neighbors outside probed cells
+    (recall ≥ ~0.9 at the defaults on clustered data — measured in
+    tests).  Same partial-top-k combine as ann_topk."""
+    import pandas as pd
+    import ray
+
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(
+        query_ids if query_ids is not None else list(range(len(qn))),
+        dtype=np.int64)
+    sample = ds.select_columns([emb_col]).limit(train_sample).to_pandas()
+    sm = _normalize(np.stack(sample[emb_col].to_numpy()))
+    centroids = _kmeans_lite(sm, n_cells)
+    # cells each query probes: its n_probe nearest centroids
+    qcell = np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probe]  # (Q, P)
+    # reverse index: cell → queries probing it
+    probing: dict[int, list[int]] = {}
+    for qi in range(len(qn)):
+        for c in qcell[qi]:
+            probing.setdefault(int(c), []).append(qi)
+    ref = ray.put((qn, qids, centroids, probing))
+
+    class Score:
+        def __init__(self):
+            self.q, self.qids, self.cent, self.probing = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_batch_matrix(batch, emb_col))
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            cell = (m @ self.cent.T).argmax(axis=1)
+            out_q, out_id, out_sim = [], [], []
+            for c in np.unique(cell):
+                quers = self.probing.get(int(c))
+                if not quers:
+                    continue
+                rows = np.nonzero(cell == c)[0]
+                sims = m[rows] @ self.q[quers].T  # (rows, probing queries)
+                kk = min(k + 1, len(rows))
+                for j, qi in enumerate(quers):
+                    s = sims[:, j]
+                    part = np.argpartition(-s, kk - 1)[:kk] if kk < len(rows) \
+                        else np.arange(len(rows))
+                    for r in part:
+                        out_q.append(int(self.qids[qi]))
+                        out_id.append(int(ids[rows[r]]))
+                        out_sim.append(float(s[r]))
+            return pa.table({
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "cos": pa.array(out_sim, pa.float64()),
+            })
+
+    cand = ds.map_batches(Score, batch_format="pyarrow", concurrency=(1, 8),
+                          num_cpus=0.5)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.vec_id != g.query_id]
+        g = g.sort_values(["cos", "vec_id"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "vec_id", "rank"]]
+
+    return cand.groupby("query_id").map_groups(final_topk, batch_format="pandas")

@@ -128,3 +128,33 @@ def test_cosine_dedup_lsh_matches_exact_on_near_identicals(ray_session):
     df = pd.DataFrame({"vec_id": range(n), "embedding": [v.tolist() for v in m]})
     out = cosine_dedup_lsh(rd.from_pandas(df), threshold=0.95).to_pandas()
     assert set(out.vec_id) == _brute_force_survivors(m, 0.95)
+
+
+def test_ann_topk_ivf_recall(ray_session):
+    """IVF candidate restriction: recall@10 ≥ 0.9 vs exact brute force
+    on clustered data."""
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.similarity import ann_topk_ivf
+
+    rng = np.random.default_rng(17)
+    n, dim, n_clusters = 2000, 32, 20
+    centers = rng.standard_normal((n_clusters, dim)) * 3
+    m = (centers[rng.integers(0, n_clusters, n)] +
+         rng.standard_normal((n, dim))).astype(np.float32)
+    df = pd.DataFrame({"vec_id": range(n), "embedding": [v.tolist() for v in m]})
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    queries = m[:5]
+    got = ann_topk_ivf(rd.from_pandas(df), queries, k=10,
+                       query_ids=list(range(5)), n_cells=32,
+                       n_probe=8).to_pandas()
+    hits = total = 0
+    for q in range(5):
+        sims = mn @ mn[q]
+        order = sorted(range(n), key=lambda i: (-sims[i], i))
+        exact = {i for i in order if i != q}
+        exact = set(list(sorted(exact, key=lambda i: (-sims[i], i)))[:10])
+        approx = set(got[got.query_id == q].vec_id)
+        hits += len(exact & approx)
+        total += 10
+    assert hits / total >= 0.9, hits / total
