@@ -183,7 +183,11 @@ def _q_hash_join(sf_dir: str):
     orders = _rp(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).rename_columns(
         {"o_orderkey": "l_orderkey"}
     )
-    joined = R.hash_join(li, orders, on="l_orderkey", num_partitions=16)
+    import ray
+
+    parts = max(8, int(ray.cluster_resources().get("CPU", 16)) // 2) \
+        if ray.is_initialized() else 16
+    joined = R.hash_join(li, orders, on="l_orderkey", num_partitions=parts)
     return joined.groupby("o_orderpriority").aggregate(
         Sum("rev_cents", alias_name="revenue_cents"), Count(alias_name="n_items")
     )

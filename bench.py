@@ -149,6 +149,24 @@ def _subprocess_run(num_cpus: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def _burn_throughput(n: int, iters: int = 30_000_000) -> float:
+    """Aggregate machine throughput (loop-iterations/sec) of n identical
+    single-core busy loops RIGHT NOW — a per-window probe.  Measured
+    immediately before each scaling level runs, it attributes host-load
+    drift to the window it happened in (the end-of-run ceiling can't:
+    the host may have been idle for one level and contended for the
+    other)."""
+    ps = [
+        subprocess.Popen([sys.executable, "-c",
+                          f"x=0\nfor i in range({iters}): x+=i"])
+        for _ in range(n)
+    ]
+    t0 = time.time()
+    for p in ps:
+        p.wait()
+    return n * iters / (time.time() - t0)
+
+
 def _machine_ceiling(lo: int, hi: int) -> float:
     """This VM's own strong-scaling limit: aggregate throughput ratio of
     n identical single-core pure-Python busy loops at n=lo vs n=hi.
@@ -194,11 +212,22 @@ def main_scaling() -> dict:
     # (least-interference estimate), interleaving levels to balance drift
     runs_lo, runs_hi = [], []
     for _ in range(reps):
-        runs_lo.append(_subprocess_run(lo))
-        runs_hi.append(_subprocess_run(hi))
+        m_lo = _burn_throughput(lo)
+        r = _subprocess_run(lo)
+        r["machine_thr"] = m_lo
+        runs_lo.append(r)
+        m_hi = _burn_throughput(hi)
+        r = _subprocess_run(hi)
+        r["machine_thr"] = m_hi
+        runs_hi.append(r)
     r_lo = min(runs_lo, key=lambda r: r["value"])
     r_hi = min(runs_hi, key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    # window-matched normalization: ideal scaling equals what the machine
+    # itself gave between the two runs' own windows
+    machine_ratio = r_hi["machine_thr"] / r_lo["machine_thr"]
+    eff_windowed = (r_lo["value"] / r_hi["value"]) / machine_ratio \
+        if machine_ratio > 0 else float("nan")
     ceiling = _machine_ceiling(lo, hi)
     return {
         "metric": f"flagship scaling {lo}→{hi} CPUs "
@@ -212,6 +241,8 @@ def main_scaling() -> dict:
         "scaling_efficiency": round(eff, 3),
         "machine_pure_cpu_ceiling": round(ceiling, 3),
         "efficiency_vs_machine_ceiling": round(eff / ceiling, 3),
+        "machine_window_ratio": round(machine_ratio / (hi / lo), 3),
+        "efficiency_windowed": round(eff_windowed, 3),
         "bench_rows": BENCH_N,
     }
 

@@ -183,3 +183,24 @@ def test_distributed_quantile_bounded(ray_session):
     assert abs(rank - 0.9) < 0.005, (thr, true_thr, rank)
     kept = out.count()
     assert abs(kept / n - 0.1) < 0.006
+
+
+def test_yaml_repartition_and_dedup_ops(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from open_thoughts_ray.yaml_pipeline import run_pipeline
+
+    pq.write_table(
+        pa.table({"id": pa.array([3, 1, 2, 1, 3], pa.int64()),
+                  "k": pa.array(list("aabba"))}),
+        str(tmp_path / "t.parquet"),
+    )
+    doc = {"operators": [
+        {"id": "src", "config": {"type": "parquet_source",
+                                 "path": str(tmp_path / "t.parquet")}},
+        {"id": "shard", "config": {"type": "repartition", "num_blocks": 3}},
+        {"id": "dedup", "config": {"type": "dedup_exact",
+                                   "key_columns": ["k"], "order_column": "id"}},
+    ]}
+    out = run_pipeline(doc).to_pandas().sort_values("k")
+    assert out.id.tolist() == [1, 1]  # min id per key, across 3 blocks
