@@ -231,29 +231,32 @@ def mix(datasets: list, seed: int = 42):
 # ----------------------------------------------------------------- joins
 def broadcast_join(ds, right: pd.DataFrame, on: str, how: str = "left",
                    columns: list[str] | None = None):
-    """Small right side: broadcast via ray.put once, pandas merge per
-    batch (the reference's domain-set lookup, WebInstruct/utils.py:170-192,
-    and MergeOperator semantics for small sides, merge_operator.py:88-168).
-    No shuffle."""
+    """Small right side: broadcast via ray.put once, zero-copy Arrow
+    ``Table.join`` per batch (the reference's domain-set lookup,
+    WebInstruct/utils.py:170-192, and MergeOperator semantics for small
+    sides, merge_operator.py:88-168).  No shuffle, no pandas round-trip.
+    ``how`` follows pandas names (left/inner) and maps to Arrow
+    left outer/inner."""
     import ray
 
     if columns is not None:
         right = right[columns]
-    right_ref = ray.put(right)
+    right_tbl = pa.Table.from_pandas(right, preserve_index=False)
+    right_ref = ray.put(right_tbl)
+    join_type = {"left": "left outer", "inner": "inner",
+                 "right": "right outer", "outer": "full outer"}[how]
 
-    class Joiner:
-        def __init__(self):
-            self.right = ray.get(right_ref)
+    def join(batch: pa.Table, right_local=[]) -> pa.Table:
+        # per-process lazy fetch of the broadcast table (plain tasks:
+        # no actor pool to launch; worker processes are reused)
+        if not right_local:
+            right_local.append(ray.get(right_ref))
+        # Arrow joins don't define output row order — downstream
+        # consumers must not rely on it (aggregates and the sorted
+        # hash-compare don't)
+        return batch.join(right_local[0], keys=on, join_type=join_type)
 
-        def __call__(self, batch: pd.DataFrame) -> pa.Table:
-            # emit Arrow so downstream schema ops (rename_columns, …)
-            # see Arrow blocks, not pandas
-            return pa.Table.from_pandas(
-                batch.merge(self.right, on=on, how=how), preserve_index=False
-            )
-
-    return ds.map_batches(Joiner, batch_format="pandas", concurrency=(1, 8),
-                          num_cpus=0.5)
+    return ds.map_batches(join, batch_format="pyarrow")
 
 
 def hash_join(left, right, on: str, num_partitions: int = 16,

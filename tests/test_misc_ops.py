@@ -204,3 +204,20 @@ def test_yaml_repartition_and_dedup_ops(ray_session, tmp_path):
     ]}
     out = run_pipeline(doc).to_pandas().sort_values("k")
     assert out.id.tolist() == [1, 1]  # min id per key, across 3 blocks
+
+
+def test_distinct_ngram_ratio_approx_matches_exact(ray_session):
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.consensus import (
+        distinct_ngram_ratio,
+        distinct_ngram_ratio_approx,
+    )
+
+    rng = np.random.default_rng(4)
+    words = [f"w{i}" for i in range(300)]
+    texts = [" ".join(rng.choice(words, 20)) for _ in range(600)]
+    ds = rd.from_pandas(pd.DataFrame({"text": texts})).repartition(8)
+    exact = distinct_ngram_ratio(ds, n=2)
+    approx = distinct_ngram_ratio_approx(ds, n=2)
+    assert abs(approx - exact) / exact < 0.05, (exact, approx)
