@@ -491,11 +491,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": _q_sessionize,
         "flagship_quality_filter": _q_flagship,
         "fuzzy_dedup_documents": _q_fuzzy_dedup,
+        "ann_topk_ivf_embeddings": _q_ann_topk_ivf,
+        "cosine_dedup_lsh_embeddings": _q_cosine_dedup_lsh,
         "llm_annotate_documents": _q_llm_annotate,
         "llm_score_filter_documents": _q_llm_score_filter,
         "llm_list_fanout_documents": _q_llm_list_fanout,
         "json_source_documents": _q_json_source,
     }
+
+
+def _q_ann_topk_ivf(sf_dir: str):
+    """IVF-restricted approximate ANN (rows-only: recall characterized
+    in tests/test_similarity_embed.py; deterministic seeded quantizer)."""
+    import pyarrow.parquet as pq
+
+    from open_thoughts_ray.ops.similarity import ann_topk_ivf
+
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    q = np.stack(tbl.column("embedding").to_pylist()[:5])
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ann_topk_ivf(ds, q, k=10, query_ids=list(range(5)),
+                        n_cells=16, n_probe=8)
+
+
+def _q_cosine_dedup_lsh(sf_dir: str):
+    """Banded-LSH high-threshold near-dup collapse (rows-only; exact
+    in-bucket verification, recall bound documented)."""
+    from open_thoughts_ray.ops.similarity import cosine_dedup_lsh
+
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return cosine_dedup_lsh(ds, threshold=0.9).select_columns(["vec_id"])
 
 
 def _q_fuzzy_dedup(sf_dir: str):

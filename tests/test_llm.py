@@ -223,3 +223,37 @@ def test_yaml_completions_op_with_resources(ray_session, tmp_path):
     out = run_pipeline(doc).to_pandas()
     assert len(out) == 12
     assert out.ans.iloc[0] == md5(f"user\nQ: {out.text.iloc[0]}")
+
+
+def test_example_yaml_strategy_end_to_end(ray_session, tmp_path):
+    """examples/webdoc_curation.yaml: the full reference-grammar flow
+    (json_source → filter → classify → filter → annotate → dedup →
+    project) over a synthetic JSONL corpus."""
+    import json as _json
+
+    import yaml
+
+    from open_thoughts_ray.yaml_pipeline import run_pipeline
+
+    rows = []
+    for i in range(30):
+        rows.append({"doc_id": i, "text": f"lesson {i} about topic {i % 7}",
+                     "lang": "en" if i % 3 else "de"})
+    rows.append({"doc_id": 99, "text": "lesson 1 about topic 1",
+                 "lang": "en"})  # exact dup of doc 1 (higher id loses)
+    src = tmp_path / "corpus.jsonl"
+    with open(src, "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    doc = yaml.safe_load(
+        open("examples/webdoc_curation.yaml").read().replace(
+            "{input_path}", str(src)))
+    out = run_pipeline(doc).to_pandas()
+    assert set(out.columns) == {"doc_id", "text", "summary", "educational",
+                                "source"}
+    assert (out.source == "webcrawl").all()
+    assert out.educational.all()
+    assert 99 not in set(out.doc_id)  # dup collapsed to the min doc_id
+    # every summary is the deterministic mock annotation
+    for _, r in out.iterrows():
+        assert r.summary == md5(f"user\nSummarize: {r.text}")

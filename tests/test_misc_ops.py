@@ -221,3 +221,33 @@ def test_distinct_ngram_ratio_approx_matches_exact(ray_session):
     exact = distinct_ngram_ratio(ds, n=2)
     approx = distinct_ngram_ratio_approx(ds, n=2)
     assert abs(approx - exact) / exact < 0.05, (exact, approx)
+
+
+def test_repartition_by_length_homogeneous_blocks(ray_session):
+    import ray
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.relational import repartition_by_length
+
+    rng = np.random.default_rng(2)
+    texts = ["x" * int(l) for l in rng.lognormal(3, 1.2, size=2000)]
+    ds = rd.from_pandas(pd.DataFrame({"text": texts}))
+    out = repartition_by_length(ds, "text", blocks_per_cpu=2).materialize()
+    # no rows lost, helper column dropped
+    assert out.count() == 2000
+    assert out.schema().names == ["text"]
+    # blocks are length-contiguous: each block's length range must not
+    # overlap its neighbors' (global sort by length)
+    ranges = []
+    for bundle in out.iter_internal_ref_bundles():
+        for ref, _meta in bundle.blocks:
+            blk = ray.get(ref)
+            if isinstance(blk, pa.Table):
+                lens = [len(t) for t in blk.column("text").to_pylist()]
+            else:
+                lens = [len(t) for t in blk["text"]]
+            if lens:
+                ranges.append((min(lens), max(lens)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2 or lo1 == lo2  # contiguous, ties allowed
