@@ -84,19 +84,65 @@ class BigramLM:
         return math.log(p)
 
     def perplexity(self, text: str) -> float:
-        toks = tokenize(text)
-        if not toks:
-            return float(math.exp(-math.log(self.p_unk)))
-        ll = 0.0
-        prev = -1
-        for t in toks:
-            wid = self.vocab.get(t, -1)
-            ll += self.logprob(prev, wid)
-            prev = wid
-        return float(math.exp(-ll / len(toks)))
+        """Scalar path DELEGATES to the batch kernel so the single-process
+        oracle and the pipeline score with one implementation —
+        bit-identical by construction."""
+        return float(self.perplexity_batch([text])[0])
+
+    def _bi_arrays(self) -> tuple[np.ndarray, np.ndarray]:
+        """Sorted bigram (key, count) arrays for vectorized searchsorted
+        lookup; built once per model instance."""
+        if not hasattr(self, "_bik"):
+            k = np.fromiter(self.bi.keys(), dtype=np.int64, count=len(self.bi))
+            v = np.fromiter(self.bi.values(), dtype=np.float64,
+                            count=len(self.bi))
+            o = np.argsort(k)
+            self._bik, self._biv = k[o], v[o]
+        return self._bik, self._biv
 
     def perplexity_batch(self, texts: list[str]) -> np.ndarray:
-        return np.asarray([self.perplexity(t) for t in texts], dtype=np.float32)
+        """Vectorized over the whole batch: one flat token array, dict→id
+        lookups in a single pass, unigram/bigram probability terms as
+        masked numpy ops in the SAME accumulation order as the scalar
+        formula, per-text log-likelihoods via np.bincount (sequential
+        in-order accumulation, matching a per-token loop)."""
+        tok_lists = [tokenize(t) for t in texts]
+        lens = np.asarray([len(t) for t in tok_lists], dtype=np.int64)
+        n_texts = len(texts)
+        out = np.full(n_texts, float(np.exp(-np.log(self.p_unk))),
+                      dtype=np.float64)
+        total_toks = int(lens.sum())
+        if total_toks == 0:
+            return out.astype(np.float32)
+        get = self.vocab.get
+        wid = np.fromiter(
+            (get(t, -1) for lst in tok_lists for t in lst),
+            dtype=np.int64, count=total_toks,
+        )
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        owner = np.repeat(np.arange(n_texts), lens)
+        prev = np.empty_like(wid)
+        prev[1:] = wid[:-1]
+        prev[starts[lens > 0]] = -1  # no cross-text context
+        p = np.full(total_toks, self.p_unk, dtype=np.float64)
+        known = wid >= 0
+        p[known] += LAMBDA1 * self.uni[wid[known]] / self.total
+        both = known & (prev >= 0)
+        if both.any():
+            idx_prev = prev[both]
+            c_prev = self.uni[idx_prev]
+            keys = idx_prev * self.V + wid[both]
+            bik, biv = self._bi_arrays()
+            add = np.zeros(len(keys), dtype=np.float64)
+            if len(bik):
+                pos = np.clip(np.searchsorted(bik, keys), 0, len(bik) - 1)
+                hit = (bik[pos] == keys) & (c_prev > 0)
+                add[hit] = LAMBDA2 * biv[pos[hit]] / c_prev[hit]
+            p[both] += add
+        ll = np.bincount(owner, weights=np.log(p), minlength=n_texts)
+        nz = lens > 0
+        out[nz] = np.exp(-ll[nz] / lens[nz])
+        return out.astype(np.float32)
 
     # ------------------------------------------------------- persistence
     def to_bytes(self) -> bytes:

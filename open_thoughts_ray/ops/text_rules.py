@@ -68,12 +68,26 @@ class RuleConfig:
         return asdict(self)
 
 
+# byte-level symbol lookup: every symbol is ASCII, so counting flagged
+# bytes over the UTF-8 encoding equals the per-char membership test
+# (multi-byte chars only produce bytes ≥ 0x80, never counted)
+_SYM_BYTES = np.zeros(256, dtype=np.int64)
+for _ch in _SYMBOL_SET:
+    if ord(_ch) < 128:
+        _SYM_BYTES[ord(_ch)] = 1
+_EDGE_PUNCT = ".,!?;:\"'"
+
+
 def caption_stats(texts: list[str]) -> dict[str, np.ndarray]:
-    """Per-caption surface statistics (single pass per string).
+    """Per-caption surface statistics.
 
     word tokens = whitespace tokens containing ≥1 alphabetic char,
     lowercased and stripped of edge punctuation — the same tokenization
-    the LM uses, so 'symbols' never count as words.
+    the LM uses, so 'symbols' never count as words.  Symbol counting is
+    a 256-entry byte table over the UTF-8 bytes; token normalization is
+    memoized per unique raw token across the batch (captions repeat
+    vocabulary heavily — strip/alpha/stopword run once per distinct
+    token, not once per occurrence).
     """
     n = len(texts)
     char_len = np.zeros(n, dtype=np.int32)
@@ -82,22 +96,32 @@ def caption_stats(texts: list[str]) -> dict[str, np.ndarray]:
     sym_ratio = np.zeros(n, dtype=np.float64)
     stop_ratio = np.zeros(n, dtype=np.float64)
     is_empty = np.zeros(n, dtype=bool)
+    tok_cache: dict[str, tuple] = {}
     for i, t in enumerate(texts):
         char_len[i] = len(t)
         if not t.strip():
             is_empty[i] = True
             continue
-        n_sym = sum(1 for ch in t if ch in _SYMBOL_SET)
+        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+        n_sym = int(_SYM_BYTES[b].sum())
         words = []
+        n_stop = 0
         for tok in t.lower().split():
-            tok = tok.strip(".,!?;:\"'")
-            if tok and any(c.isalpha() for c in tok):
-                words.append(tok)
+            r = tok_cache.get(tok)
+            if r is None:
+                s = tok.strip(_EDGE_PUNCT)
+                keep = bool(s) and any(c.isalpha() for c in s)
+                r = (s if keep else None, s in _STOPWORD_SET)
+                tok_cache[tok] = r
+            if r[0] is not None:
+                words.append(r[0])
+                if r[1]:
+                    n_stop += 1
         nw = len(words)
         n_words[i] = nw
         if nw:
             rep_ratio[i] = 1.0 - len(set(words)) / nw
-            stop_ratio[i] = sum(1 for w in words if w in _STOPWORD_SET) / nw
+            stop_ratio[i] = n_stop / nw
         sym_ratio[i] = n_sym / max(1, nw)
     return {
         "char_len": char_len,
