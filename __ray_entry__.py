@@ -185,7 +185,10 @@ def _q_hash_join(sf_dir: str):
     )
     import ray
 
-    parts = max(8, int(ray.cluster_resources().get("CPU", 16)) // 2) \
+    # at bench scale the hash-shuffle aggregator startup dominates —
+    # fewer, fatter partitions win (sweep: 8 parts fastest at 600k rows);
+    # at 10^12 rows num_partitions should track total cores instead
+    parts = max(8, int(ray.cluster_resources().get("CPU", 16)) // 4) \
         if ray.is_initialized() else 16
     joined = R.hash_join(li, orders, on="l_orderkey", num_partitions=parts)
     return joined.groupby("o_orderpriority").aggregate(

@@ -51,34 +51,32 @@ def ann_topk(ds, queries: np.ndarray, k: int, id_col: str = "vec_id",
     )
     q_ref = ray.put((qn, qids))
 
-    class Score:
-        def __init__(self):
-            self.q, self.qids = ray.get(q_ref)
+    def score(batch: pa.Table) -> pa.Table:
+        # plain task (no pool launch); ray.get of the broadcast matrix is
+        # a zero-copy plasma mmap per batch
+        q, qid_arr = ray.get(q_ref)
+        m = _normalize(_batch_matrix(batch, emb_col))
+        sims = m @ q.T  # (B, Q)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        # local top-k per query within this batch
+        out_q, out_id, out_sim = [], [], []
+        kk = min(k + 1, sims.shape[0])
+        for qi in range(sims.shape[1]):
+            s = sims[:, qi]
+            part = np.argpartition(-s, kk - 1)[:kk]
+            for j in part:
+                out_q.append(int(qid_arr[qi]))
+                out_id.append(int(ids[j]))
+                out_sim.append(float(s[j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "cos": pa.array(out_sim, pa.float64()),
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _normalize(_batch_matrix(batch, emb_col))
-            sims = m @ self.q.T  # (B, Q)
-            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-            # local top-k per query within this batch
-            out_q, out_id, out_sim = [], [], []
-            kk = min(k + 1, sims.shape[0])
-            for qi in range(sims.shape[1]):
-                s = sims[:, qi]
-                part = np.argpartition(-s, kk - 1)[:kk]
-                for j in part:
-                    out_q.append(int(self.qids[qi]))
-                    out_id.append(int(ids[j]))
-                    out_sim.append(float(s[j]))
-            return pa.table(
-                {
-                    "query_id": pa.array(out_q, pa.int64()),
-                    "vec_id": pa.array(out_id, pa.int64()),
-                    "cos": pa.array(out_sim, pa.float64()),
-                }
-            )
-
-    cand = ds.map_batches(Score, batch_format="pyarrow", concurrency=(1, 8),
-                          num_cpus=0.5)
+    cand = ds.map_batches(score, batch_format="pyarrow")
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g[g.vec_id != g.query_id]
@@ -308,38 +306,34 @@ def ann_topk_ivf(ds, queries: np.ndarray, k: int, id_col: str = "vec_id",
             probing.setdefault(int(c), []).append(qi)
     ref = ray.put((qn, qids, centroids, probing))
 
-    class Score:
-        def __init__(self):
-            self.q, self.qids, self.cent, self.probing = ray.get(ref)
+    def score(batch: pa.Table) -> pa.Table:
+        q, qid_arr, cent, probe_map = ray.get(ref)  # zero-copy plasma read
+        m = _normalize(_batch_matrix(batch, emb_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        cell = (m @ cent.T).argmax(axis=1)
+        out_q, out_id, out_sim = [], [], []
+        for c in np.unique(cell):
+            quers = probe_map.get(int(c))
+            if not quers:
+                continue
+            rows = np.nonzero(cell == c)[0]
+            sims = m[rows] @ q[quers].T  # (rows, probing queries)
+            kk = min(k + 1, len(rows))
+            for j, qi in enumerate(quers):
+                s = sims[:, j]
+                part = np.argpartition(-s, kk - 1)[:kk] if kk < len(rows) \
+                    else np.arange(len(rows))
+                for r in part:
+                    out_q.append(int(qid_arr[qi]))
+                    out_id.append(int(ids[rows[r]]))
+                    out_sim.append(float(s[r]))
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_id, pa.int64()),
+            "cos": pa.array(out_sim, pa.float64()),
+        })
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _normalize(_batch_matrix(batch, emb_col))
-            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-            cell = (m @ self.cent.T).argmax(axis=1)
-            out_q, out_id, out_sim = [], [], []
-            for c in np.unique(cell):
-                quers = self.probing.get(int(c))
-                if not quers:
-                    continue
-                rows = np.nonzero(cell == c)[0]
-                sims = m[rows] @ self.q[quers].T  # (rows, probing queries)
-                kk = min(k + 1, len(rows))
-                for j, qi in enumerate(quers):
-                    s = sims[:, j]
-                    part = np.argpartition(-s, kk - 1)[:kk] if kk < len(rows) \
-                        else np.arange(len(rows))
-                    for r in part:
-                        out_q.append(int(self.qids[qi]))
-                        out_id.append(int(ids[rows[r]]))
-                        out_sim.append(float(s[r]))
-            return pa.table({
-                "query_id": pa.array(out_q, pa.int64()),
-                "vec_id": pa.array(out_id, pa.int64()),
-                "cos": pa.array(out_sim, pa.float64()),
-            })
-
-    cand = ds.map_batches(Score, batch_format="pyarrow", concurrency=(1, 8),
-                          num_cpus=0.5)
+    cand = ds.map_batches(score, batch_format="pyarrow")
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g[g.vec_id != g.query_id]
