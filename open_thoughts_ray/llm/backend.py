@@ -69,6 +69,14 @@ class MockLLMBackend:
         if response_format.startswith("list:"):
             n = int(response_format.split(":", 1)[1])
             return [_md5(canonical + "#" + str(i)) for i in range(n)]
+        if response_format == "ranking":
+            # candidates are numbered "[k] ..." in the prompt; emit a
+            # deterministic permutation of 1..n seeded by the prompt hash
+            import numpy as np
+
+            n = canonical.count("\n[")
+            rng = np.random.default_rng(int(h[:8], 16))
+            return {"response": (rng.permutation(n) + 1).tolist()}
         raise ValueError(f"unknown response_format {response_format!r}")
 
 

@@ -183,3 +183,95 @@ def build_map(kind: str, config: dict) -> CompletionsMap:
         raise KeyError(f"unknown completions map '{kind}'; "
                        f"registered: {sorted(MAP_REGISTRY)}")
     return MAP_REGISTRY[kind](config)
+
+
+class RankerMap(CompletionsMap):
+    """Rank N candidate responses for a query → permutation list
+    (ranker_map.py:23-80: numbered candidates in the prompt, structured
+    list-of-int response stored in output_column)."""
+
+    def __init__(self, config: dict):
+        self.query_column = config["query_column"]
+        self.responses_column = config["responses_column"]
+        self.system_prompt = config.get(
+            "system_prompt", "You are a helpful assistant who ranks multiple answers")
+        self.output_column = config["output_column"]
+        self.response_format = "ranking"
+
+    def prompt(self, row: dict) -> list[dict]:
+        cands = row[self.responses_column]
+        body = f"Rank the following {len(cands)} responses to: " \
+               f"{row[self.query_column]}\n"
+        for j, c in enumerate(cands):
+            body += f"\n[{j + 1}] {c}"
+        return [{"role": "system", "content": self.system_prompt},
+                {"role": "user", "content": body}]
+
+    def parse(self, row: dict, response) -> dict:
+        ranking = [int(x) for x in response["response"]]
+        n = len(row[self.responses_column])
+        if sorted(ranking) != list(range(1, n + 1)):
+            raise ValueError(f"invalid ranking {ranking} for {n} candidates")
+        return {**row, self.output_column: ranking}
+
+
+class CriticMap(CompletionsMap):
+    """Critique N candidate responses (critic_map.py:16-60: numbered
+    candidates, free-text critique in output_column)."""
+
+    response_format = None
+
+    def __init__(self, config: dict):
+        self.query_column = config["query_column"]
+        self.responses_column = config["responses_column"]
+        self.system_prompt = config.get("system_prompt",
+                                        "You are a critical evaluator")
+        self.output_column = config["output_column"]
+
+    def prompt(self, row: dict) -> list[dict]:
+        cands = row[self.responses_column]
+        body = ("Evaluate the strengths and weaknesses of each response "
+                f"based on the instruction: {row[self.query_column]}.\n")
+        for j, c in enumerate(cands):
+            body += f"\n[{j + 1}] {c}"
+        return [{"role": "system", "content": self.system_prompt},
+                {"role": "user", "content": body}]
+
+    def parse(self, row: dict, response) -> dict:
+        return {**row, self.output_column: response}
+
+
+class FuserMap(CompletionsMap):
+    """Fuse the top-ranked candidates into one response
+    (fuser_map.py:23-90: takes the ranking column, prompts with the top
+    ``top_ranking`` candidates, free-text fused answer)."""
+
+    response_format = None
+
+    def __init__(self, config: dict):
+        self.query_column = config["query_column"]
+        self.responses_column = config["responses_column"]
+        self.ranking_column = config["ranking_column"]
+        self.top_ranking = int(config.get("top_ranking", 5))
+        self.system_prompt = config.get(
+            "system_prompt", "You are a helpful assistant who fuses multiple answers")
+        self.output_column = config["output_column"]
+
+    def prompt(self, row: dict) -> list[dict]:
+        cands = row[self.responses_column]
+        ranking = row[self.ranking_column]
+        top = [cands[r - 1] for r in ranking[: self.top_ranking]]
+        body = (f"Fuse the best ideas of the following {len(top)} responses "
+                f"to: {row[self.query_column]}\n")
+        for j, c in enumerate(top):
+            body += f"\n[{j + 1}] {c}"
+        return [{"role": "system", "content": self.system_prompt},
+                {"role": "user", "content": body}]
+
+    def parse(self, row: dict, response) -> dict:
+        return {**row, self.output_column: response}
+
+
+for _n, _c in (("ranker", RankerMap), ("critic", CriticMap),
+               ("fuser", FuserMap)):
+    register_map(_n, _c)

@@ -157,6 +157,8 @@ def global_quantile_threshold(ds, column: str, q: float, keep: str = "ge",
     Pass 2 is a vectorized filter.
     """
     total = ds.count()
+    if total == 0:
+        return ds, float("nan")
     if total <= exact_threshold:
         vals = np.concatenate(
             [

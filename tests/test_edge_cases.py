@@ -85,3 +85,29 @@ def test_phash_of_constant_image():
     px = np.full((16, 16, 3), 128, dtype=np.uint8)
     h = codecs.average_phash(px)  # all cells equal the mean → all bits 0
     assert h == 0
+
+
+def test_new_ops_on_empty_inputs(ray_session):
+    """Round-2 ops must survive empty datasets (the resume/empty-shard
+    path): completions, fuzzy dedup, quantile threshold, minhash."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from open_thoughts_ray.llm import completions
+    from open_thoughts_ray.ops.dedup_text import minhash_lsh_dedup
+    from open_thoughts_ray.ops.fuzzy import fuzzy_dedup
+    from open_thoughts_ray.ops.relational import global_quantile_threshold
+
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+    }))
+    assert completions(
+        empty, "chat", {"user_message": "x {{text}}", "output_column": "o"},
+        concurrency=1,
+    ).count() == 0
+    assert minhash_lsh_dedup(empty, id_col="doc_id").count() == 0
+    assert fuzzy_dedup(empty, id_col="doc_id").count() == 0
+    ev = rd.from_arrow(pa.table({"v": pa.array([], pa.float64())}))
+    out, thr = global_quantile_threshold(ev, "v", 0.5)
+    assert out.count() == 0

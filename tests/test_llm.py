@@ -257,3 +257,39 @@ def test_example_yaml_strategy_end_to_end(ray_session, tmp_path):
     # every summary is the deterministic mock annotation
     for _, r in out.iterrows():
         assert r.summary == md5(f"user\nSummarize: {r.text}")
+
+
+def test_ranker_critic_fuser_chain(ray_session):
+    """Best-of-N shape (reference ranker → critic/fuser flow): rank
+    candidates, then fuse the top ones — all through the deterministic
+    mock backend."""
+    import ray.data as rd
+
+    df = pd.DataFrame({
+        "q": ["what is 2+2", "capital of france"],
+        "cands": [["four", "5", "maybe 4"], ["paris", "london", "lyon"]],
+    })
+    ranked = completions(
+        rd.from_pandas(df), "ranker",
+        {"query_column": "q", "responses_column": "cands",
+         "output_column": "ranking"},
+        concurrency=1,
+    )
+    fused = completions(
+        ranked, "fuser",
+        {"query_column": "q", "responses_column": "cands",
+         "ranking_column": "ranking", "top_ranking": 2,
+         "output_column": "fused"},
+        concurrency=1,
+    ).to_pandas().sort_values("q").reset_index(drop=True)
+    assert len(fused) == 2
+    for _, r in fused.iterrows():
+        assert sorted(r.ranking) == [1, 2, 3]  # valid permutation
+        assert len(r.fused) == 32  # md5 hex mock response
+    critic = completions(
+        rd.from_pandas(df), "critic",
+        {"query_column": "q", "responses_column": "cands",
+         "output_column": "critique"},
+        concurrency=1,
+    ).to_pandas()
+    assert critic.critique.str.len().eq(32).all()
