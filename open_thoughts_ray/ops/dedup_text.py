@@ -25,6 +25,33 @@ from .dedup import union_find_canonical
 _MERS61 = (1 << 61) - 1
 
 
+def _keep_ids_filter(ds, id_col: str, keep: set):
+    """Keep only rows whose id is in ``keep`` — candidate-pruning filter
+    (small sets in task closures; large via _drop_ids_filter pattern)."""
+    import ray
+
+    if len(keep) <= 100_000:
+        def f(batch: pa.Table) -> pa.Table:
+            vals = [str(v) for v in batch.column(id_col).to_pylist()]
+            mask = np.asarray([v in keep for v in vals], dtype=bool)
+            return batch.filter(pa.array(mask))
+
+        return ds.map_batches(f, batch_format="pyarrow")
+    keep_ref = ray.put(keep)
+
+    class F:
+        def __init__(self):
+            self.keep = ray.get(keep_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vals = [str(v) for v in batch.column(id_col).to_pylist()]
+            mask = np.asarray([v in self.keep for v in vals], dtype=bool)
+            return batch.filter(pa.array(mask))
+
+    return ds.map_batches(F, batch_format="pyarrow", concurrency=(1, 8),
+                          num_cpus=0.5)
+
+
 def _drop_ids_filter(ds, id_col: str, drop: set):
     """Filter out rows whose id is in ``drop``.  Small sets ride in the
     task closure (plain tasks — no actor-pool launch latency, ~1 s saved
@@ -273,21 +300,9 @@ def minhash_lsh_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
         # row filters
         cand_tbl = source_fetch(cand_ids)
     else:
-        cand_ref = ray.put(cand_ids)
-
-        class PruneToCandidates:
-            def __init__(self):
-                self.cand = ray.get(cand_ref)
-
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                vals = [str(v) for v in batch.column(id_col).to_pylist()]
-                mask = np.asarray([v in self.cand for v in vals], dtype=bool)
-                return batch.filter(pa.array(mask))
-
         cand_tbl = (
-            ds.select_columns([id_col, text_col])
-            .map_batches(PruneToCandidates, batch_format="pyarrow",
-                         concurrency=(1, 8), num_cpus=0.5)
+            _keep_ids_filter(ds.select_columns([id_col, text_col]),
+                             id_col, cand_ids)
             .to_pandas()  # bounded: O(#candidate ids)
         )
     fam = _hash_family(k)

@@ -91,23 +91,11 @@ def fuzzy_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     if source_fetch is not None:
         cand_tbl = source_fetch(cand_ids)
     else:
-        cand_ref = ray.put(cand_ids)
+        from .dedup_text import _keep_ids_filter
 
-        class Prune:
-            def __init__(self):
-                self.cand = ray.get(cand_ref)
-
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                vals = [str(v) for v in batch.column(id_col).to_pylist()]
-                mask = np.asarray([v in self.cand for v in vals], dtype=bool)
-                return batch.filter(pa.array(mask))
-
-        cand_tbl = (
-            ds.select_columns([id_col, text_col])
-            .map_batches(Prune, batch_format="pyarrow", concurrency=(1, 8),
-                         num_cpus=0.5)
-            .to_pandas()
-        )
+        cand_tbl = _keep_ids_filter(
+            ds.select_columns([id_col, text_col]), id_col, cand_ids
+        ).to_pandas()
     text_by_id = {str(i): t for i, t in zip(cand_tbl[id_col], cand_tbl[text_col])}
     ea, eb = [], []
     for a, b in zip(pairs["a"], pairs["b"]):
