@@ -500,6 +500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llm_score_filter_documents": _q_llm_score_filter,
         "llm_list_fanout_documents": _q_llm_list_fanout,
         "json_source_documents": _q_json_source,
+        "bpe_token_count_documents": _q_bpe_token_count,
     }
 
 
@@ -588,6 +589,18 @@ def _q_llm_list_fanout(sf_dir: str):
         concurrency=2, batch_size=512,
     )
     return out.select_columns(["doc_id", "idea"])
+
+
+def _q_bpe_token_count(sf_dir: str):
+    """BPE-ish regex token counting (compiled once per process; the
+    pattern is RE2-compatible so DuckDB regexp_extract_all reproduces
+    it exactly)."""
+    from open_thoughts_ray.ops.textstats import bpe_token_count_batch
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(bpe_token_count_batch,
+                          batch_format="pyarrow").select_columns(
+        ["doc_id", "n_bpe_tokens"])
 
 
 def _q_json_source(sf_dir: str):
@@ -809,6 +822,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_source_documents": """
             SELECT doc_id, lang FROM documents ORDER BY doc_id LIMIT 200
+        """,
+        "bpe_token_count_documents": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+                       AS n_bpe_tokens
+            FROM documents
         """,
         # minhash_dedup_documents / simhash_dedup_documents /
         # decontaminate_documents / flagship_quality_filter: not

@@ -58,3 +58,25 @@ def rolling_fingerprint_batch(batch: pa.Table, text_col: str = "text",
     texts = batch.column(text_col).to_pylist()
     fps = [uint64_to_int64(rolling_fingerprint(t)) for t in texts]
     return batch.append_column(out, pa.array(fps, pa.int64()))
+
+
+# BPE-ish pre-tokenizer: word runs / digit runs / single non-alnum marks
+# (the GPT-2 pretokenizer shape without lookaheads, so the same pattern
+# runs in RE2/DuckDB for the SQL oracle)
+_BPE_RE = None
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count_batch(batch: pa.Table, text_col: str = "text",
+                          out: str = "n_bpe_tokens") -> pa.Table:
+    """Sub-word-ish token count via the BPE-style pre-tokenizer regex
+    (compiled once per process)."""
+    global _BPE_RE
+    if _BPE_RE is None:
+        import re
+
+        _BPE_RE = re.compile(_BPE_PATTERN)
+    texts = batch.column(text_col).to_pylist()
+    n = np.asarray([len(_BPE_RE.findall(t)) if t else 0 for t in texts],
+                   dtype=np.int64)
+    return batch.append_column(out, pa.array(n, pa.int64()))
