@@ -27,21 +27,48 @@ import shutil
 
 import pyarrow as pa
 
-#: bump when scoring semantics change (models, rule evaluation, decode):
-#: part of every chunk's cache key, the reference's code-version hash
-#: (engine/operators/hashing_utils.py:16-262 hashes the UDF call graph;
-#: a manual token is the honest equivalent for a library with tests)
+#: manual escape hatch on top of the source hash below — bump to force
+#: recomputation for semantic changes living OUTSIDE the hashed modules
 PIPELINE_CODE_VERSION = "2"
+
+#: modules whose source defines a chunk's scored output (the cheap honest
+#: subset of the reference's call-graph hash,
+#: engine/operators/hashing_utils.py:16-262): editing any scoring/rule/
+#: model kernel changes the fingerprint, so stale chunks recompute even
+#: if nobody remembered to bump PIPELINE_CODE_VERSION (VERDICT r2 #9)
+_SCORING_MODULES = (
+    "open_thoughts_ray.pipeline",
+    "open_thoughts_ray.ops.text_rules",
+    "open_thoughts_ray.ops.scrub",
+    "open_thoughts_ray.ops.langid",
+    "open_thoughts_ray.ops.perplexity",
+    "open_thoughts_ray.ops.decode",
+    "open_thoughts_ray.models.fasttext_like",
+    "open_thoughts_ray.io.codecs",
+)
+
+
+def code_fingerprint(modules: tuple[str, ...] = _SCORING_MODULES) -> str:
+    """md5 over the source text of the scoring code path."""
+    import importlib
+    import inspect
+
+    h = hashlib.md5()
+    for name in modules:
+        h.update(name.encode())
+        h.update(inspect.getsource(importlib.import_module(name)).encode())
+    return h.hexdigest()
 
 
 def config_fingerprint(opts) -> str:
     """Content-address of everything that affects a chunk's scored
-    output: the rule config + code version (dag.py:111-171 ancestor-hash
+    output: the rule config + code identity (dag.py:111-171 ancestor-hash
     scheme).  Execution tuning (batch sizes, pool sizes) is deliberately
     excluded — it cannot change results and must not invalidate caches."""
     payload = {
         "rules": dataclasses.asdict(opts.rules),
         "code": PIPELINE_CODE_VERSION,
+        "source": code_fingerprint(),
     }
     return hashlib.md5(
         json.dumps(payload, sort_keys=True).encode()
@@ -49,8 +76,14 @@ def config_fingerprint(opts) -> str:
 
 
 def _fragments_fingerprint(paths: list[str]) -> str:
-    """Input identity of one chunk: fragment basenames + sizes."""
-    parts = [f"{os.path.basename(p)}:{os.path.getsize(p)}" for p in paths]
+    """Input identity of one chunk: fragment basenames + sizes + mtimes
+    (ADVICE r2: same-name same-size regenerated fragments must NOT resume
+    over stale scored rows — mtime catches content rewrites cheaply;
+    a footer content hash would cost a read per fragment per resume)."""
+    parts = [
+        f"{os.path.basename(p)}:{os.path.getsize(p)}:{int(os.path.getmtime(p) * 1000)}"
+        for p in paths
+    ]
     return hashlib.md5("\n".join(parts).encode()).hexdigest()
 
 

@@ -83,9 +83,21 @@ class CompletionsActor:
             else:
                 out_rows.append(parsed)
         if not out_rows:
-            # empty fan-out: emit a zero-row table with the input schema
-            # so downstream blocks stay typed
-            return batch.slice(0, 0)
+            # empty fan-out: emit a zero-row table with the OUTPUT schema
+            # (input columns + the map's declared output fields) so blocks
+            # from fully-dropped batches match the other blocks' schema
+            # (ADVICE r2: an input-schema empty block breaks downstream
+            # select_columns/concat on the output column)
+            empty = batch.slice(0, 0)
+            type_map = {"string": pa.string(), "bool": pa.bool_(),
+                        "float64": pa.float64(),
+                        "list<string>": pa.list_(pa.string()),
+                        "list<int64>": pa.list_(pa.int64())}
+            for name, typ in self.cmap.output_fields().items():
+                if name not in empty.column_names:
+                    empty = empty.append_column(
+                        name, pa.array([], type=type_map[typ]))
+            return empty
         # unify keys across rows (pa.Table.from_pylist keeps only the
         # first row's keys; parse-error rows add columns mid-batch)
         keys: list[str] = []

@@ -47,6 +47,14 @@ class CompletionsMap(ABC):
     def parse(self, row: dict, response) -> dict | list[dict]:
         """New row(s); returning a list fans out (ListMap semantics)."""
 
+    def output_fields(self) -> dict[str, str]:
+        """Columns this map ADDS to a row → logical type name
+        ("string" | "bool" | "float64" | "list<string>" | "list<int64>").
+        Used to emit correctly-typed zero-row batches when every row of a
+        batch is dropped (ADVICE r2: an input-schema empty block next to
+        output-schema blocks breaks downstream select_columns/concat)."""
+        return {}
+
 
 class ChatMap(CompletionsMap):
     """Template-filled single-turn chat; response lands in output_column."""
@@ -85,6 +93,9 @@ class ChatMap(CompletionsMap):
     def parse(self, row: dict, response) -> dict:
         return {**row, self.output_column: response}
 
+    def output_fields(self) -> dict[str, str]:
+        return {self.output_column: "string"}
+
 
 class BinaryClassifierMap(ChatMap):
     """Structured bool verdict + reasoning (binary_classifier_map.py:13-36)."""
@@ -94,6 +105,9 @@ class BinaryClassifierMap(ChatMap):
     def parse(self, row: dict, response) -> dict:
         return {**row, self.output_column: bool(response["response"]),
                 "classifier_reasoning": response["reasoning"]}
+
+    def output_fields(self) -> dict[str, str]:
+        return {self.output_column: "bool", "classifier_reasoning": "string"}
 
 
 class ScorerMap(ChatMap):
@@ -107,6 +121,9 @@ class ScorerMap(ChatMap):
             raise ValueError(f"score out of range: {score}")
         return {**row, self.output_column: score,
                 "classifier_reasoning": response["reasoning"]}
+
+    def output_fields(self) -> dict[str, str]:
+        return {self.output_column: "float64", "classifier_reasoning": "string"}
 
 
 class JudgeMap(CompletionsMap):
@@ -151,6 +168,9 @@ class JudgeMap(CompletionsMap):
         return {**row, self.decision_column: decision,
                 self.reasoning_column: text}
 
+    def output_fields(self) -> dict[str, str]:
+        return {self.decision_column: "bool", self.reasoning_column: "string"}
+
 
 class ListMap(ChatMap):
     """Structured list response fanned out into one row per item
@@ -163,6 +183,9 @@ class ListMap(ChatMap):
 
     def parse(self, row: dict, response) -> list[dict]:
         return [{**row, self.output_column: item} for item in response]
+
+    def output_fields(self) -> dict[str, str]:
+        return {self.output_column: "string"}
 
 
 MAP_REGISTRY: dict[str, type[CompletionsMap]] = {}
@@ -214,6 +237,9 @@ class RankerMap(CompletionsMap):
             raise ValueError(f"invalid ranking {ranking} for {n} candidates")
         return {**row, self.output_column: ranking}
 
+    def output_fields(self) -> dict[str, str]:
+        return {self.output_column: "list<int64>"}
+
 
 class CriticMap(CompletionsMap):
     """Critique N candidate responses (critic_map.py:16-60: numbered
@@ -239,6 +265,9 @@ class CriticMap(CompletionsMap):
 
     def parse(self, row: dict, response) -> dict:
         return {**row, self.output_column: response}
+
+    def output_fields(self) -> dict[str, str]:
+        return {self.output_column: "string"}
 
 
 class FuserMap(CompletionsMap):
@@ -270,6 +299,9 @@ class FuserMap(CompletionsMap):
 
     def parse(self, row: dict, response) -> dict:
         return {**row, self.output_column: response}
+
+    def output_fields(self) -> dict[str, str]:
+        return {self.output_column: "string"}
 
 
 for _n, _c in (("ranker", RankerMap), ("critic", CriticMap),

@@ -59,18 +59,33 @@ def _partial_token_counts(batch: pa.Table, text_col: str) -> pa.Table:
 def token_entropy(ds, text_col: str = "text") -> float:
     """Shannon entropy (nats) of the corpus token distribution.
 
-    Two-level: per-batch partial counts → small groupby sum → driver
-    entropy over the (vocabulary-sized) final counts."""
+    Fully distributed (VERDICT r2 #5): per-batch partial counts →
+    grouped token totals → per-batch partials of Σ n·ln n and Σ n →
+    two distributed Sums.  Entropy = ln(T) − S₁/T, so NOTHING
+    vocabulary-sized ever reaches the driver — only two 8-byte floats
+    (the open-vocabulary web-scale shape, like
+    distinct_ngram_ratio_approx)."""
     from ray.data.aggregate import Sum
 
     partial = ds.map_batches(
         _partial_token_counts, batch_format="pyarrow",
         fn_kwargs={"text_col": text_col},
     )
-    totals = partial.groupby("token").aggregate(Sum("c", alias_name="n")).to_pandas()
-    c = totals["n"].to_numpy(dtype=np.float64)
-    p = c / c.sum()
-    return float(-(p * np.log(p)).sum())
+    grouped = partial.groupby("token").aggregate(Sum("c", alias_name="n"))
+
+    def nlogn_partial(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "s1": pa.array([float((n * np.log(n)).sum())], pa.float64()),
+            "t": pa.array([float(n.sum())], pa.float64()),
+        })
+
+    sums = grouped.map_batches(nlogn_partial, batch_format="pyarrow") \
+        .sum(["s1", "t"])
+    s1, t = float(sums["sum(s1)"]), float(sums["sum(t)"])
+    if t <= 0:
+        return 0.0
+    return float(np.log(t) - s1 / t)
 
 
 def distinct_ngram_ratio(ds, text_col: str = "text", n: int = 2) -> float:

@@ -31,6 +31,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..common.hashing import int64_to_uint64
 
@@ -266,12 +267,16 @@ def label_propagation(nodes, edges, max_iters: int = 20,
 
     nodes: Dataset[id:string]; edges: Dataset[a,b].  Per round: one hash
     join (current labels onto edge endpoints) + one groupby-min — both
-    distributed shuffles over the O(#dups)-sized dup graph; the only
-    driver-side state is an 8-byte change checksum per round.  Labels are
-    materialized each round (bounded: one row per node that appears in a
-    dup bucket).  O(rounds·|E|); rounds ≈ max component diameter (phash
-    dup components are star-like — 2-3 rounds typical).  Returns
-    Dataset[id, label] with label = min id of the component.
+    distributed shuffles over the O(#dups)-sized dup graph — followed by
+    a POINTER-DOUBLING pass (label := label's label), so convergence
+    takes ≈ log2(diameter) rounds instead of diameter rounds: chain
+    components of diameter 2^20 converge inside the default max_iters
+    (ADVICE r2: plain one-hop propagation under-converged on chains
+    longer than max_iters and silently returned extra survivors).  The
+    only driver-side state is an 8-byte change checksum per round.
+    Raises RuntimeError if the checksum is still moving after
+    ``max_iters`` rounds — never returns under-converged labels.
+    Returns Dataset[id, label] with label = min id of the component.
     """
     # canonical unique node set → initial label = own id.  The trailing
     # repartition after every groupby matters: Ray's hash-shuffle
@@ -298,7 +303,7 @@ def label_propagation(nodes, edges, max_iters: int = 20,
     if sym.count() == 0:
         return labels
     prev_chk = _labels_checksum(labels)
-    for _ in range(max_iters):
+    for it in range(max_iters):
         nbr_labels = labels.map_batches(
             lambda t: pa.table({"nbr": t.column("id"), "cand": t.column("label")}),
             batch_format="pyarrow",
@@ -316,11 +321,44 @@ def label_propagation(nodes, edges, max_iters: int = 20,
             lambda t: pa.table({"id": t.column("id"),
                                 "label": t.column(t.schema.names[-1])}),
             batch_format="pyarrow",
-        ).repartition(num_partitions).materialize()
+        ).repartition(num_partitions)
+        if it >= 3:
+            # pointer doubling: label := label(label), so rounds ≈
+            # log2(diameter) once engaged.  Gated behind round 3: phash /
+            # LSH dup components are star-like and converge in 2-3 plain
+            # rounds — paying the extra join every round doubles the
+            # common-case fixed cost for nothing; long chains (the
+            # ADVICE case) hit the gate and still finish ≪ max_iters.
+            # A label is always itself a node id, so the self-join
+            # resolves; left_outer + coalesce guards the missing case.
+            lbl_of = labels.map_batches(
+                lambda t: pa.table({"label": t.column("id"),
+                                    "label2": t.column("label")}),
+                batch_format="pyarrow",
+            )
+            labels = (
+                labels.join(lbl_of, join_type="left_outer", on=("label",),
+                            num_partitions=num_partitions)
+                .map_batches(
+                    lambda t: pa.table({
+                        "id": t.column("id"),
+                        "label": pc.coalesce(t.column("label2"),
+                                             t.column("label")),
+                    }),
+                    batch_format="pyarrow",
+                )
+                .repartition(num_partitions)
+            )
+        labels = labels.materialize()
         chk = _labels_checksum(labels)
         if chk == prev_chk:
             break
         prev_chk = chk
+    else:
+        raise RuntimeError(
+            f"label_propagation did not converge in {max_iters} rounds "
+            "(checksum still changing) — refusing to return "
+            "under-converged component labels")
     return labels
 
 

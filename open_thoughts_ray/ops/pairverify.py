@@ -1,0 +1,101 @@
+"""Distributed candidate-pair verification + id-set anti-join helpers.
+
+The LSH dedup family (minhash / fuzzy / n-gram Jaccard) generates
+candidate pairs with a banded shuffle, then must verify each pair with
+an exact kernel.  Round 2 verified on the driver (collect pairs +
+candidate texts) — correct at bench scale but a driver-side
+materialization on adversarial duplicate fractions (VERDICT r2 #2,
+#candidates = O(N) on a 99%-dup crawl shard).  This module is the scale
+path shared by the whole family:
+
+* ``verify_pairs_distributed`` — join the candidate texts onto both pair
+  endpoints (two hash-partitioned joins over the O(#candidates) pair
+  set, never the full table) and run the verify kernel per batch inside
+  the cluster.  Returns the verified edge Dataset; nothing pair-sized
+  reaches the driver.
+* ``anti_join_ids`` — drop rows whose id appears in a (potentially
+  large) id Dataset: one hash join keyed on the id, marker-null filter.
+  The distributed complement of dedup_text._drop_ids_filter's broadcast
+  set.
+
+Reference semantics: open_thoughts/deduplicate.py:12-55 (verify =
+fuzz.ratio), _A1_Source/utils.py:91-195 (verify = n-gram overlap) — the
+re-expression replaces their O(N²) pools with candidate joins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _string_keyed(ds, id_col: str, text_col: str, key_name: str):
+    """Project ds → Dataset[(key_name:string, __text:string)]."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        col = t.column(id_col)
+        if col.type != pa.string():
+            col = col.cast(pa.string())
+        return pa.table({key_name: col, f"__text_{key_name}": t.column(text_col)})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        prep, batch_format="pyarrow")
+
+
+def verify_pairs_distributed(pairs, ds, id_col: str, text_col: str,
+                             kernel, num_partitions: int = 32):
+    """pairs: Dataset[a:string, b:string] (candidate pairs, may contain
+    duplicates across bands/partitions — deduped here); ds: the source
+    table.  ``kernel(texts_a, texts_b) -> np.ndarray[bool]`` runs per
+    batch on the workers.  Returns the verified edge Dataset[a, b].
+
+    Cost: two hash joins sized by #candidates (the pair set), one
+    kernel map — no driver-side pair or text collection.
+    """
+    # dedupe (a, b) — the same pair arrives once per detecting band
+    pairs = pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
+    ta = _string_keyed(ds, id_col, text_col, "a")
+    tb = _string_keyed(ds, id_col, text_col, "b")
+    joined = pairs.join(ta, join_type="inner", on=("a",),
+                        num_partitions=num_partitions)
+    joined = joined.join(tb, join_type="inner", on=("b",),
+                         num_partitions=num_partitions)
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string())})
+        mask = kernel(t.column("__text_a").to_pylist(),
+                      t.column("__text_b").to_pylist())
+        kept = t.filter(pa.array(np.asarray(mask, dtype=bool)))
+        return pa.table({"a": kept.column("a"), "b": kept.column("b")})
+
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
+def anti_join_ids(ds, id_col: str, drop_ids, num_partitions: int = 32):
+    """ds minus rows whose str(id) appears in ``drop_ids``
+    (Dataset[id:string]) — hash-join anti-join for drop sets too large
+    to broadcast.  One shuffle of ds + one of the id set."""
+    marker = drop_ids.groupby("id").count().map_batches(
+        lambda t: pa.table({"__drop_key": t.column("id"),
+                            "__dropped": pa.array([True] * t.num_rows,
+                                                  pa.bool_())}),
+        batch_format="pyarrow",
+    )
+
+    def add_key(t: pa.Table) -> pa.Table:
+        col = t.column(id_col)
+        if col.type != pa.string():
+            col = col.cast(pa.string())
+        return t.append_column("__drop_key", col)
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    joined = keyed.join(marker, join_type="left_outer", on=("__drop_key",),
+                        num_partitions=num_partitions)
+    return joined.map_batches(
+        lambda t: t.filter(pc.is_null(t.column("__dropped")))
+        .drop_columns(["__drop_key", "__dropped"]),
+        batch_format="pyarrow",
+    )

@@ -237,16 +237,21 @@ def broadcast_join(ds, right: pd.DataFrame, on: str, how: str = "left",
     ``Table.join`` per batch (the reference's domain-set lookup,
     WebInstruct/utils.py:170-192, and MergeOperator semantics for small
     sides, merge_operator.py:88-168).  No shuffle, no pandas round-trip.
-    ``how`` follows pandas names (left/inner) and maps to Arrow
-    left outer/inner."""
+    ``how`` follows pandas names and is restricted to left/inner: the
+    join runs independently per batch, so right/full-outer semantics
+    (emit unmatched RIGHT rows exactly once) are impossible here — each
+    batch would re-emit them (ADVICE r2).  Use hash_join for those."""
     import ray
 
+    if how not in ("left", "inner"):
+        raise ValueError(
+            f"broadcast_join supports how='left'/'inner' only, got {how!r}; "
+            "right/outer need a global join — use hash_join")
     if columns is not None:
         right = right[columns]
     right_tbl = pa.Table.from_pandas(right, preserve_index=False)
     right_ref = ray.put(right_tbl)
-    join_type = {"left": "left outer", "inner": "inner",
-                 "right": "right outer", "outer": "full outer"}[how]
+    join_type = {"left": "left outer", "inner": "inner"}[how]
 
     def join(batch: pa.Table, right_local=[]) -> pa.Table:
         # per-process lazy fetch of the broadcast table (plain tasks:
@@ -275,18 +280,20 @@ def semi_anti_join_broadcast(ds, keys, column: str, anti: bool = False):
     (semi) rows whose ``column`` value is in ``keys``."""
     import ray
 
-    keys_ref = ray.put(set(keys))
+    keys_ref = ray.put(pa.array(list(set(keys))))
 
     class F:
         def __init__(self):
             self.keys = ray.get(keys_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            vals = batch.column(column).to_pylist()
-            mask = np.array([v in self.keys for v in vals], dtype=bool)
+            col = batch.column(column)
+            if col.type != self.keys.type:
+                col = col.cast(self.keys.type)
+            mask = pc.is_in(col, value_set=self.keys)  # vectorized kernel
             if anti:
-                mask = ~mask
-            return batch.filter(pa.array(mask))
+                mask = pc.invert(mask)
+            return batch.filter(pc.fill_null(mask, anti))
 
     return ds.map_batches(F, batch_format="pyarrow", concurrency=(1, 8),
                           num_cpus=0.5)

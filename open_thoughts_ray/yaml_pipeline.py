@@ -85,6 +85,11 @@ def _remote_args(cfg: dict) -> dict:
     out = {}
     if "num_cpus" in cfg:
         out["num_cpus"] = float(cfg["num_cpus"])
+    if "num_gpus" in cfg:
+        # gpu_function passthrough (function_operator.py:519-545): the
+        # sandbox has no GPU, but configs carrying num_gpus must stay
+        # portable — the kwarg reaches map_batches untouched
+        out["num_gpus"] = float(cfg["num_gpus"])
     if "memory" in cfg:
         out["memory"] = float(cfg["memory"]) * 1e9
     if "concurrency" in cfg:
@@ -137,10 +142,17 @@ def run_pipeline(doc: dict, output_id: str | None = None):
 
             limiter = None
             if cfg.get("requests_per_min") or cfg.get("tokens_per_min"):
+                rpm = float(cfg.get("requests_per_min", 1e9))
+                tpm = float(cfg.get("tokens_per_min", 1e12))
+                # default limiter name encodes the rates: two completions
+                # ops with DIFFERENT budgets get different actors instead
+                # of the second silently reusing the first's limits
+                # (ADVICE r2); name them identically via ``limiter_name``
+                # to deliberately share one budget.
+                default_name = f"otr_completions_limiter_{rpm:g}_{tpm:g}"
                 limiter = shared_rate_limiter(
-                    requests_per_min=float(cfg.get("requests_per_min", 1e9)),
-                    tokens_per_min=float(cfg.get("tokens_per_min", 1e12)),
-                    name=cfg.get("limiter_name", "otr_completions_limiter"),
+                    requests_per_min=rpm, tokens_per_min=tpm,
+                    name=cfg.get("limiter_name", default_name),
                 )
             ra = _remote_args(cfg)
             out = completions(
