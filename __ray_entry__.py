@@ -501,6 +501,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llm_list_fanout_documents": _q_llm_list_fanout,
         "json_source_documents": _q_json_source,
         "bpe_token_count_documents": _q_bpe_token_count,
+        "ngram_jaccard_dedup_documents": _q_ngram_jaccard_dedup,
+        "llm_judge_documents": _q_llm_judge,
+        "llm_critic_documents": _q_llm_critic,
+        "llm_fuse_documents": _q_llm_fuse,
     }
 
 
@@ -589,6 +593,87 @@ def _q_llm_list_fanout(sf_dir: str):
         concurrency=2, batch_size=512,
     )
     return out.select_columns(["doc_id", "idea"])
+
+
+def _q_ngram_jaccard_dedup(sf_dir: str):
+    """EXACT word-3-gram Jaccard dedup, sequential first-seen semantics
+    (drop b iff some numerically-smaller doc has Jaccard ≥ 0.8) — the
+    SQL-checkable member of the LSH dedup family (VERDICT r2 #1): shares
+    the banded-shuffle + pair-verify machinery with minhash/fuzzy but
+    candidates come from recall-1 gram buckets, so DuckDB's NOT EXISTS
+    reproduces the survivor set bit-for-bit."""
+    from open_thoughts_ray.ops.dedup_text import ngram_jaccard_dedup
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_dedup(ds, threshold=0.8).select_columns(["doc_id"])
+
+
+def _q_llm_judge(sf_dir: str):
+    """JudgeMap (judge_map.py:30-60 last-word yes/no protocol) with the
+    md5 mock — SQL-expressible like the other LLM queries."""
+    from open_thoughts_ray.llm import completions
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    out = completions(
+        ds, "judge",
+        {"input_instruction_column": "text",
+         "input_golden_answer_column": "lang",
+         "input_attempt_answer_column": "source"},
+        concurrency=4, batch_size=512,
+    )
+    return out.select_columns(["doc_id", "model_judgement",
+                               "model_judgement_full"])
+
+
+def _q_llm_critic(sf_dir: str):
+    """CriticMap (critic_map.py:16-60): numbered candidates in the
+    prompt, free-text critique out.  Candidates are built from existing
+    string columns so the prompt is SQL-reproducible."""
+    from open_thoughts_ray.llm import completions
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+
+    def add_cands(t: pa.Table) -> pa.Table:
+        src = t.column("source").to_pylist()
+        lng = t.column("lang").to_pylist()
+        return t.append_column(
+            "cands", pa.array([[s, l] for s, l in zip(src, lng)],
+                              pa.list_(pa.string())))
+
+    out = completions(
+        ds.map_batches(add_cands, batch_format="pyarrow"), "critic",
+        {"query_column": "text", "responses_column": "cands",
+         "output_column": "critique"},
+        concurrency=4, batch_size=512,
+    )
+    return out.select_columns(["doc_id", "critique"])
+
+
+def _q_llm_fuse(sf_dir: str):
+    """FuserMap (fuser_map.py:23-90): fuse the top-ranked candidates.
+    The ranking column is a FIXED [2, 1] permutation so the prompt —
+    and therefore the md5 mock response — is SQL-reproducible (the
+    ranker→fuser chain with the seeded mock ranker is pytest-only)."""
+    from open_thoughts_ray.llm import completions
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+
+    def add_cols(t: pa.Table) -> pa.Table:
+        src = t.column("source").to_pylist()
+        lng = t.column("lang").to_pylist()
+        t = t.append_column(
+            "cands", pa.array([[s, l] for s, l in zip(src, lng)],
+                              pa.list_(pa.string())))
+        return t.append_column(
+            "ranking", pa.array([[2, 1]] * t.num_rows, pa.list_(pa.int64())))
+
+    out = completions(
+        ds.map_batches(add_cols, batch_format="pyarrow"), "fuser",
+        {"query_column": "text", "responses_column": "cands",
+         "ranking_column": "ranking", "output_column": "fused"},
+        concurrency=4, batch_size=512,
+    )
+    return out.select_columns(["doc_id", "fused"])
 
 
 def _q_bpe_token_count(sf_dir: str):
@@ -830,8 +915,92 @@ def oracle_sql() -> dict[str, str]:
                        AS n_bpe_tokens
             FROM documents
         """,
+        # exact n-gram-Jaccard dedup: the SQL-checkable member of the
+        # LSH dedup family (same sequential NOT-EXISTS shape as
+        # embedding_cosine_dedup)
+        "ngram_jaccard_dedup_documents": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents),
+            grams AS (SELECT doc_id,
+              CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                   ELSE list_distinct(list_transform(
+                        generate_series(1, len(t)-2),
+                        i -> t[i]||' '||t[i+1]||' '||t[i+2])) END AS gs
+              FROM toks)
+            SELECT g.doc_id FROM grams g
+            WHERE NOT EXISTS (
+              SELECT 1 FROM grams e WHERE e.doc_id < g.doc_id
+                AND CAST(len(list_intersect(g.gs, e.gs)) AS DOUBLE)
+                    / (len(g.gs) + len(e.gs) - len(list_intersect(g.gs, e.gs)))
+                    >= 0.8)
+        """,
+        # decontamination: normalized-text exact match OR benchmark-row
+        # 8-gram coverage ≥ 0.5 (the inverted-index screen IS this
+        # max-over-bench coverage, so it is SQL-expressible)
+        "decontaminate_documents": r"""
+            WITH nrm AS (SELECT doc_id,
+                     lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+                   FROM documents),
+            tok AS (SELECT doc_id, norm, string_split(norm, ' ') AS t FROM nrm),
+            g AS (SELECT doc_id, norm,
+              CASE WHEN len(t) < 8 THEN [norm]
+                   ELSE list_distinct(list_transform(
+                        generate_series(1, len(t)-7),
+                        i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '
+                             ||t[i+4]||' '||t[i+5]||' '||t[i+6]||' '||t[i+7]))
+                   END AS gs
+              FROM tok),
+            bench AS (SELECT * FROM g ORDER BY doc_id LIMIT 5)
+            SELECT d.doc_id FROM g d
+            WHERE NOT EXISTS (
+              SELECT 1 FROM bench b
+              WHERE d.norm = b.norm
+                 OR CAST(len(list_intersect(d.gs, b.gs)) AS DOUBLE)
+                    / greatest(1, len(b.gs)) >= 0.5)
+        """,
+        "llm_judge_documents": """
+            WITH m AS (
+                SELECT doc_id,
+                       md5('system' || chr(10)
+                           || 'Evaluate whether the attempt correctly answers the inputs given the targets. End your response with a single word: yes or no.'
+                           || chr(10) || 'user' || chr(10)
+                           || 'inputs: ' || text || chr(10)
+                           || 'targets: ' || lang || chr(10)
+                           || 'attempt: ' || source) AS h
+                FROM documents
+            )
+            SELECT doc_id,
+                   (ascii(substr(h, 1, 1)) % 2 = 0) AS model_judgement,
+                   'Mock judgement ' || substr(h, 1, 8) || '.' || chr(10)
+                       || CASE WHEN ascii(substr(h, 1, 1)) % 2 = 0
+                               THEN 'yes' ELSE 'no' END AS model_judgement_full
+            FROM m
+        """,
+        "llm_critic_documents": """
+            SELECT doc_id,
+                   md5('system' || chr(10) || 'You are a critical evaluator'
+                       || chr(10) || 'user' || chr(10)
+                       || 'Evaluate the strengths and weaknesses of each response based on the instruction: '
+                       || text || '.' || chr(10)
+                       || chr(10) || '[1] ' || source
+                       || chr(10) || '[2] ' || lang) AS critique
+            FROM documents
+        """,
+        "llm_fuse_documents": """
+            SELECT doc_id,
+                   md5('system' || chr(10)
+                       || 'You are a helpful assistant who fuses multiple answers'
+                       || chr(10) || 'user' || chr(10)
+                       || 'Fuse the best ideas of the following 2 responses to: '
+                       || text || chr(10)
+                       || chr(10) || '[1] ' || lang
+                       || chr(10) || '[2] ' || source) AS fused
+            FROM documents
+        """,
         # minhash_dedup_documents / simhash_dedup_documents /
-        # decontaminate_documents / flagship_quality_filter: not
-        # SQL-expressible (LSH signatures, n-gram inverted index, model
-        # scoring) → rows-only checks.
+        # fuzzy_dedup_documents / flagship_quality_filter /
+        # approx_distinct_users / ann_topk_ivf / cosine_dedup_lsh: not
+        # SQL-expressible (LSH signature recall, HLL sketch, model
+        # scoring) → rows-only checks; ngram_jaccard_dedup_documents is
+        # the hash-checked member vouching for the shared machinery.
     }

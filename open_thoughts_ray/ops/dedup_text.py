@@ -441,9 +441,13 @@ def simhash_batch(batch: pa.Table, text_col: str = "text",
 
 def simhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
                   hamming_max: int = 3, bands: int = 4,
-                  num_partitions: int = 32):
+                  num_partitions: int = 32,
+                  max_driver_edges: int = 2_000_000):
     """SimHash near-dup collapse, reusing the phash banded machinery
-    (partition-level pair finding — no per-singleton-bucket dispatch)."""
+    (partition-level pair finding — no per-singleton-bucket dispatch).
+    SimHash edges are already Hamming-verified inside the buckets, so
+    above ``max_driver_edges`` the component labels come straight from
+    distributed label propagation — no driver edge collect."""
     from .dedup import near_dup_edges
 
     hashed = ds.map_batches(simhash_batch, batch_format="pyarrow",
@@ -454,7 +458,9 @@ def simhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
         batch_format="pyarrow",
     )
     edges = near_dup_edges(small, bands=bands, hamming_max=hamming_max,
-                           num_partitions=num_partitions)
+                           num_partitions=num_partitions).materialize()
+    if edges.count() > max_driver_edges:
+        return _dedup_drop_by_components(ds, id_col, edges, num_partitions)
     edf = edges.to_pandas()
     if edf.empty or "a" not in edf.columns:
         return ds

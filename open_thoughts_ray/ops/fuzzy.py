@@ -54,38 +54,52 @@ def indel_ratio(a: str, b: str) -> float:
     return 100.0 * 2.0 * lcs_length(a, b) / (la + lb)
 
 
+def indel_verify_kernel(ratio_threshold: float):
+    """Pair kernel for the distributed verify path: exact Indel ratio ≥
+    threshold, computed per pair on the workers."""
+
+    def kernel(texts_a: list[str], texts_b: list[str]) -> np.ndarray:
+        return np.asarray(
+            [indel_ratio(a, b) >= ratio_threshold
+             for a, b in zip(texts_a, texts_b)], dtype=bool)
+
+    return kernel
+
+
 def fuzzy_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
                 ratio_threshold: float = 90.0, k: int = 64, bands: int = 16,
                 shingle_n: int = 3, max_bucket: int = 256,
-                num_partitions: int = 32, source_fetch=None):
+                num_partitions: int = 32, source_fetch=None,
+                max_driver_pairs: int = 2_000_000):
     """Near-dup collapse with exact Indel-ratio verification; survivors =
     min id per component (deduplicate.py:12-55 semantics without the
     O(N²) scan).
 
     MinHash-LSH candidates → candidate texts from a pruned re-read
     (optionally a predicate-pushdown ``source_fetch``) → Indel ratio on
-    candidate pairs only → union-find → filter.  Candidate structures on
-    the driver are O(#near-dups)."""
+    candidate pairs only → components → filter.  Candidate structures on
+    the driver are O(#near-dups); above ``max_driver_pairs`` the whole
+    verify+component path runs distributed (pairverify joins + label
+    propagation — VERDICT r2 #2), and the driver never sees a pair."""
     import ray
 
-    from .dedup_text import minhash_band_rows, minhash_partition_pairs
+    from .dedup_text import minhash_pairs_dataset
 
-    band_rows = ds.map_batches(
-        minhash_band_rows, batch_format="pyarrow",
-        fn_kwargs=dict(k=k, bands=bands, shingle_n=shingle_n,
-                       id_col=id_col, text_col=text_col),
-    ).map_batches(
-        lambda t: t.append_column(
-            "part", pa.array(t.column("band_key").to_numpy(zero_copy_only=False)
-                             % num_partitions, pa.int64())),
-        batch_format="pyarrow",
-    )
-    pairs = band_rows.groupby("part", num_partitions=num_partitions).map_groups(
-        minhash_partition_pairs, batch_format="pandas",
-        fn_kwargs={"max_bucket": max_bucket},
-    ).to_pandas()
-    if pairs.empty or "a" not in pairs.columns:
+    pairs_ds = minhash_pairs_dataset(ds, id_col, text_col, k, bands,
+                                     shingle_n, max_bucket,
+                                     num_partitions).materialize()
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
         return ds
+    if n_pairs > max_driver_pairs:
+        from .dedup_text import _dedup_drop_by_components
+        from .pairverify import verify_pairs_distributed
+
+        edges = verify_pairs_distributed(
+            pairs_ds, ds, id_col, text_col,
+            indel_verify_kernel(ratio_threshold), num_partitions)
+        return _dedup_drop_by_components(ds, id_col, edges, num_partitions)
+    pairs = pairs_ds.to_pandas()
     pairs = pairs.drop_duplicates()
     cand_ids = set(pairs["a"]).union(pairs["b"])
     if source_fetch is not None:

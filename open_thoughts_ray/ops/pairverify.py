@@ -53,12 +53,18 @@ def verify_pairs_distributed(pairs, ds, id_col: str, text_col: str,
     Cost: two hash joins sized by #candidates (the pair set), one
     kernel map — no driver-side pair or text collection.
     """
-    # dedupe (a, b) — the same pair arrives once per detecting band
-    pairs = pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
+    # dedupe (a, b) — the same pair arrives once per detecting band.
+    # Each join MATERIALIZES before the next: two JoinOperators in one
+    # streaming graph deadlock on hash-shuffle aggregator reservations
+    # at small CPU counts (reproduced at num_cpus=8), and the
+    # intermediates here are pair-sized (O(#candidates)), so the
+    # materialization is bounded, never table-sized.
+    pairs = pairs.groupby(["a", "b"]).count().select_columns(["a", "b"]) \
+        .materialize()
     ta = _string_keyed(ds, id_col, text_col, "a")
     tb = _string_keyed(ds, id_col, text_col, "b")
     joined = pairs.join(ta, join_type="inner", on=("a",),
-                        num_partitions=num_partitions)
+                        num_partitions=num_partitions).materialize()
     joined = joined.join(tb, join_type="inner", on=("b",),
                          num_partitions=num_partitions)
 

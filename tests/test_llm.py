@@ -293,3 +293,90 @@ def test_ranker_critic_fuser_chain(ray_session):
         concurrency=1,
     ).to_pandas()
     assert critic.critique.str.len().eq(32).all()
+
+
+def test_empty_batch_carries_output_schema(ray_session):
+    """A batch where EVERY row is dropped must still emit the OUTPUT
+    schema (ADVICE r2: input-schema empty blocks broke downstream
+    select_columns on the output column)."""
+    import hashlib
+
+    import ray.data as rd
+
+    from open_thoughts_ray.llm import completions
+    from open_thoughts_ray.llm.backend import canonical_prompt
+    from open_thoughts_ray.llm.maps import JudgeMap
+
+    cfg = {"input_instruction_column": "q",
+           "input_golden_answer_column": "gold",
+           "input_attempt_answer_column": "att",
+           "filter_out_negative_judgements": True}
+    jm = JudgeMap(cfg)
+    # collect rows whose mock judgement is NEGATIVE (ord(h[0]) odd)
+    neg_rows = []
+    i = 0
+    while len(neg_rows) < 4:
+        row = {"doc_id": i, "q": f"q{i}", "gold": "x", "att": f"a{i}"}
+        h = hashlib.md5(
+            canonical_prompt(jm.prompt(row)).encode()).hexdigest()
+        if ord(h[0]) % 2 == 1:
+            neg_rows.append(row)
+        i += 1
+    import pandas as pd
+
+    ds = rd.from_pandas(pd.DataFrame(neg_rows))
+    out = completions(ds, "judge", cfg, concurrency=1, batch_size=64)
+    # select_columns on the judge's output columns must not raise even
+    # though every block is empty (ray's to_pandas drops columns on
+    # 0-row frames, so assert on the Dataset schema)
+    sel = out.select_columns(["doc_id", "model_judgement",
+                              "model_judgement_full"])
+    assert sel.count() == 0
+    # the output fields must be present in the emitted blocks' schema
+    # (ray reports the pre-projection schema on fully-empty datasets, so
+    # assert subset rather than equality)
+    assert {"doc_id", "model_judgement",
+            "model_judgement_full"} <= set(out.schema().names)
+
+
+def test_yaml_num_gpus_passthrough():
+    from open_thoughts_ray.yaml_pipeline import _remote_args
+
+    ra = _remote_args({"num_cpus": 2, "num_gpus": 0.5, "memory": 4,
+                       "batch_size": 128})
+    assert ra["num_gpus"] == 0.5
+    assert ra["num_cpus"] == 2.0
+    assert ra["memory"] == 4e9
+    assert "num_gpus" not in _remote_args({"num_cpus": 1})
+
+
+def test_rate_limiter_name_derived_from_rates(ray_session, tmp_path):
+    """Two completions ops with different budgets must not share one
+    limiter actor (ADVICE r2)."""
+    from open_thoughts_ray.yaml_pipeline import run_pipeline
+
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({"doc_id": [1, 2], "text": ["a", "b"]}), path)
+
+    def pipe(rpm):
+        return {"operators": [
+            {"id": "src", "config": {"type": "parquet_source", "path": path}},
+            {"id": "ann", "config": {
+                "type": "completions", "map": "chat",
+                "map_config": {"user_message": "X {{text}}",
+                               "output_column": "ann"},
+                "requests_per_min": rpm, "concurrency": 1}},
+        ]}
+
+    import ray
+
+    run_pipeline(pipe(60000)).materialize()
+    run_pipeline(pipe(120000)).materialize()
+    # distinct named actors exist for the two budgets
+    names = [a["name"] for a in ray.util.list_named_actors(all_namespaces=True)] \
+        if hasattr(ray.util, "list_named_actors") else []
+    both = [n for n in names if str(n).startswith("otr_completions_limiter_")]
+    assert len({n for n in both}) >= 2
