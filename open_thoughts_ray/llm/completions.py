@@ -32,13 +32,20 @@ class CompletionsActor:
     def __init__(self, map_kind: str, map_config: dict,
                  backend: str = "mock", backend_kwargs: dict | None = None,
                  limiter=None, max_retries: int = 3,
-                 on_parse_error: str = "raise", retry_base_sleep: float = 0.05):
+                 on_parse_error: str = "raise", retry_base_sleep: float = 0.05,
+                 cache_dir: str | None = None):
         self.cmap = build_map(map_kind, map_config)
         self.backend = build_backend(backend, **(backend_kwargs or {}))
         self.limiter = limiter
         self.max_retries = int(max_retries)
         self.on_parse_error = on_parse_error
         self.retry_base_sleep = retry_base_sleep
+        self.cache = None
+        if cache_dir:
+            from .cache import ResponseCache, backend_identity
+
+            self.cache = ResponseCache(
+                cache_dir, backend_identity(backend, backend_kwargs))
 
     def _complete_one(self, messages):
         last_err = None
@@ -53,22 +60,52 @@ class CompletionsActor:
             f"completions request failed after {self.max_retries} retries"
         ) from last_err
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        rows = batch.to_pylist()
-        prompts = [self.cmap.prompt(r) for r in rows]
-        if self.limiter is not None:
+    def _responses(self, prompts: list):
+        """One response per prompt, consulting the content-addressed
+        cache first (reference data_syncer.py:12-231 semantics).  The
+        rate limiter budget is drawn ONLY for actual backend calls —
+        a fully-cached rerun spends zero requests."""
+        from .backend import canonical_prompt
+
+        n = len(prompts)
+        responses: list = [None] * n
+        miss_idx: list[int] = []
+        keys: list = [None] * n
+        if self.cache is not None:
+            from .cache import _MISS
+
+            for i, p in enumerate(prompts):
+                keys[i] = self.cache.key(canonical_prompt(p),
+                                         self.cmap.response_format)
+                hit = self.cache.get(keys[i])
+                if hit is _MISS:
+                    miss_idx.append(i)
+                else:
+                    responses[i] = hit
+        else:
+            miss_idx = list(range(n))
+        if miss_idx and self.limiter is not None:
             import ray
 
             n_tokens = sum(
-                len(str(m)) // 4 for p in prompts
-                for m in (p if isinstance(p, list) else [p])
+                len(str(m)) // 4 for i in miss_idx
+                for m in (prompts[i] if isinstance(prompts[i], list)
+                          else [prompts[i]])
             )
-            wait = ray.get(self.limiter.acquire.remote(len(prompts), n_tokens))
+            wait = ray.get(self.limiter.acquire.remote(len(miss_idx), n_tokens))
             if wait > 0:
                 time.sleep(wait)
+        for i in miss_idx:
+            responses[i] = self._complete_one(prompts[i])
+            if self.cache is not None:
+                self.cache.put(keys[i], responses[i])
+        return responses
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        prompts = [self.cmap.prompt(r) for r in rows]
         out_rows: list[dict] = []
-        for row, messages in zip(rows, prompts):
-            response = self._complete_one(messages)
+        for row, response in zip(rows, self._responses(prompts)):
             try:
                 parsed = self.cmap.parse(row, response)
             except Exception as e:
@@ -113,10 +150,13 @@ def completions(ds, map_kind: str, map_config: dict, *,
                 backend: str = "mock", backend_kwargs: dict | None = None,
                 limiter=None, concurrency: int | tuple = 4,
                 batch_size: int = 256, num_cpus: float = 0.5,
-                max_retries: int = 3, on_parse_error: str = "raise"):
+                max_retries: int = 3, on_parse_error: str = "raise",
+                cache_dir: str | None = None):
     """Annotate ``ds`` through a CompletionsMap — the ``completions``
     YAML operator.  ``limiter`` is a shared RateLimiter actor handle
-    (backend.shared_rate_limiter); pass None to run unthrottled."""
+    (backend.shared_rate_limiter); pass None to run unthrottled.
+    ``cache_dir`` enables the content-addressed response cache (a rerun
+    over the same rows makes zero backend calls — llm/cache.py)."""
     return ds.map_batches(
         CompletionsActor, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=num_cpus,
@@ -124,5 +164,6 @@ def completions(ds, map_kind: str, map_config: dict, *,
             map_kind=map_kind, map_config=map_config, backend=backend,
             backend_kwargs=backend_kwargs, limiter=limiter,
             max_retries=max_retries, on_parse_error=on_parse_error,
+            cache_dir=cache_dir,
         ),
     )

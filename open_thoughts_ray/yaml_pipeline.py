@@ -165,6 +165,7 @@ def run_pipeline(doc: dict, output_id: str | None = None):
                 num_cpus=ra.get("num_cpus", 0.5),
                 max_retries=int(cfg.get("max_retries", 3)),
                 on_parse_error=cfg.get("on_parse_error", "raise"),
+                cache_dir=cfg.get("cache_dir"),
             )
         elif typ == "select_columns":
             out = ins[0].select_columns(cfg["columns"])

@@ -380,3 +380,79 @@ def test_rate_limiter_name_derived_from_rates(ray_session, tmp_path):
         if hasattr(ray.util, "list_named_actors") else []
     both = [n for n in names if str(n).startswith("otr_completions_limiter_")]
     assert len({n for n in both}) >= 2
+
+
+def test_response_cache_rerun_zero_backend_calls(tmp_path):
+    """Second pass over the same rows with cache_dir set makes ZERO
+    backend calls and produces the identical annotation column
+    (VERDICT r2 #3; reference data_syncer.py:12-231).  The actor runs
+    in-process so the counting backend is visible."""
+    from open_thoughts_ray.llm.backend import MockLLMBackend, register_backend
+
+    calls = []
+
+    class CountingBackend(MockLLMBackend):
+        def complete(self, messages, response_format):
+            calls.append(1)
+            return super().complete(messages, response_format)
+
+    register_backend("counting", lambda **kw: CountingBackend(**kw))
+    cache_dir = str(tmp_path / "llm_cache")
+    batch = pa.table({"doc_id": list(range(30)),
+                      "text": [f"doc number {i}" for i in range(30)]})
+
+    def run():
+        actor = CompletionsActor(
+            "chat", {"user_message": "Summarize: {{text}}",
+                     "output_column": "annotation"},
+            backend="counting", cache_dir=cache_dir)
+        return actor(batch)
+
+    first = run()
+    assert len(calls) == 30
+    second = run()  # fresh actor, same cache dir
+    assert len(calls) == 30  # ZERO new backend calls
+    assert first.column("annotation").to_pylist() == \
+        second.column("annotation").to_pylist()
+
+
+def test_response_cache_dataset_rerun_skips_limiter(ray_session, tmp_path):
+    """End-to-end Dataset path: the rate-limiter budget is only drawn
+    for cache MISSES, so a fully-cached rerun grants zero requests."""
+    import ray
+    import ray.data as rd
+
+    limiter = shared_rate_limiter(requests_per_min=1e9,
+                                  name="otr_cache_test_limiter")
+    cache_dir = str(tmp_path / "llm_cache_e2e")
+    df = pd.DataFrame({"doc_id": range(20),
+                       "text": [f"t{i}" for i in range(20)]})
+
+    def run():
+        return completions(
+            rd.from_pandas(df), "chat",
+            {"user_message": "S: {{text}}", "output_column": "ann"},
+            limiter=limiter, concurrency=1, batch_size=8,
+            cache_dir=cache_dir,
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    first = run()
+    granted_after_first = ray.get(limiter.stats.remote())["granted_requests"]
+    assert granted_after_first == 20
+    second = run()
+    granted_after_second = ray.get(limiter.stats.remote())["granted_requests"]
+    assert granted_after_second == granted_after_first  # zero new requests
+    assert first["ann"].tolist() == second["ann"].tolist()
+
+
+def test_response_cache_key_isolates_backend_and_format(tmp_path):
+    from open_thoughts_ray.llm.cache import ResponseCache, backend_identity
+
+    c1 = ResponseCache(str(tmp_path), backend_identity("mock", None))
+    c2 = ResponseCache(str(tmp_path), backend_identity("mock", {"fail_every": 2}))
+    k1 = c1.key("user\nhello", None)
+    assert k1 != c2.key("user\nhello", None)          # backend identity
+    assert k1 != c1.key("user\nhello", "score")       # response format
+    assert k1 != c1.key("user\nhellp", None)          # prompt
+    c1.put(k1, {"a": 1})
+    assert c1.get(k1) == {"a": 1}
