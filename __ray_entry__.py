@@ -505,6 +505,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llm_judge_documents": _q_llm_judge,
         "llm_critic_documents": _q_llm_critic,
         "llm_fuse_documents": _q_llm_fuse,
+        "top_tokens_documents": _q_top_tokens,
+        "distinct_bigram_ratio_documents": _q_distinct_bigram_ratio,
     }
 
 
@@ -593,6 +595,38 @@ def _q_llm_list_fanout(sf_dir: str):
         concurrency=2, batch_size=512,
     )
     return out.select_columns(["doc_id", "idea"])
+
+
+def _q_top_tokens(sf_dir: str):
+    """Exact heavy hitters: tokens with corpus count ≥ 100 (the
+    wordcount shape — per-batch partial counts pre-combine before the
+    vocabulary-keyed shuffle; HAVING avoids LIMIT tie ambiguity)."""
+    from ray.data.aggregate import Sum
+
+    from open_thoughts_ray.ops.consensus import _partial_token_counts
+
+    ds = _rp(sf_dir, "documents", ["text"])
+    tot = ds.map_batches(
+        _partial_token_counts, batch_format="pyarrow",
+        fn_kwargs={"text_col": "text"},
+    ).groupby("token").aggregate(Sum("c", alias_name="n"))
+    return tot.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("n"), 100)),
+        batch_format="pyarrow",
+    )
+
+
+def _q_distinct_bigram_ratio(sf_dir: str):
+    """Corpus diversity: #distinct word-bigrams / #bigrams, fully
+    distributed (nothing vocabulary-sized on the driver)."""
+    import math
+
+    from open_thoughts_ray.ops.consensus import distinct_ngram_ratio
+
+    ds = _rp(sf_dir, "documents", ["text"])
+    val = distinct_ngram_ratio(ds, n=2)
+    q = math.floor(val * 1_000_000) / 1_000_000
+    return pa.table({"ratio": pa.array([q], pa.float64())})
 
 
 def _q_ngram_jaccard_dedup(sf_dir: str):
@@ -996,6 +1030,21 @@ def oracle_sql() -> dict[str, str]:
                        || chr(10) || '[1] ' || lang
                        || chr(10) || '[2] ' || source) AS fused
             FROM documents
+        """,
+        "top_tokens_documents": """
+            SELECT t AS token, COUNT(*) AS n FROM (
+                SELECT unnest(string_split(text, ' ')) AS t FROM documents
+            ) GROUP BY t HAVING COUNT(*) >= 100
+        """,
+        "distinct_bigram_ratio_documents": """
+            WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+            g AS (SELECT unnest(list_transform(
+                      generate_series(1, greatest(len(t) - 1, 0)),
+                      i -> t[i] || ' ' || t[i+1])) AS gram
+                  FROM toks)
+            SELECT floor(CAST(COUNT(DISTINCT gram) AS DOUBLE) / COUNT(*)
+                         * 1000000) / 1000000 AS ratio
+            FROM g
         """,
         # minhash_dedup_documents / simhash_dedup_documents /
         # fuzzy_dedup_documents / flagship_quality_filter /

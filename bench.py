@@ -42,6 +42,7 @@ QUERY_SUBSET = [
     "embedding_cosine_dedup",
     "ann_topk_embeddings",
     "minhash_dedup_documents",
+    "simhash_dedup_documents",
     "llm_annotate_documents",
 ]
 

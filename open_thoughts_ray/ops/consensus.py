@@ -100,7 +100,11 @@ def distinct_ngram_ratio(ds, text_col: str = "text", n: int = 2) -> float:
         for t in batch.column(text_col).to_pylist():
             toks = (t or "").split(" ")
             for i in range(max(0, len(toks) - n + 1)):
-                g = zlib.crc32(" ".join(toks[i : i + n]).encode())
+                b = " ".join(toks[i : i + n]).encode()
+                # 62-bit gram id (two crc passes, fits signed int64): a
+                # 32-bit hash collides at ~|V|²/2³³ and would silently
+                # shift the distinct count off the SQL oracle
+                g = zlib.crc32(b) ^ (zlib.crc32(b[::-1]) << 30)
                 grams[g] = grams.get(g, 0) + 1
                 total += 1
         return pa.table(
@@ -112,14 +116,18 @@ def distinct_ngram_ratio(ds, text_col: str = "text", n: int = 2) -> float:
 
     from ray.data.aggregate import Sum
 
-    counts = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("gram")
-        .aggregate(Sum("c", alias_name="n"))
-        .to_pandas()
-    )
-    total = float(counts["n"].sum())
-    return float(len(counts) / total) if total else 0.0
+    grouped = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("gram").aggregate(Sum("c", alias_name="n"))
+
+    def dt_partial(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        return pa.table({"d": pa.array([len(n)], pa.int64()),
+                         "t": pa.array([int(n.sum())], pa.int64())})
+
+    sums = grouped.map_batches(dt_partial, batch_format="pyarrow") \
+        .sum(["d", "t"])
+    total = float(sums["sum(t)"] or 0)
+    return float(sums["sum(d)"] / total) if total else 0.0
 
 
 def distinct_ngram_ratio_approx(ds, text_col: str = "text", n: int = 2,
