@@ -291,6 +291,11 @@ def _q_md5_fingerprint(sf_dir: str):
 
 
 def _q_cosine_dedup(sf_dir: str):
+    """EXACT low-threshold cosine dedup — O(N²/2) multiply work by
+    design, practical to N ~ 10⁶ rows (block-pair plan, peak 2 blocks
+    per worker; the last block's task walks all earlier blocks).  Above
+    that, or at high thresholds, use cosine_dedup_lsh_embeddings (one
+    banded shuffle, near-linear)."""
     from open_thoughts_ray.ops.similarity import cosine_dedup_earlier
 
     ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])

@@ -635,12 +635,19 @@ def ngram_jaccard_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     )
 
     def losers(t: pa.Table) -> pa.Table:
-        # numeric order: the later (larger-id) endpoint is dropped
+        # the later endpoint is dropped; "later" = numeric id order when
+        # ids parse as integers (matches SQL `e.id < g.id`), else
+        # lexicographic
+        def later(x: str, y: str) -> str:
+            try:
+                return x if int(x) > int(y) else y
+            except ValueError:
+                return x if x > y else y
+
         a = t.column("a").to_pylist()
         b = t.column("b").to_pylist()
         return pa.table({
-            "id": pa.array([x if int(x) > int(y) else y
-                            for x, y in zip(a, b)], pa.string())})
+            "id": pa.array([later(x, y) for x, y in zip(a, b)], pa.string())})
 
     drop_ds = edges.map_batches(losers, batch_format="pyarrow").materialize()
     n_drops = drop_ds.count()
