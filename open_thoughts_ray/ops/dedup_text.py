@@ -628,7 +628,9 @@ def ngram_jaccard_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     from .pairverify import anti_join_ids, verify_pairs_distributed
 
     pairs = ngram_jaccard_pairs(ds, id_col, text_col, n,
-                                num_partitions, max_bucket)
+                                num_partitions, max_bucket).materialize()
+    if pairs.count() == 0:
+        return ds
     edges = verify_pairs_distributed(
         pairs, ds, id_col, text_col,
         jaccard_verify_kernel(n, threshold), num_partitions,

@@ -59,8 +59,16 @@ def verify_pairs_distributed(pairs, ds, id_col: str, text_col: str,
     # at small CPU counts (reproduced at num_cpus=8), and the
     # intermediates here are pair-sized (O(#candidates)), so the
     # materialization is bounded, never table-sized.
+    import ray.data as rd
+
     pairs = pairs.groupby(["a", "b"]).count().select_columns(["a", "b"]) \
         .materialize()
+    if pairs.count() == 0:
+        # Ray's hash aggregator emits schema-LESS blocks for an empty
+        # groupby, and a zero-field block poisons the join ("No match
+        # for FieldRef") — return a typed empty edge set instead
+        return rd.from_arrow(pa.table({"a": pa.array([], pa.string()),
+                                       "b": pa.array([], pa.string())}))
     ta = _string_keyed(ds, id_col, text_col, "a")
     tb = _string_keyed(ds, id_col, text_col, "b")
     joined = pairs.join(ta, join_type="inner", on=("a",),
@@ -89,7 +97,10 @@ def anti_join_ids(ds, id_col: str, drop_ids, num_partitions: int = 32):
                             "__dropped": pa.array([True] * t.num_rows,
                                                   pa.bool_())}),
         batch_format="pyarrow",
-    )
+    ).materialize()
+    if marker.count() == 0:
+        return ds  # empty groupby output is schema-less → would poison
+                   # the join; nothing to drop anyway
 
     def add_key(t: pa.Table) -> pa.Table:
         col = t.column(id_col)

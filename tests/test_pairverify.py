@@ -138,3 +138,37 @@ def test_verify_pairs_distributed_kernel_runs_on_workers(ray_session):
     edges = verify_pairs_distributed(pairs, ds, "doc_id", "text", kernel,
                                      num_partitions=2).to_pandas()
     assert [(r.a, r.b) for r in edges.itertuples()] == [("1", "2")]
+
+
+def test_empty_candidate_and_empty_edge_paths(ray_session):
+    """Zero shared grams, zero verified edges, and an empty drop set must
+    all return the input unchanged — Ray's empty hash-aggregator output
+    is schema-less and would poison the downstream joins without the
+    typed-empty guards."""
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.dedup_text import (
+        minhash_lsh_dedup,
+        ngram_jaccard_dedup,
+    )
+    from open_thoughts_ray.ops.fuzzy import fuzzy_dedup
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["aa bb cc dd ee ff gg",
+                                "aa bb cc dd ee ff hh",
+                                "zz yy xx ww vv uu tt"]})
+    disjoint = pd.DataFrame({"doc_id": [1, 2, 3],
+                             "text": ["aa bb cc dd", "ee ff gg hh",
+                                      "ii jj kk ll"]})
+    # no candidate pairs at all
+    out = ngram_jaccard_dedup(rd.from_pandas(disjoint), threshold=0.5,
+                              num_partitions=2).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2, 3]
+    # candidates exist but verification rejects everything, on the
+    # forced-distributed path (threshold > 1 is unreachable)
+    out = minhash_lsh_dedup(rd.from_pandas(df), threshold=1.01,
+                            num_partitions=2, max_driver_pairs=0).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2, 3]
+    out = fuzzy_dedup(rd.from_pandas(df), ratio_threshold=101.0,
+                      num_partitions=2, max_driver_pairs=0).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2, 3]
