@@ -512,6 +512,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llm_fuse_documents": _q_llm_fuse,
         "top_tokens_documents": _q_top_tokens,
         "distinct_bigram_ratio_documents": _q_distinct_bigram_ratio,
+        "priority_sample_documents": _q_priority_sample,
+        "approx_top_tokens_documents": _q_approx_top_tokens,
     }
 
 
@@ -600,6 +602,50 @@ def _q_llm_list_fanout(sf_dir: str):
         concurrency=2, batch_size=512,
     )
     return out.select_columns(["doc_id", "idea"])
+
+
+def _q_priority_sample(sf_dir: str):
+    """Deterministic distributed uniform sample WITHOUT a seeded global
+    shuffle: keep the n rows with the smallest md5(doc_id) priority —
+    order-independent, partition-independent, and SQL-reproducible
+    (hash-priority / bottom-k sampling; each worker contributes partial
+    top-n candidates through the range-partitioned sort, no full
+    random_shuffle pass)."""
+    import hashlib
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "lang"])
+
+    def add_pri(t: pa.Table) -> pa.Table:
+        pri = [hashlib.md5(str(v).encode()).hexdigest()
+               for v in t.column("doc_id").to_pylist()]
+        return t.append_column("pri", pa.array(pri, pa.string()))
+
+    return ds.map_batches(add_pri, batch_format="pyarrow").sort("pri").limit(20)
+
+
+def _q_approx_top_tokens(sf_dir: str):
+    """Mergeable truncated-count heavy hitters over the token stream
+    (rows-only: the sketch's counts are lower bounds; exactness and the
+    error bound are asserted in tests/test_sketch.py).  At web scale the
+    shuffle carries ≤ partial_width rows per 64k-token batch regardless
+    of vocabulary size."""
+    from open_thoughts_ray.ops.consensus import _partial_token_counts
+    from open_thoughts_ray.ops.sketch import approx_top_k
+
+    ds = _rp(sf_dir, "documents", ["text"])
+    tokens = ds.map_batches(
+        _partial_token_counts, batch_format="pyarrow",
+        fn_kwargs={"text_col": "text"},
+    )
+    # the (token, c) partial stream feeds the sketch as WEIGHTED items,
+    # so reported counts are true corpus frequencies (lower-bounded)
+    items, bound = approx_top_k(tokens, "token", k=10, partial_width=256,
+                                weight_col="c")
+    return pa.table({
+        "token": pa.array([t for t, _ in items], pa.string()),
+        "appearances": pa.array([c for _, c in items], pa.int64()),
+        "max_underestimate": pa.array([bound] * len(items), pa.int64()),
+    })
 
 
 def _q_top_tokens(sf_dir: str):
@@ -1051,6 +1097,12 @@ def oracle_sql() -> dict[str, str]:
                          * 1000000) / 1000000 AS ratio
             FROM g
         """,
+        "priority_sample_documents": """
+            SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS pri
+            FROM documents ORDER BY pri LIMIT 20
+        """,
+        # approx_top_tokens_documents: rows-only (sketch lower bounds;
+        # exactness + error bound asserted in tests/test_sketch.py)
         # minhash_dedup_documents / simhash_dedup_documents /
         # fuzzy_dedup_documents / flagship_quality_filter /
         # approx_distinct_users / ann_topk_ivf / cosine_dedup_lsh: not

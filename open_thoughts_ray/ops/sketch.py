@@ -265,3 +265,66 @@ def distributed_quantile(ds, column: str, q: float,
         num_points,
     )
     return final.quantile(q)
+
+
+# ------------------------------------------------------- approx top-k
+def approx_top_k(ds, column: str, k: int = 10, partial_width: int = 256,
+                 weight_col: str | None = None):
+    """Approximate heavy hitters with a mergeable truncated-count sketch.
+
+    Per batch the EXACT value counts are computed vectorized (np.unique —
+    no per-row Python) and truncated to the ``partial_width`` most
+    frequent; the dropped tail's maximum count is carried as that
+    batch's error bound.  Partials merge with a plain groupby-sum (the
+    same shape as the HLL registers above), so the shuffle carries at
+    most partial_width rows per batch regardless of cardinality.
+
+    Returns (list[(item, count_lower_bound)], max_underestimate):
+    reported counts are lower bounds; any true count can be
+    underestimated by at most Σ per-batch dropped-tail maxima, and every
+    item whose true count exceeds that bound is guaranteed present
+    (Space-Saving-style guarantee).  Exact when batches have ≤
+    partial_width distinct values (then bound = 0).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(column).to_numpy(zero_copy_only=False)
+        if weight_col is None:
+            uniq, counts = np.unique(vals.astype(str), return_counts=True)
+        else:
+            # pre-weighted item stream (e.g. per-batch token counts):
+            # sum weights per unique item, vectorized
+            w = batch.column(weight_col).to_numpy(zero_copy_only=False)
+            uniq, inverse = np.unique(vals.astype(str), return_inverse=True)
+            counts = np.bincount(inverse, weights=w).astype(np.int64)
+        if len(uniq) > partial_width:
+            order = np.argsort(counts)[::-1]
+            kept = order[:partial_width]
+            bound = int(counts[order[partial_width]])
+            uniq, counts = uniq[kept], counts[kept]
+        else:
+            bound = 0
+        return pa.table({
+            "item": pa.array(list(uniq), pa.string()),
+            "c": pa.array(counts.astype(np.int64), pa.int64()),
+            "bound": pa.array([bound] + [0] * (len(uniq) - 1) if len(uniq)
+                              else [], pa.int64()),
+        })
+
+    cols = [column] if weight_col is None else [column, weight_col]
+    agg = (
+        ds.select_columns(cols)
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("item")
+        .aggregate(Sum("c", alias_name="n"), Sum("bound", alias_name="b"))
+    )
+    top = agg.sort("n", descending=True).limit(k).to_pandas()
+    total_bound = agg.map_batches(
+        lambda t: pa.table({"b": pa.array(
+            [int(np.sum(t.column("b").to_numpy(zero_copy_only=False)))],
+            pa.int64())}),
+        batch_format="pyarrow",
+    ).sum("b")
+    items = [(r.item, int(r.n)) for r in top.itertuples()]
+    return items, int(total_bound or 0)

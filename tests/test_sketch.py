@@ -53,3 +53,57 @@ def test_bloom_semi_join(ray_session):
     assert set(range(0, 1000, 10)).issubset(set(semi.doc_id))  # no false negatives
     anti = bloom_semi_join(rd.from_pandas(df), keys, "k", anti=True).to_pandas()
     assert set(anti.doc_id).isdisjoint(set(range(0, 1000, 10)))
+
+
+def test_approx_top_k_exact_when_wide(ray_session):
+    """With partial_width >= batch cardinality the sketch is exact and
+    the error bound is 0."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.sketch import approx_top_k
+
+    rng = np.random.default_rng(3)
+    # zipf-ish: item i appears ~ 1000/(i+1) times
+    vals = [f"v{i}" for i in range(40) for _ in range(1000 // (i + 1))]
+    rng.shuffle(vals)
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(8)
+    items, bound = approx_top_k(ds, "v", k=5, partial_width=64)
+    assert bound == 0
+    assert [i for i, _ in items] == ["v0", "v1", "v2", "v3", "v4"]
+    assert items[0][1] == 1000
+
+
+def test_approx_top_k_bound_and_heavy_hitter_guarantee(ray_session):
+    """Narrow partials: reported counts are lower bounds within the
+    reported max_underestimate, and the dominant item is present."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.sketch import approx_top_k
+
+    rng = np.random.default_rng(4)
+    vals = ["heavy"] * 3000 + [f"t{i}" for i in range(2000)] * 2
+    rng.shuffle(vals)
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(4)
+    items, bound = approx_top_k(ds, "v", k=3, partial_width=32)
+    top = dict(items)
+    assert "heavy" in top
+    assert top["heavy"] <= 3000  # lower bound never overestimates
+    assert 3000 - top["heavy"] <= bound
+
+
+def test_approx_top_k_weighted(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.sketch import approx_top_k
+
+    df = pd.DataFrame({"item": ["a", "b", "a", "c"],
+                       "w": [10, 5, 7, 1]})
+    items, bound = approx_top_k(rd.from_pandas(df), "item", k=2,
+                                partial_width=16, weight_col="w")
+    assert items == [("a", 17), ("b", 5)]
+    assert bound == 0
