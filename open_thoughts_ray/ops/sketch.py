@@ -318,6 +318,7 @@ def approx_top_k(ds, column: str, k: int = 10, partial_width: int = 256,
         .map_batches(partial, batch_format="pyarrow", batch_size=65536)
         .groupby("item")
         .aggregate(Sum("c", alias_name="n"), Sum("bound", alias_name="b"))
+        .materialize()  # consumed twice below (top-k sort + bound sum)
     )
     top = agg.sort("n", descending=True).limit(k).to_pandas()
     total_bound = agg.map_batches(
