@@ -533,8 +533,12 @@ def _q_ann_topk_ivf(sf_dir: str):
 
 
 def _q_cosine_dedup_lsh(sf_dir: str):
-    """Banded-LSH high-threshold near-dup collapse (rows-only; exact
-    in-bucket verification, recall bound documented)."""
+    """Banded-LSH high-threshold near-dup collapse.  In-bucket
+    verification is exact, so survivors match the exact NOT-EXISTS
+    oracle whenever LSH recall is 1 — which holds on this table (the
+    benchmark embeddings top out near cosine 0.48, far below the 0.9
+    threshold; recall on corpora with REAL high-cosine dups is
+    characterized against brute force in tests/test_similarity_embed)."""
     from open_thoughts_ray.ops.similarity import cosine_dedup_lsh
 
     ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -1100,6 +1104,15 @@ def oracle_sql() -> dict[str, str]:
         "priority_sample_documents": """
             SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS pri
             FROM documents ORDER BY pri LIMIT 20
+        """,
+        # exact-semantics oracle; valid because in-bucket verification is
+        # exact and recall is 1 on this table (see the query docstring)
+        "cosine_dedup_lsh_embeddings": """
+            SELECT a.vec_id FROM embeddings a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM embeddings b
+                WHERE b.vec_id < a.vec_id
+                  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.9)
         """,
         # approx_top_tokens_documents: rows-only (sketch lower bounds;
         # exactness + error bound asserted in tests/test_sketch.py)

@@ -25,6 +25,19 @@ from .dedup import union_find_canonical
 _MERS61 = (1 << 61) - 1
 
 
+
+def _auto_partitions(num_partitions):
+    """Resolve a partition count: explicit value wins; None adapts to the
+    live cluster (≈ CPUs, capped).  A fixed 32 deadlocked the hash-join
+    aggregator reservation on 4-CPU sessions."""
+    if num_partitions is not None:
+        return int(num_partitions)
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, min(32, cpus))
+
+
 def _ids_filter(ds, id_col: str, ids: set, keep: bool):
     """Vectorized membership filter against an id set (ids are matched as
     strings — the edge lists carry string ids).  Small sets ride in task
@@ -299,7 +312,7 @@ def _dedup_drop_by_components(ds, id_col: str, edges, num_partitions: int):
 def minhash_lsh_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
                       k: int = 64, bands: int = 16, shingle_n: int = 3,
                       threshold: float = 0.7, max_bucket: int = 256,
-                      num_partitions: int = 32, source_fetch=None,
+                      num_partitions: int | None = None, source_fetch=None,
                       max_driver_pairs: int = 2_000_000):
     """Near-dup collapse; survivors = min id per component.
 
@@ -315,6 +328,7 @@ def minhash_lsh_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     the text family)."""
     import ray
 
+    num_partitions = _auto_partitions(num_partitions)
     pairs_ds = minhash_pairs_dataset(ds, id_col, text_col, k, bands,
                                      shingle_n, max_bucket,
                                      num_partitions).materialize()
@@ -441,7 +455,7 @@ def simhash_batch(batch: pa.Table, text_col: str = "text",
 
 def simhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
                   hamming_max: int = 3, bands: int = 4,
-                  num_partitions: int = 32,
+                  num_partitions: int | None = None,
                   max_driver_edges: int = 2_000_000):
     """SimHash near-dup collapse, reusing the phash banded machinery
     (partition-level pair finding — no per-singleton-bucket dispatch).
@@ -450,6 +464,7 @@ def simhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     distributed label propagation — no driver edge collect."""
     from .dedup import near_dup_edges
 
+    num_partitions = _auto_partitions(num_partitions)
     hashed = ds.map_batches(simhash_batch, batch_format="pyarrow",
                             fn_kwargs={"text_col": text_col})
     small = hashed.map_batches(
@@ -608,7 +623,8 @@ def jaccard_verify_kernel(n: int, threshold: float):
 
 def ngram_jaccard_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
                         n: int = 3, threshold: float = 0.8,
-                        num_partitions: int = 32, max_bucket: int = 4096,
+                        num_partitions: int | None = None,
+                        max_bucket: int = 4096,
                         max_driver_drops: int = 2_000_000):
     """Exact n-gram-Jaccard dedup with SEQUENTIAL first-seen semantics:
     drop doc b iff some doc a with NUMERICALLY smaller id has
@@ -627,6 +643,7 @@ def ngram_jaccard_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
 
     from .pairverify import anti_join_ids, verify_pairs_distributed
 
+    num_partitions = _auto_partitions(num_partitions)
     pairs = ngram_jaccard_pairs(ds, id_col, text_col, n,
                                 num_partitions, max_bucket).materialize()
     if pairs.count() == 0:

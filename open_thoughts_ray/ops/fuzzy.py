@@ -69,7 +69,7 @@ def indel_verify_kernel(ratio_threshold: float):
 def fuzzy_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
                 ratio_threshold: float = 90.0, k: int = 64, bands: int = 16,
                 shingle_n: int = 3, max_bucket: int = 256,
-                num_partitions: int = 32, source_fetch=None,
+                num_partitions: int | None = None, source_fetch=None,
                 max_driver_pairs: int = 2_000_000):
     """Near-dup collapse with exact Indel-ratio verification; survivors =
     min id per component (deduplicate.py:12-55 semantics without the
@@ -83,8 +83,9 @@ def fuzzy_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     propagation — VERDICT r2 #2), and the driver never sees a pair."""
     import ray
 
-    from .dedup_text import minhash_pairs_dataset
+    from .dedup_text import _auto_partitions, minhash_pairs_dataset
 
+    num_partitions = _auto_partitions(num_partitions)
     pairs_ds = minhash_pairs_dataset(ds, id_col, text_col, k, bands,
                                      shingle_n, max_bucket,
                                      num_partitions).materialize()

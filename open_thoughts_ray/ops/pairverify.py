@@ -61,8 +61,12 @@ def verify_pairs_distributed(pairs, ds, id_col: str, text_col: str,
     # materialization is bounded, never table-sized.
     import ray.data as rd
 
+    # trailing repartition matters: the hash aggregator emits schema-LESS
+    # blocks for partitions that received no rows, and a zero-field block
+    # poisons the join ("No match for FieldRef"); repartition rebuilds
+    # every block as a typed slice (same fix as dedup.label_propagation)
     pairs = pairs.groupby(["a", "b"]).count().select_columns(["a", "b"]) \
-        .materialize()
+        .repartition(num_partitions).materialize()
     if pairs.count() == 0:
         # Ray's hash aggregator emits schema-LESS blocks for an empty
         # groupby, and a zero-field block poisons the join ("No match
@@ -97,7 +101,7 @@ def anti_join_ids(ds, id_col: str, drop_ids, num_partitions: int = 32):
                             "__dropped": pa.array([True] * t.num_rows,
                                                   pa.bool_())}),
         batch_format="pyarrow",
-    ).materialize()
+    ).repartition(num_partitions).materialize()
     if marker.count() == 0:
         return ds  # empty groupby output is schema-less → would poison
                    # the join; nothing to drop anyway

@@ -185,6 +185,52 @@ def run_pipeline(doc: dict, output_id: str | None = None):
             from .ops.dedup import exact_dedup
 
             out = exact_dedup(ins[0], cfg["key_columns"], cfg["order_column"])
+        elif typ == "dedup_minhash":
+            from .ops.dedup_text import minhash_lsh_dedup
+
+            out = minhash_lsh_dedup(
+                ins[0], id_col=cfg.get("id_column", "doc_id"),
+                text_col=cfg.get("text_column", "text"),
+                threshold=float(cfg.get("threshold", 0.7)),
+                k=int(cfg.get("num_hashes", 64)),
+                bands=int(cfg.get("bands", 16)),
+                shingle_n=int(cfg.get("shingle_n", 3)),
+            )
+        elif typ == "dedup_simhash":
+            from .ops.dedup_text import simhash_dedup
+
+            out = simhash_dedup(
+                ins[0], id_col=cfg.get("id_column", "doc_id"),
+                text_col=cfg.get("text_column", "text"),
+                hamming_max=int(cfg.get("hamming_max", 3)),
+            )
+        elif typ == "dedup_ngram_jaccard":
+            from .ops.dedup_text import ngram_jaccard_dedup
+
+            out = ngram_jaccard_dedup(
+                ins[0], id_col=cfg.get("id_column", "doc_id"),
+                text_col=cfg.get("text_column", "text"),
+                n=int(cfg.get("ngram_n", 3)),
+                threshold=float(cfg.get("threshold", 0.8)),
+            )
+        elif typ == "dedup_fuzzy":
+            from .ops.fuzzy import fuzzy_dedup
+
+            out = fuzzy_dedup(
+                ins[0], id_col=cfg.get("id_column", "doc_id"),
+                text_col=cfg.get("text_column", "text"),
+                ratio_threshold=float(cfg.get("ratio_threshold", 90.0)),
+            )
+        elif typ == "decontaminate":
+            from .ops.decontaminate import decontaminate
+
+            out = decontaminate(
+                ins[0], cfg["benchmark_texts"],
+                text_column=cfg.get("text_column", "text"),
+                ngram_n=int(cfg.get("ngram_n", 8)),
+                overlap_threshold=float(cfg.get("overlap_threshold", 0.5)),
+                mode=cfg.get("mode", "drop"),
+            )
         elif typ == "quality_filter":
             from .pipeline import PipelineOptions, quality_filter_dataset
 

@@ -251,3 +251,41 @@ def test_repartition_by_length_homogeneous_blocks(ray_session):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2 or lo1 == lo2  # contiguous, ties allowed
+
+
+def test_yaml_dedup_family_ops(ray_session, tmp_path):
+    """YAML surface for the text dedup family + decontaminate
+    (the reference's YAML-first usage of its dedup UDFs)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from open_thoughts_ray.yaml_pipeline import run_pipeline
+
+    path = str(tmp_path / "docs.parquet")
+    texts = ["aa bb cc dd ee ff gg hh", "aa bb cc dd ee ff gg zz",
+             "mm nn oo pp qq rr ss tt"]
+    pq.write_table(pa.table({"doc_id": [1, 2, 3], "text": texts}), path)
+    doc = {"operators": [
+        {"id": "src", "config": {"type": "parquet_source", "path": path}},
+        {"id": "dedup", "config": {"type": "dedup_ngram_jaccard",
+                                   "threshold": 0.5}},
+    ]}
+    out = run_pipeline(doc).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 3]  # 2 is a near-copy of 1
+
+    doc2 = {"operators": [
+        {"id": "src", "config": {"type": "parquet_source", "path": path}},
+        {"id": "decon", "config": {"type": "decontaminate",
+                                   "benchmark_texts": [texts[2]],
+                                   "overlap_threshold": 0.5}},
+    ]}
+    out2 = run_pipeline(doc2).to_pandas()
+    assert sorted(out2["doc_id"]) == [1, 2]  # 3 matches the benchmark
+
+    doc3 = {"operators": [
+        {"id": "src", "config": {"type": "parquet_source", "path": path}},
+        {"id": "mh", "config": {"type": "dedup_minhash", "threshold": 0.5,
+                                "bands": 32, "num_hashes": 64}},
+    ]}
+    out3 = run_pipeline(doc3).to_pandas()
+    assert 3 in set(out3["doc_id"])  # distinct doc always survives
