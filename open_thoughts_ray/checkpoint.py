@@ -168,7 +168,12 @@ def run_flagship(table_dir: str, out_dir: str, opts, chunk_fragments: int = 16):
             shutil.rmtree(staging)
         if os.path.isdir(final_chunk_dir):  # stale or manifest-less write
             shutil.rmtree(final_chunk_dir)
-        nb = max(opts.num_cpus * 2, 2)
+        # 6 blocks per CPU: at 2× the largest read blocks straddled the
+        # 128 MB split threshold and came out 849-31250 rows wide, and
+        # the widest block's score task was a 2× straggler on the whole
+        # stage (ds.stats: max 10.1 s vs mean 5.8 s task wall at 2M
+        # rows / 32 CPUs); finer, even blocks cut score+write wall ~14%
+        nb = max(opts.num_cpus * 6, 2)
         ds = rd.read_parquet(chunk_paths, override_num_blocks=min(nb, len(chunk_paths) * 4))
         scored = score_stage(ds, model_refs, opts)
         scored.write_parquet(staging)
