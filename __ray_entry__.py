@@ -464,6 +464,97 @@ def _q3_shipping_priority(sf_dir: str):
     )
 
 
+def _q_scrub_documents(sf_dir: str):
+    """Ordered regex PII/toxicity scrub — the north-star's
+    scrubbed-caption semantic as a standalone SQL-checked query (the
+    flagship applies the same rules inside the score stage).  The
+    synthetic corpus contains no PII, so each row is deterministically
+    augmented with doc_id-derived URL / email / SSN / phone / toxic
+    tokens (the identical || expression in the oracle) so every rule
+    fires on every row and the exact-string-equality check is
+    non-trivial."""
+    from open_thoughts_ray.fixtures.textgen import TOXIC_LEXICON
+    from open_thoughts_ray.ops.scrub import scrub_many
+
+    lex = list(TOXIC_LEXICON)
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        aug = [
+            f"{txt} contact user{i}@example.com or https://ex.com/p/{i}"
+            f" ssn 123-45-6789 call (555) 123-4567 you {lex[i % len(lex)]}"
+            for i, txt in zip(ids, texts)
+        ]
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "scrubbed": pa.array(scrub_many(aug), pa.string()),
+        })
+
+    return _rp(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def _q_latest_event_per_user(sf_dir: str):
+    """Distributed argmax per group (row_number()=1 window semantics):
+    per-batch vectorized pre-reduce, then a keyed shuffle carrying at
+    most one candidate row per (batch, user)."""
+    from open_thoughts_ray.ops import relational as R
+
+    ds = _rp(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+    out = R.argmax_per_group(ds, "user_id", ["ts", "event_id"],
+                             descending=True)
+    return out.select_columns(["user_id", "event_id", "event_type"])
+
+
+def _q_median_quantity(sf_dir: str):
+    """Exact per-group median (non-mergeable aggregate → keyed shuffle
+    of (group, value) only).  Emitted as 2×median in integer cents —
+    always integral for int inputs — so the hash is float-free."""
+    from open_thoughts_ray.ops import relational as R
+
+    ds = _rp(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "qty_cents": _r2i(pc.multiply(t.column("l_quantity"), 100.0)),
+        })
+
+    out = R.grouped_median(ds.map_batches(cents, batch_format="pyarrow"),
+                           "l_returnflag", "qty_cents", out_col="m")
+
+    def x2(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "median_x2_cents": _r2i(pc.multiply(t.column("m"), 2.0)),
+        })
+
+    return out.map_batches(x2, batch_format="pyarrow")
+
+
+def _q_max_gap_events(sf_dir: str):
+    """Lag-window analytics: largest inter-event gap per user, integer
+    microseconds (users with ≥2 events)."""
+    from open_thoughts_ray.ops.temporal import max_gap_per_key
+
+    return max_gap_per_key(_rp(sf_dir, "events", ["user_id", "ts"]),
+                           "user_id", "ts")
+
+
+def _q_corr_qty_price(sf_dir: str):
+    """Distributed Pearson correlation from five mergeable sums (no
+    shuffle); floor-quantized at 1e-6 on both sides like token_entropy."""
+    import math
+
+    from open_thoughts_ray.ops import relational as R
+
+    ds = _rp(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+    r = R.pearson_corr(ds, "l_quantity", "l_extendedprice")
+    q = math.floor(r * 1_000_000) / 1_000_000
+    return pa.table({"corr_qty_price": pa.array([q], pa.float64())})
+
+
 def _q_flagship(sf_dir: str):
     return entry()
 
@@ -514,6 +605,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_bigram_ratio_documents": _q_distinct_bigram_ratio,
         "priority_sample_documents": _q_priority_sample,
         "approx_top_tokens_documents": _q_approx_top_tokens,
+        "scrub_documents": _q_scrub_documents,
+        "latest_event_per_user": _q_latest_event_per_user,
+        "median_quantity_per_flag": _q_median_quantity,
+        "max_gap_events": _q_max_gap_events,
+        "corr_qty_price": _q_corr_qty_price,
     }
 
 
@@ -803,6 +899,36 @@ def _q_json_source(sf_dir: str):
         os.replace(tmp, path)
     ds = read_json_source(path, columns=["doc_id", "lang"], limit=200)
     return ds
+
+
+def _scrub_oracle() -> str:
+    """DuckDB equivalent of _q_scrub_documents, derived from the live
+    SCRUB_RULES / TOXIC_LEXICON so the oracle cannot drift from the
+    engine's rule list (same augmentation expression, same ordered
+    regexp_replace chain; Python (?i) becomes RE2's 'gi' flags)."""
+    from open_thoughts_ray.fixtures.textgen import TOXIC_LEXICON
+    from open_thoughts_ray.ops.scrub import SCRUB_RULES
+
+    expr = "t"
+    for _name, pat, repl in SCRUB_RULES:
+        flags = "g"
+        if pat.startswith("(?i)"):
+            pat, flags = pat[4:], "gi"
+        pat = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', '{flags}')"
+    lex = ", ".join(f"'{w}'" for w in TOXIC_LEXICON)
+    return f"""
+        WITH aug AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or https://ex.com/p/'
+                        || CAST(doc_id AS VARCHAR)
+                        || ' ssn 123-45-6789 call (555) 123-4567 you '
+                        || ([{lex}])[CAST(doc_id % {len(TOXIC_LEXICON)}
+                                          AS INT) + 1] AS t
+            FROM documents)
+        SELECT doc_id, {expr} AS scrubbed FROM aug
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1113,6 +1239,38 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM embeddings b
                 WHERE b.vec_id < a.vec_id
                   AND list_cosine_similarity(a.embedding, b.embedding) >= 0.9)
+        """,
+        "scrub_documents": _scrub_oracle(),
+        "latest_event_per_user": """
+            SELECT user_id, event_id, event_type FROM (
+                SELECT user_id, event_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC)
+                           AS rn
+                FROM events) sub
+            WHERE rn = 1
+        """,
+        "median_quantity_per_flag": """
+            SELECT l_returnflag,
+                   CAST(floor(2 * median(CAST(floor(l_quantity * 100 + 0.5)
+                                              AS BIGINT)) + 0.5)
+                        AS BIGINT) AS median_x2_cents
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "max_gap_events": """
+            SELECT user_id, CAST(max(gap) AS BIGINT) AS max_gap_us,
+                   CAST(count(*) AS BIGINT) AS n_gaps
+            FROM (
+                SELECT user_id,
+                       epoch_us(ts) - lag(epoch_us(ts))
+                           OVER (PARTITION BY user_id ORDER BY ts) AS gap
+                FROM events) sub
+            WHERE gap IS NOT NULL GROUP BY user_id
+        """,
+        "corr_qty_price": """
+            SELECT floor(corr(l_quantity, l_extendedprice) * 1000000)
+                   / 1000000 AS corr_qty_price
+            FROM lineitem
         """,
         # approx_top_tokens_documents: rows-only (sketch lower bounds;
         # exactness + error bound asserted in tests/test_sketch.py)

@@ -134,6 +134,77 @@ def stratified_first_k(ds, group_col, k: int, order_col: str):
     )
 
 
+def argmax_per_group(ds, group_col: str, order_cols: list[str],
+                     descending: bool = True):
+    """One row per group: the row with the greatest (least, if
+    ``descending=False``) ``order_cols`` tuple — SQL
+    ``row_number() OVER (PARTITION BY g ORDER BY ...) = 1``.  Each batch
+    pre-reduces to one candidate row per key (vectorized pandas
+    sort + drop_duplicates), so the keyed shuffle carries at most
+    #batches × #keys rows, never the input."""
+    asc = not descending
+
+    def batch_best(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(order_cols, ascending=asc,
+                              kind="mergesort").drop_duplicates(
+            group_col, keep="first")
+
+    def group_best(g: pd.DataFrame) -> pd.DataFrame:
+        return batch_best(g).head(1)
+
+    partial = ds.map_batches(batch_best, batch_format="pandas")
+    return partial.groupby(group_col).map_groups(
+        group_best, batch_format="pandas")
+
+
+def grouped_median(ds, group_col: str, value_col: str,
+                   out_col: str | None = None):
+    """Exact per-group median (DuckDB ``median()`` semantics: mean of
+    the two middle values for even counts).  Median is not a mergeable
+    aggregate, so the group's values must co-locate — one keyed shuffle
+    carrying only (group, value)."""
+    out_col = out_col or f"median_{value_col}"
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        return pd.DataFrame({
+            group_col: [g[group_col].iloc[0]],
+            out_col: [float(np.median(g[value_col].to_numpy()))],
+        })
+
+    return ds.select_columns([group_col, value_col]).groupby(
+        group_col).map_groups(med, batch_format="pandas")
+
+
+def pearson_corr(ds, x_col: str, y_col: str) -> float:
+    """Distributed Pearson correlation from the five mergeable sums
+    (n, Σx, Σy, Σx², Σy², Σxy) — each block contributes one partial row,
+    no shuffle, nothing data-sized leaves the cluster."""
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "n": pa.array([float(len(x))]),
+            "sx": pa.array([float(x.sum())]),
+            "sy": pa.array([float(y.sum())]),
+            "sxx": pa.array([float((x * x).sum())]),
+            "syy": pa.array([float((y * y).sum())]),
+            "sxy": pa.array([float((x * y).sum())]),
+        })
+
+    p = ds.select_columns([x_col, y_col]).map_batches(
+        partial, batch_format="pyarrow").materialize()
+    n = p.sum("n")
+    sx, sy = p.sum("sx"), p.sum("sy")
+    sxx, syy, sxy = p.sum("sxx"), p.sum("syy"), p.sum("sxy")
+    num = n * sxy - sx * sy
+    den = ((n * sxx - sx * sx) * (n * syy - sy * sy)) ** 0.5
+    return num / den if den else float("nan")
+
+
 # ------------------------------------------------------- top-k / quantile
 def top_k(ds, column: str, k: int, descending: bool = True):
     """_B2_Filtering/utils.py:4-29 filter_top_n — global sort + limit.

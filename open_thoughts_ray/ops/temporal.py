@@ -91,3 +91,32 @@ def sessionize(events, key: str, ts_col: str, gap_s: int):
         return out[[key, "session_start", "n_events", "duration_s"]]
 
     return events.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def max_gap_per_key(events, key: str, ts_col: str):
+    """Largest inter-event gap per key (lag-window analytics): one row
+    per key with ≥2 events — (key, max_gap_us:int64, n_gaps:int64).
+    Consecutive differences of a sorted multiset are tie-order-invariant,
+    so sorting on ts alone is deterministic.  One keyed shuffle carrying
+    (key, ts) only; integer microseconds so the oracle hash is exact."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        us = np.sort(
+            g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        )
+        if len(us) < 2:
+            return pd.DataFrame({key: [], "max_gap_us": [], "n_gaps": []}).astype(
+                {key: g[key].dtype, "max_gap_us": "int64", "n_gaps": "int64"}
+            )
+        gaps = np.diff(us)
+        return pd.DataFrame({
+            key: [g[key].iloc[0]],
+            "max_gap_us": [int(gaps.max())],
+            "n_gaps": [int(len(gaps))],
+        })
+
+    return events.select_columns([key, ts_col]).groupby(key).map_groups(
+        per_key, batch_format="pandas"
+    )

@@ -1,0 +1,97 @@
+"""argmax_per_group / grouped_median / pearson_corr / max_gap_per_key —
+the window-function-shaped analytics added round 3 (SQL oracles live in
+__ray_entry__.oracle_sql; these are the pure-op unit tests)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from open_thoughts_ray.ops.relational import (
+    argmax_per_group,
+    grouped_median,
+    pearson_corr,
+)
+from open_thoughts_ray.ops.temporal import max_gap_per_key
+
+
+def _df(n=200, seed=7):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "k": rng.integers(0, 12, n),
+        "v": rng.normal(50.0, 10.0, n).round(3),
+        "id": np.arange(n),
+    })
+
+
+def test_argmax_per_group(ray_session):
+    import ray.data as rd
+
+    df = _df()
+    out = argmax_per_group(
+        rd.from_pandas(df, override_num_blocks=7), "k", ["v", "id"]
+    ).to_pandas()
+    exp = df.sort_values(["v", "id"], ascending=False).drop_duplicates("k")
+    got = out.set_index("k")["id"].to_dict()
+    assert got == exp.set_index("k")["id"].to_dict()
+
+
+def test_argmax_per_group_ascending_tie_break(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({"k": [1, 1, 1, 2], "v": [5, 5, 9, 3],
+                       "id": [10, 2, 7, 1]})
+    out = argmax_per_group(
+        rd.from_pandas(df, override_num_blocks=2), "k", ["v", "id"],
+        descending=False,
+    ).to_pandas()
+    # group 1: min (v, id) tuple is (5, 2); group 2 trivially id 1
+    assert out.set_index("k")["id"].to_dict() == {1: 2, 2: 1}
+
+
+def test_grouped_median_matches_numpy(ray_session):
+    import ray.data as rd
+
+    df = _df()
+    out = grouped_median(
+        rd.from_pandas(df, override_num_blocks=5), "k", "v"
+    ).to_pandas()
+    exp = df.groupby("k")["v"].median()
+    for _, row in out.iterrows():
+        assert row["median_v"] == exp[row["k"]]
+
+
+def test_grouped_median_even_count_interpolates(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({"k": ["a"] * 4, "v": [1.0, 2.0, 10.0, 20.0]})
+    out = grouped_median(rd.from_pandas(df), "k", "v").to_pandas()
+    assert out["median_v"].iloc[0] == 6.0
+
+
+def test_pearson_corr(ray_session):
+    import ray.data as rd
+
+    df = _df(500)
+    df["w"] = 3.0 * df["v"] + np.random.default_rng(1).normal(0, 5, len(df))
+    got = pearson_corr(rd.from_pandas(df, override_num_blocks=9), "v", "w")
+    exp = float(np.corrcoef(df["v"], df["w"])[0, 1])
+    assert math.isclose(got, exp, rel_tol=0, abs_tol=1e-9)
+
+
+def test_max_gap_per_key(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 2, 2, 3],
+        "ts": pd.to_datetime([10, 40, 100, 7, 7, 5], unit="s"),
+    })
+    out = max_gap_per_key(
+        rd.from_pandas(df, override_num_blocks=3), "u", "ts"
+    ).to_pandas()
+    got = out.set_index("u")[["max_gap_us", "n_gaps"]].astype(int)
+    # user 1: gaps 30s, 60s → max 60s; user 2: two same-instant events →
+    # gap 0; user 3: single event → no row
+    assert got.loc[1].tolist() == [60_000_000, 2]
+    assert got.loc[2].tolist() == [0, 1]
+    assert 3 not in got.index
