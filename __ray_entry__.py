@@ -555,6 +555,51 @@ def _q_corr_qty_price(sf_dir: str):
     return pa.table({"corr_qty_price": pa.array([q], pa.float64())})
 
 
+def _q_range_join_events(sf_dir: str):
+    """Time-range (non-equi) join Ray Data lacks natively: every error
+    event paired with purchase events within ±5 minutes, via the bucketed
+    interval_join composition (one keyed shuffle, ≤2× replication of the
+    right side)."""
+    from open_thoughts_ray.ops import relational as R
+    from open_thoughts_ray.ops.temporal import interval_join
+
+    ev = _rp(sf_dir, "events", ["event_id", "ts", "event_type"])
+    errors = R.filter_in(ev, "event_type", ["error"]).map_batches(
+        lambda t: t.select(["event_id", "ts"]).rename_columns(
+            ["err_id", "ts"]),
+        batch_format="pyarrow",
+    )
+    buys = R.filter_in(ev, "event_type", ["purchase"]).map_batches(
+        lambda t: t.select(["event_id", "ts"]).rename_columns(
+            ["buy_id", "buy_ts"]),
+        batch_format="pyarrow",
+    )
+    return interval_join(
+        errors, buys, left_ts="ts", right_ts="buy_ts",
+        lower_us=-300_000_000, upper_us=300_000_000,
+        left_cols=["err_id"], right_cols=["buy_id"],
+    )
+
+
+def _q_rolling_sum_events(sf_dir: str):
+    """Rolling-window aggregate (SQL ROWS BETWEEN 2 PRECEDING AND
+    CURRENT ROW): per-user running 3-row sum of value cents ordered by
+    (ts, event_id)."""
+    from open_thoughts_ray.ops.temporal import rolling_sum_per_key
+
+    ds = _rp(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "value_cents", _r2i(pc.multiply(t.column("value"), 100.0))
+        ).drop_columns(["value"])
+
+    ds = ds.map_batches(cents, batch_format="pyarrow")
+    return rolling_sum_per_key(ds, "user_id", "ts", "event_id",
+                               "value_cents", window_rows=3,
+                               out_col="roll3_cents")
+
+
 def _q_flagship(sf_dir: str):
     return entry()
 
@@ -610,6 +655,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_quantity_per_flag": _q_median_quantity,
         "max_gap_events": _q_max_gap_events,
         "corr_qty_price": _q_corr_qty_price,
+        "range_join_events": _q_range_join_events,
+        "rolling_sum_events": _q_rolling_sum_events,
     }
 
 
@@ -1271,6 +1318,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT floor(corr(l_quantity, l_extendedprice) * 1000000)
                    / 1000000 AS corr_qty_price
             FROM lineitem
+        """,
+        "range_join_events": """
+            SELECT a.event_id AS err_id, b.event_id AS buy_id
+            FROM events a JOIN events b
+              ON a.event_type = 'error' AND b.event_type = 'purchase'
+             AND b.ts BETWEEN a.ts - INTERVAL 5 MINUTE
+                          AND a.ts + INTERVAL 5 MINUTE
+        """,
+        "rolling_sum_events": """
+            SELECT user_id, event_id,
+                   sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                       AS roll3_cents
+            FROM events
         """,
         # approx_top_tokens_documents: rows-only (sketch lower bounds;
         # exactness + error bound asserted in tests/test_sketch.py)

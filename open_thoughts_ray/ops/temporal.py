@@ -13,6 +13,7 @@ upstream if a key exceeds block size.
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow as pa
 
 
 def asof_join(left, right, key: str, ts: str, right_value_cols: list[str]):
@@ -91,6 +92,118 @@ def sessionize(events, key: str, ts_col: str, gap_s: int):
         return out[[key, "session_start", "n_events", "duration_s"]]
 
     return events.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def interval_join(left, right, left_ts: str, right_ts: str,
+                  lower_us: int, upper_us: int,
+                  left_cols: list[str], right_cols: list[str]):
+    """Time-range (non-equi) join: emit one row per (l, r) pair with
+    ``r.ts ∈ [l.ts + lower_us, l.ts + upper_us]`` (closed interval =
+    SQL BETWEEN).  Ray Data has no inequality join, so this is the
+    bucketed composition: left rows hash to their own time bucket of
+    width W = 2·(upper−lower); right rows replicate into the ≤2 buckets
+    whose left rows they can match; one keyed shuffle co-locates each
+    bucket and a searchsorted range-scan emits pairs vectorized.
+    Partitioning assumption: bucket population is bounded by event rate
+    × W — a burst of rows inside one W-window all land in one group
+    (salt the bucket key with a secondary hash if that ever skews)."""
+    import numpy as np
+
+    if upper_us <= lower_us:
+        raise ValueError("empty interval")
+    if set(left_cols) & set(right_cols):
+        raise ValueError("left_cols and right_cols must be disjoint "
+                         "(rename before joining)")
+    w = 2 * (upper_us - lower_us)
+    lsch, rsch = left.schema(), right.schema()
+    types = {c: t for c, t in zip(lsch.names, lsch.types) if c in left_cols}
+    types.update(
+        {c: t for c, t in zip(rsch.names, rsch.types) if c in right_cols})
+    out_schema = pa.schema([(c, types[c]) for c in left_cols + right_cols])
+
+    def _pad(t: pa.Table, missing: list[str]) -> pa.Table:
+        for c in missing:
+            t = t.append_column(c, pa.nulls(len(t), types[c]))
+        return t
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        us = (t.column(left_ts).cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        t = t.select(left_cols)
+        t = _pad(t, right_cols)
+        t = t.append_column("_ts", pa.array(us, pa.int64()))
+        t = t.append_column("_b", pa.array(us // w, pa.int64()))
+        return t.append_column("_is_l", pa.array(np.ones(len(t), dtype=bool)))
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        us = (t.column(right_ts).cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        # a right row at r matches left rows with l ∈ [r−upper, r−lower]
+        # → replicate into buckets floor((r−upper)/w)..floor((r−lower)/w)
+        # (≤2 by the W = 2·span choice; exact int64 floor division)
+        lo_b = (us - upper_us) // w
+        n_copies = ((us - lower_us) // w - lo_b + 1)
+        idx = np.repeat(np.arange(len(us)), n_copies)
+        offs = np.arange(len(idx)) - np.repeat(
+            np.cumsum(n_copies) - n_copies, n_copies)
+        t = t.select(right_cols).take(pa.array(idx))
+        t = _pad(t, left_cols).select(left_cols + right_cols)
+        t = t.append_column("_ts", pa.array(us[idx], pa.int64()))
+        t = t.append_column("_b", pa.array(lo_b[idx] + offs, pa.int64()))
+        return t.append_column("_is_l", pa.array(np.zeros(len(t), dtype=bool)))
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.map_batches(tag_right, batch_format="pyarrow")
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        is_l = g.column("_is_l").to_numpy(zero_copy_only=False)
+        ls, rs = g.filter(pa.array(is_l)), g.filter(pa.array(~is_l))
+        if not len(ls) or not len(rs):
+            return out_schema.empty_table()
+        r_us = rs.column("_ts").to_numpy(zero_copy_only=False)
+        order = np.argsort(r_us, kind="mergesort")
+        r_us = r_us[order]
+        rs = rs.take(pa.array(order))
+        l_us = ls.column("_ts").to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(r_us, l_us + lower_us, side="left")
+        hi = np.searchsorted(r_us, l_us + upper_us, side="right")
+        counts = hi - lo
+        li = np.repeat(np.arange(len(l_us)), counts)
+        ri = np.arange(len(li)) + np.repeat(lo - (np.cumsum(counts) - counts),
+                                            counts)
+        cols = {c: ls.column(c).take(pa.array(li)) for c in left_cols}
+        cols.update({c: rs.column(c).take(pa.array(ri)) for c in right_cols})
+        return pa.table(cols)
+
+    both = lt.union(rt)
+    return both.groupby("_b").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def rolling_sum_per_key(ds, key: str, ts_col: str, order_col: str,
+                        value_col: str, window_rows: int,
+                        out_col: str = "rolling_sum"):
+    """Per-key rolling sum over the current + preceding ``window_rows−1``
+    rows ordered by (ts, order_col) — SQL ``sum(v) OVER (PARTITION BY k
+    ORDER BY ts, o ROWS BETWEEN w−1 PRECEDING AND CURRENT ROW)``.
+    One keyed shuffle; cumsum-difference inside each group (no Python
+    row loop)."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        g = g.sort_values([ts_col, order_col], kind="mergesort")
+        v = g[value_col].to_numpy()
+        c = np.cumsum(v)
+        roll = c.copy()
+        if len(v) > window_rows:
+            roll[window_rows:] = c[window_rows:] - c[:-window_rows]
+        out = g[[key, order_col]].copy()
+        out[out_col] = roll
+        return out
+
+    return ds.select_columns(
+        [key, ts_col, order_col, value_col]
+    ).groupby(key).map_groups(per_key, batch_format="pandas")
 
 
 def max_gap_per_key(events, key: str, ts_col: str):

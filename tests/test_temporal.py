@@ -59,3 +59,76 @@ def test_sessionize(ray_session):
     assert list(u1.n_events) == [3, 2, 1]
     assert list(u1.duration_s) == [200, 100, 0]
     assert len(out[out.user_id == 2]) == 1
+
+
+def test_interval_join_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.temporal import interval_join
+
+    rng = np.random.default_rng(11)
+    n = 300
+    left = pd.DataFrame({
+        "lid": np.arange(n),
+        "ts": pd.to_datetime(rng.integers(0, 50_000, n), unit="s"),
+    })
+    right = pd.DataFrame({
+        "rid": np.arange(n) + 1000,
+        "rts": pd.to_datetime(rng.integers(0, 50_000, n), unit="s"),
+    })
+    out = interval_join(
+        rd.from_pandas(left, override_num_blocks=4),
+        rd.from_pandas(right, override_num_blocks=4),
+        left_ts="ts", right_ts="rts",
+        lower_us=-120_000_000, upper_us=120_000_000,
+        left_cols=["lid"], right_cols=["rid"],
+    ).to_pandas()
+    got = set(zip(out.lid, out.rid))
+    l_us = left.ts.astype("datetime64[us]").astype("int64").to_numpy()
+    r_us = right.rts.astype("datetime64[us]").astype("int64").to_numpy()
+    exp = {
+        (int(left.lid[i]), int(right.rid[j]))
+        for i in range(n) for j in range(n)
+        if l_us[i] - 120_000_000 <= r_us[j] <= l_us[i] + 120_000_000
+    }
+    assert got == exp
+    assert len(out) == len(exp)  # no duplicate pairs from replication
+
+
+def test_interval_join_closed_bounds_and_asymmetric(ray_session):
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.temporal import interval_join
+
+    left = pd.DataFrame({"lid": [1],
+                         "ts": pd.to_datetime([1000], unit="s")})
+    right = pd.DataFrame({
+        "rid": [10, 11, 12, 13],
+        "rts": pd.to_datetime([999, 1000, 1005, 1006], unit="s"),
+    })
+    out = interval_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        left_ts="ts", right_ts="rts",
+        lower_us=0, upper_us=5_000_000,  # [ts, ts+5s] closed
+        left_cols=["lid"], right_cols=["rid"],
+    ).to_pandas()
+    assert sorted(out.rid.tolist()) == [11, 12]
+
+
+def test_rolling_sum_per_key(ray_session):
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.temporal import rolling_sum_per_key
+
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 1, 2],
+        "eid": [0, 1, 2, 3, 4],
+        "ts": pd.to_datetime([10, 20, 30, 40, 5], unit="s"),
+        "v": [1, 10, 100, 1000, 7],
+    })
+    out = rolling_sum_per_key(
+        rd.from_pandas(df, override_num_blocks=2), "u", "ts", "eid", "v",
+        window_rows=3, out_col="r",
+    ).to_pandas()
+    got = out.set_index("eid")["r"].to_dict()
+    assert got == {0: 1, 1: 11, 2: 111, 3: 1110, 4: 7}
