@@ -600,6 +600,34 @@ def _q_rolling_sum_events(sf_dir: str):
                                out_col="roll3_cents")
 
 
+def _q_pivot_events(sf_dir: str):
+    """Wide count pivot (SQL count(*) FILTER pattern): per-user event
+    counts, one column per event type."""
+    from open_thoughts_ray.ops import relational as R
+
+    ds = _rp(sf_dir, "events", ["user_id", "event_type"])
+    return R.pivot_count(ds, "user_id", "event_type",
+                         ["click", "view", "purchase", "signup", "error"])
+
+
+def _q_p90_value_per_type(sf_dir: str):
+    """Exact per-group p90 (quantile_cont interpolation), emitted in
+    floor-quantized milli-units so the hash is float-free."""
+    from open_thoughts_ray.ops import relational as R
+
+    ds = _rp(sf_dir, "events", ["event_type", "value"])
+    out = R.grouped_quantile(ds, "event_type", "value", 0.9, out_col="p90")
+
+    def milli(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "p90_milli": pc.floor(
+                pc.multiply(t.column("p90"), 1000.0)).cast(pa.int64()),
+        })
+
+    return out.map_batches(milli, batch_format="pyarrow")
+
+
 def _q_flagship(sf_dir: str):
     return entry()
 
@@ -657,6 +685,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_qty_price": _q_corr_qty_price,
         "range_join_events": _q_range_join_events,
         "rolling_sum_events": _q_rolling_sum_events,
+        "pivot_events_by_type": _q_pivot_events,
+        "p90_value_per_type": _q_p90_value_per_type,
     }
 
 
@@ -1333,6 +1363,21 @@ def oracle_sql() -> dict[str, str]:
                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
                        AS roll3_cents
             FROM events
+        """,
+        "pivot_events_by_type": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click')    AS n_click,
+                   count(*) FILTER (event_type = 'view')     AS n_view,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup')   AS n_signup,
+                   count(*) FILTER (event_type = 'error')    AS n_error
+            FROM events GROUP BY user_id
+        """,
+        "p90_value_per_type": """
+            SELECT event_type,
+                   CAST(floor(quantile_cont(value, 0.9) * 1000)
+                        AS BIGINT) AS p90_milli
+            FROM events GROUP BY event_type
         """,
         # approx_top_tokens_documents: rows-only (sketch lower bounds;
         # exactness + error bound asserted in tests/test_sketch.py)

@@ -370,6 +370,48 @@ def semi_anti_join_broadcast(ds, keys, column: str, anti: bool = False):
                           num_cpus=0.5)
 
 
+def pivot_count(ds, row_key: str, col_key: str, values: list[str]):
+    """Wide count pivot: one row per ``row_key``, one ``n_<v>`` column
+    per v in ``values`` — SQL ``count(*) FILTER (WHERE col = v) GROUP BY
+    row_key``.  Indicator columns are built per batch so the shuffle is
+    an ordinary pre-aggregated groupby (partial sums combine per block);
+    the values list is fixed up front (the SQL PIVOT IN-list) so the
+    output schema is static."""
+    from ray.data.aggregate import Sum
+
+    def ind(t: pa.Table) -> pa.Table:
+        col = t.column(col_key)
+        out = {row_key: t.column(row_key)}
+        for v in values:
+            out[f"n_{v}"] = pc.cast(pc.equal(col, v), pa.int64())
+        return pa.table(out)
+
+    aggs = [Sum(f"n_{v}", alias_name=f"n_{v}") for v in values]
+    return ds.map_batches(ind, batch_format="pyarrow").groupby(
+        row_key).aggregate(*aggs)
+
+
+def grouped_quantile(ds, group_col: str, value_col: str, q: float,
+                     out_col: str | None = None):
+    """Exact per-group quantile with linear interpolation (DuckDB
+    ``quantile_cont`` / numpy ``method='linear'`` semantics).  Like
+    grouped_median this is non-mergeable: one keyed shuffle carrying
+    (group, value) only."""
+    out_col = out_col or f"q{int(q * 100)}_{value_col}"
+
+    def quant(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        return pd.DataFrame({
+            group_col: [g[group_col].iloc[0]],
+            out_col: [float(np.quantile(g[value_col].to_numpy(), q,
+                                        method="linear"))],
+        })
+
+    return ds.select_columns([group_col, value_col]).groupby(
+        group_col).map_groups(quant, batch_format="pandas")
+
+
 # ------------------------------------------------------------- aggregates
 def grouped_count_having(ds, group_cols, min_count: int = 0,
                          count_name: str = "n"):

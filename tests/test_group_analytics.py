@@ -95,3 +95,34 @@ def test_max_gap_per_key(ray_session):
     assert got.loc[1].tolist() == [60_000_000, 2]
     assert got.loc[2].tolist() == [0, 1]
     assert 3 not in got.index
+
+
+def test_pivot_count(ray_session):
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.relational import pivot_count
+
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 2, 2, 3],
+        "t": ["a", "a", "b", "b", "c", "a"],
+    })
+    out = pivot_count(
+        rd.from_pandas(df, override_num_blocks=3), "u", "t", ["a", "b"]
+    ).to_pandas().set_index("u").sort_index()
+    assert out["n_a"].tolist() == [2, 0, 1]
+    assert out["n_b"].tolist() == [1, 1, 0]
+    assert "n_c" not in out.columns  # fixed IN-list, static schema
+
+
+def test_grouped_quantile_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.relational import grouped_quantile
+
+    df = _df(300)
+    out = grouped_quantile(
+        rd.from_pandas(df, override_num_blocks=5), "k", "v", 0.9
+    ).to_pandas()
+    exp = df.groupby("k")["v"].quantile(0.9, interpolation="linear")
+    for _, row in out.iterrows():
+        assert row["q90_v"] == exp[row["k"]]
