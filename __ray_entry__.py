@@ -600,6 +600,38 @@ def _q_rolling_sum_events(sf_dir: str):
                                out_col="roll3_cents")
 
 
+def _q_top2_events_per_user(sf_dir: str):
+    """Top-n-per-group window (row_number() <= 2): the two most recent
+    events per user, per-batch pre-reduced before the keyed shuffle."""
+    from open_thoughts_ray.ops import relational as R
+
+    ds = _rp(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+    out = R.top_n_per_group(ds, "user_id", ["ts", "event_id"], n=2,
+                            descending=True)
+    return out.select_columns(["user_id", "event_id", "event_type"])
+
+
+def _q_distinct_types_per_user(sf_dir: str):
+    """Exact count(DISTINCT …) per group — distinct-pairs groupby then a
+    small count (the HLL sketch query is the approximate one-pass
+    sibling)."""
+    from open_thoughts_ray.ops import relational as R
+
+    ds = _rp(sf_dir, "events", ["user_id", "event_type"])
+    return R.grouped_nunique(ds, "user_id", "event_type",
+                             out_col="n_types")
+
+
+def _q_langs_per_source(sf_dir: str):
+    """Deterministic ordered string_agg: sorted distinct langs per
+    source, comma-joined."""
+    from open_thoughts_ray.ops import relational as R
+
+    ds = _rp(sf_dir, "documents", ["source", "lang"])
+    return R.grouped_string_agg(ds, "source", "lang", ",",
+                                out_col="langs")
+
+
 def _q_pivot_events(sf_dir: str):
     """Wide count pivot (SQL count(*) FILTER pattern): per-user event
     counts, one column per event type."""
@@ -687,6 +719,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_sum_events": _q_rolling_sum_events,
         "pivot_events_by_type": _q_pivot_events,
         "p90_value_per_type": _q_p90_value_per_type,
+        "top2_events_per_user": _q_top2_events_per_user,
+        "distinct_types_per_user": _q_distinct_types_per_user,
+        "langs_per_source": _q_langs_per_source,
     }
 
 
@@ -1363,6 +1398,25 @@ def oracle_sql() -> dict[str, str]:
                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
                        AS roll3_cents
             FROM events
+        """,
+        "distinct_types_per_user": """
+            SELECT user_id,
+                   CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+            FROM events GROUP BY user_id
+        """,
+        "langs_per_source": """
+            SELECT source, string_agg(DISTINCT lang, ',' ORDER BY lang)
+                       AS langs
+            FROM documents GROUP BY source
+        """,
+        "top2_events_per_user": """
+            SELECT user_id, event_id, event_type FROM (
+                SELECT user_id, event_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC)
+                           AS rn
+                FROM events) sub
+            WHERE rn <= 2
         """,
         "pivot_events_by_type": """
             SELECT user_id,

@@ -134,27 +134,32 @@ def stratified_first_k(ds, group_col, k: int, order_col: str):
     )
 
 
-def argmax_per_group(ds, group_col: str, order_cols: list[str],
-                     descending: bool = True):
-    """One row per group: the row with the greatest (least, if
-    ``descending=False``) ``order_cols`` tuple — SQL
-    ``row_number() OVER (PARTITION BY g ORDER BY ...) = 1``.  Each batch
-    pre-reduces to one candidate row per key (vectorized pandas
-    sort + drop_duplicates), so the keyed shuffle carries at most
-    #batches × #keys rows, never the input."""
+def top_n_per_group(ds, group_col: str, order_cols: list[str], n: int = 1,
+                    descending: bool = True):
+    """Top-n rows per group by the ``order_cols`` tuple — SQL
+    ``row_number() OVER (PARTITION BY g ORDER BY ...) <= n``.  Each
+    batch pre-reduces to its own top-n per key (vectorized pandas
+    sort + grouped head), so the keyed shuffle carries at most
+    n × #batches × #keys rows, never the input."""
     asc = not descending
 
     def batch_best(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(order_cols, ascending=asc,
-                              kind="mergesort").drop_duplicates(
-            group_col, keep="first")
-
-    def group_best(g: pd.DataFrame) -> pd.DataFrame:
-        return batch_best(g).head(1)
+                              kind="mergesort").groupby(
+            group_col, sort=False).head(n)
 
     partial = ds.map_batches(batch_best, batch_format="pandas")
     return partial.groupby(group_col).map_groups(
-        group_best, batch_format="pandas")
+        batch_best, batch_format="pandas")
+
+
+def argmax_per_group(ds, group_col: str, order_cols: list[str],
+                     descending: bool = True):
+    """One row per group: the row with the greatest (least, if
+    ``descending=False``) ``order_cols`` tuple — SQL
+    ``row_number() OVER (PARTITION BY g ORDER BY ...) = 1``."""
+    return top_n_per_group(ds, group_col, order_cols, n=1,
+                           descending=descending)
 
 
 def grouped_median(ds, group_col: str, value_col: str,
@@ -410,6 +415,43 @@ def grouped_quantile(ds, group_col: str, value_col: str, q: float,
 
     return ds.select_columns([group_col, value_col]).groupby(
         group_col).map_groups(quant, batch_format="pandas")
+
+
+def grouped_nunique(ds, group_col: str, value_col: str,
+                    out_col: str | None = None):
+    """Exact ``count(DISTINCT v) GROUP BY g`` — distinct (g, v) pairs
+    first (pre-aggregated groupby, shuffle carries unique pairs), then a
+    small per-group count.  Two shuffles is the price of exactness; the
+    HLL sketch path (ops/sketch.py) is the one-pass approximate
+    alternative for open-domain values."""
+    from ray.data.aggregate import Count
+
+    out_col = out_col or f"n_distinct_{value_col}"
+    pairs = ds.select_columns([group_col, value_col]).groupby(
+        [group_col, value_col]).aggregate(Count(alias_name="_c"))
+    return pairs.drop_columns(["_c"]).groupby(group_col).aggregate(
+        Count(alias_name=out_col))
+
+
+def grouped_string_agg(ds, group_col: str, value_col: str, sep: str,
+                       out_col: str | None = None,
+                       distinct_sorted: bool = True):
+    """Order-sensitive concatenation per group (SQL ``string_agg(DISTINCT
+    v, sep ORDER BY v)``): deterministic because values are de-duplicated
+    and sorted before joining.  One keyed shuffle of (group, value)."""
+    out_col = out_col or f"agg_{value_col}"
+
+    def cat(g: pd.DataFrame) -> pd.DataFrame:
+        vals = g[value_col].tolist()
+        if distinct_sorted:
+            vals = sorted(set(vals))
+        return pd.DataFrame({
+            group_col: [g[group_col].iloc[0]],
+            out_col: [sep.join(str(v) for v in vals)],
+        })
+
+    return ds.select_columns([group_col, value_col]).groupby(
+        group_col).map_groups(cat, batch_format="pandas")
 
 
 # ------------------------------------------------------------- aggregates

@@ -126,3 +126,42 @@ def test_grouped_quantile_matches_numpy(ray_session):
     exp = df.groupby("k")["v"].quantile(0.9, interpolation="linear")
     for _, row in out.iterrows():
         assert row["q90_v"] == exp[row["k"]]
+
+
+def test_top_n_per_group(ray_session):
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.relational import top_n_per_group
+
+    df = _df()
+    out = top_n_per_group(
+        rd.from_pandas(df, override_num_blocks=6), "k", ["v", "id"], n=3
+    ).to_pandas()
+    exp = (df.sort_values(["v", "id"], ascending=False)
+             .groupby("k", sort=False).head(3))
+    got = set(zip(out.k, out.id))
+    assert got == set(zip(exp.k, exp.id))
+
+
+def test_grouped_nunique(ray_session):
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.relational import grouped_nunique
+
+    df = pd.DataFrame({"g": [1, 1, 1, 2, 2], "v": ["a", "a", "b", "c", "c"]})
+    out = grouped_nunique(
+        rd.from_pandas(df, override_num_blocks=2), "g", "v"
+    ).to_pandas().set_index("g")["n_distinct_v"].to_dict()
+    assert out == {1: 2, 2: 1}
+
+
+def test_grouped_string_agg(ray_session):
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.relational import grouped_string_agg
+
+    df = pd.DataFrame({"g": [1, 1, 1, 2], "v": ["b", "a", "b", "z"]})
+    out = grouped_string_agg(
+        rd.from_pandas(df, override_num_blocks=2), "g", "v", ","
+    ).to_pandas().set_index("g")["agg_v"].to_dict()
+    assert out == {1: "a,b", 2: "z"}
