@@ -632,6 +632,18 @@ def _q_langs_per_source(sf_dir: str):
                                 out_col="langs")
 
 
+def _q_pack_documents(sf_dir: str):
+    """Sequence packing by cumulative length: pack_id = exclusive global
+    running sum of n_chars (ordered by doc_id) // 4096 — the two-phase
+    distributed prefix sum (ordered range buckets, O(#buckets) driver
+    state)."""
+    from open_thoughts_ray.ops import packing as P
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "n_chars"])
+    return P.pack_sequences(ds, "doc_id", "n_chars", budget=4096,
+                            pack_col="pack_id")
+
+
 def _q_pivot_events(sf_dir: str):
     """Wide count pivot (SQL count(*) FILTER pattern): per-user event
     counts, one column per event type."""
@@ -722,6 +734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top2_events_per_user": _q_top2_events_per_user,
         "distinct_types_per_user": _q_distinct_types_per_user,
         "langs_per_source": _q_langs_per_source,
+        "pack_documents": _q_pack_documents,
     }
 
 
@@ -1417,6 +1430,14 @@ def oracle_sql() -> dict[str, str]:
                            AS rn
                 FROM events) sub
             WHERE rn <= 2
+        """,
+        "pack_documents": """
+            SELECT doc_id,
+                   CAST(COALESCE(sum(n_chars) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS BIGINT)
+                       // 4096 AS pack_id
+            FROM documents
         """,
         "pivot_events_by_type": """
             SELECT user_id,

@@ -1,0 +1,111 @@
+"""Global prefix-sum and sequence packing.
+
+Training-data pipelines pack variable-length documents into fixed token
+budgets before batching (the reference reaches the same layout goal via
+its shard/truncate operators, engine/operators/*shard*; packing proper
+is the canonical extension the brief asks for).  The core primitive is
+an EXACT distributed running sum over a total order — the classic
+two-phase prefix-sum: bucket rows by ordered ranges of the order key,
+reduce one partial sum per bucket (driver holds O(#buckets) numbers,
+never rows), then finish each bucket independently with its exclusive
+offset.  One keyed shuffle, no driver row loop, no global sort.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_BKT = "_pbkt"
+
+
+def _bucket_count(num_buckets: int | None) -> int:
+    if num_buckets is not None:
+        return max(1, int(num_buckets))
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # pragma: no cover - no cluster yet
+        cpus = 8
+    return max(8, cpus * 4)
+
+
+def global_cumsum(ds, order_col: str, value_col: str,
+                  out_col: str = "running_sum", *, exclusive: bool = False,
+                  num_buckets: int | None = None,
+                  bounds: tuple[int, int] | None = None):
+    """Exact ``sum(v) OVER (ORDER BY o ROWS UNBOUNDED PRECEDING)`` —
+    returns ``(order_col, out_col:int64)``.  ``order_col`` must be a
+    unique integer key (it defines the total order).  ``exclusive=True``
+    yields the sum of strictly-preceding rows (0 for the first row).
+
+    Scale: the thin ``(order, value)`` projection is materialized once,
+    per-bucket partials are a #buckets-row driver table, and the finish
+    pass is one keyed shuffle on contiguous ranges of the order key —
+    ordered range buckets (not hash) so bucket i wholly precedes
+    bucket i+1.  Pass ``bounds=(lo, hi)`` to skip the min/max pass.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    thin = ds.select_columns([order_col, value_col]).materialize()
+    if bounds is None:
+        row = thin.aggregate(Min(order_col, alias_name="_lo"),
+                             Max(order_col, alias_name="_hi"))
+        lo, hi = int(row["_lo"]), int(row["_hi"])
+    else:
+        lo, hi = int(bounds[0]), int(bounds[1])
+    nb = _bucket_count(num_buckets)
+    width = max(1, math.ceil((hi - lo + 1) / nb))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        o = t.column(order_col).to_numpy(zero_copy_only=False)
+        return t.append_column(_BKT, pa.array((o - lo) // width,
+                                              type=pa.int64()))
+
+    bucketed = thin.map_batches(add_bucket,
+                                batch_format="pyarrow").materialize()
+
+    parts = bucketed.groupby(_BKT).aggregate(
+        Sum(value_col, alias_name="_s")).to_pandas()
+    parts = parts.sort_values(_BKT)
+    csum = parts["_s"].to_numpy(dtype="int64").cumsum()
+    offsets = dict(zip(parts[_BKT].astype(int),
+                       (csum - parts["_s"].to_numpy(dtype="int64"))))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_col, kind="mergesort")
+        v = g[value_col].to_numpy(dtype="int64")
+        run = offsets[int(g[_BKT].iloc[0])] + v.cumsum()
+        if exclusive:
+            run = run - v
+        out = g[[order_col]].copy()
+        out[out_col] = run
+        return out
+
+    return bucketed.groupby(_BKT).map_groups(finish, batch_format="pandas")
+
+
+def pack_sequences(ds, order_col: str, weight_col: str, budget: int,
+                   pack_col: str = "pack_id", **cumsum_kw):
+    """Assign each row a pack id by cumulative weight offset:
+    ``pack = floor(exclusive_running_sum(weight) / budget)`` over rows
+    ordered by ``order_col`` — the deterministic boundary-straddling
+    packing layout (a document whose span crosses a budget boundary
+    belongs to the pack its first token falls in).  Returns
+    ``(order_col, pack_col:int64)``; join back on ``order_col`` for the
+    payload.  Same scale profile as :func:`global_cumsum`."""
+    off = global_cumsum(ds, order_col, weight_col, out_col="_off",
+                        exclusive=True, **cumsum_kw)
+
+    def fin(t: pa.Table) -> pa.Table:
+        o = t.column("_off").to_numpy(zero_copy_only=False)
+        return pa.table({
+            order_col: t.column(order_col),
+            pack_col: pa.array(o // int(budget), type=pa.int64()),
+        })
+
+    return off.map_batches(fin, batch_format="pyarrow")

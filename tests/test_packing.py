@@ -1,0 +1,61 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _df(n=500, seed=7):
+    rng = np.random.default_rng(seed)
+    ids = rng.permutation(np.arange(100, 100 + n))
+    return pd.DataFrame({"id": ids, "w": rng.integers(1, 50, n)})
+
+
+@pytest.mark.parametrize("exclusive", [False, True])
+def test_global_cumsum_matches_pandas(ray_session, exclusive):
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.packing import global_cumsum
+
+    df = _df()
+    out = global_cumsum(
+        rd.from_pandas(df, override_num_blocks=7), "id", "w",
+        exclusive=exclusive, num_buckets=11,
+    ).to_pandas().sort_values("id").reset_index(drop=True)
+    ref = df.sort_values("id").reset_index(drop=True)
+    exp = ref["w"].cumsum().to_numpy()
+    if exclusive:
+        exp = exp - ref["w"].to_numpy()
+    assert (out["id"].to_numpy() == ref["id"].to_numpy()).all()
+    assert (out["running_sum"].to_numpy() == exp).all()
+
+
+def test_global_cumsum_explicit_bounds_and_sparse_ids(ray_session):
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.packing import global_cumsum
+
+    # non-contiguous ids, some buckets empty
+    df = pd.DataFrame({"id": [5, 1000, 30, 999999, 77], "w": [3, 4, 5, 6, 7]})
+    out = global_cumsum(
+        rd.from_pandas(df, override_num_blocks=3), "id", "w",
+        num_buckets=16, bounds=(5, 999999),
+    ).to_pandas().sort_values("id")
+    exp = df.sort_values("id")["w"].cumsum().to_numpy()
+    assert (out["running_sum"].to_numpy() == exp).all()
+
+
+def test_pack_sequences_matches_reference(ray_session):
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.packing import pack_sequences
+
+    df = _df(300, seed=11)
+    out = pack_sequences(
+        rd.from_pandas(df, override_num_blocks=5), "id", "w",
+        budget=100, num_buckets=9,
+    ).to_pandas().sort_values("id").reset_index(drop=True)
+    ref = df.sort_values("id").reset_index(drop=True)
+    exp = (ref["w"].cumsum() - ref["w"]).to_numpy() // 100
+    assert (out["pack_id"].to_numpy() == exp).all()
+    # pack ids are non-decreasing along the order and start at 0
+    assert out["pack_id"].iloc[0] == 0
+    assert (np.diff(out["pack_id"].to_numpy()) >= 0).all()
