@@ -644,6 +644,29 @@ def _q_pack_documents(sf_dir: str):
                             pack_col="pack_id")
 
 
+def _q_ntile_events(sf_dir: str):
+    """NTILE(4) within each event type ordered by (value, event_id) —
+    the quartile-bucketing window used for quality-score banding."""
+    from open_thoughts_ray.ops import relational as R
+
+    ds = _rp(sf_dir, "events", ["event_id", "event_type", "value"])
+    out = R.grouped_ntile(ds, "event_type", ["value", "event_id"], 4)
+    return out.select_columns(["event_id", "event_type", "tile"])
+
+
+def _q_mixture_sample(sf_dir: str):
+    """Per-source weighted mixture sampling (domain-mixing ratios for
+    training-data assembly): md5-cutoff keep decision, deterministic
+    across partitionings and resumes."""
+    from open_thoughts_ray.ops import relational as R
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "source"])
+    rates = {"src0": 0.9, "src1": 0.9, "src2": 0.9,
+             "src3": 0.5, "src4": 0.5}
+    return R.mixture_sample(ds, "source", "doc_id", rates,
+                            default_rate=0.2)
+
+
 def _q_pivot_events(sf_dir: str):
     """Wide count pivot (SQL count(*) FILTER pattern): per-user event
     counts, one column per event type."""
@@ -735,6 +758,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_types_per_user": _q_distinct_types_per_user,
         "langs_per_source": _q_langs_per_source,
         "pack_documents": _q_pack_documents,
+        "ntile_events_by_type": _q_ntile_events,
+        "mixture_sample_documents": _q_mixture_sample,
     }
 
 
@@ -1430,6 +1455,20 @@ def oracle_sql() -> dict[str, str]:
                            AS rn
                 FROM events) sub
             WHERE rn <= 2
+        """,
+        "mixture_sample_documents": """
+            SELECT doc_id, source FROM documents
+            WHERE md5(CAST(doc_id AS VARCHAR)) <
+                  CASE WHEN source IN ('src0','src1','src2')
+                            THEN 'e6666666'
+                       WHEN source IN ('src3','src4') THEN '80000000'
+                       ELSE '33333333' END
+        """,
+        "ntile_events_by_type": """
+            SELECT event_id, event_type,
+                   NTILE(4) OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS tile
+            FROM events
         """,
         "pack_documents": """
             SELECT doc_id,

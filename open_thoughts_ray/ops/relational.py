@@ -116,6 +116,40 @@ def sample_by_hash(ds, column: str, keep_every: int, residue: int = 0):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def mixture_sample(ds, key_col: str, id_col: str, rates: dict,
+                   default_rate: float = 0.0):
+    """Deterministic data-mixture sampling: keep each row with
+    probability ``rates[key]`` (``default_rate`` for unlisted keys),
+    decided by whether ``md5(id)`` falls below a per-key hex cutoff —
+    order/partition-independent and SQL-reproducible, so re-runs and
+    resumes see the same sample.  Rate granularity is 16⁻⁸ ≈ 6e-10.
+    The md5 per id is a Python call (no vectorized md5 kernel in
+    Arrow); the loop touches only (id, key), not payloads."""
+
+    def cut(r: float) -> str:
+        if r >= 1.0:
+            return "g"  # sorts after every hex digest → keep all
+        if r <= 0.0:
+            return ""   # nothing sorts before the empty string → drop
+        return format(int(r * 16 ** 8), "08x")
+
+    cuts = {k: cut(v) for k, v in rates.items()}
+    dflt = cut(default_rate)
+
+    def f(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = t.column(id_col).to_pylist()
+        keys = t.column(key_col).to_pylist()
+        keep = [
+            hashlib.md5(str(i).encode()).hexdigest() < cuts.get(k, dflt)
+            for i, k in zip(ids, keys)
+        ]
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def uniform_sample_fixed(ds, n: int, seed: int = 42):
     """commons.py:597-603 — seeded shuffle then take n."""
     return ds.random_shuffle(seed=seed).limit(n)
@@ -431,6 +465,27 @@ def grouped_nunique(ds, group_col: str, value_col: str,
         [group_col, value_col]).aggregate(Count(alias_name="_c"))
     return pairs.drop_columns(["_c"]).groupby(group_col).aggregate(
         Count(alias_name=out_col))
+
+
+def grouped_ntile(ds, group_col: str, order_cols: list[str], n: int,
+                  out_col: str = "tile"):
+    """SQL ``NTILE(n) OVER (PARTITION BY g ORDER BY ...)``: rows of each
+    group split into ``n`` ordered tiles, the first ``m % n`` tiles one
+    row larger (DuckDB/ANSI semantics).  ``order_cols`` must define a
+    total order within each group for a deterministic result.  One keyed
+    shuffle of the selected columns; vectorized tile assignment."""
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="mergesort")
+        m = len(g)
+        q, r = divmod(m, n)
+        sizes = np.fromiter((q + 1 if i < r else q for i in range(n)),
+                            dtype="int64", count=n)
+        g = g.copy()
+        g[out_col] = np.repeat(np.arange(1, n + 1, dtype="int64"), sizes)[:m]
+        return g
+
+    return ds.groupby(group_col).map_groups(per_group, batch_format="pandas")
 
 
 def grouped_string_agg(ds, group_col: str, value_col: str, sep: str,

@@ -165,3 +165,61 @@ def test_grouped_string_agg(ray_session):
         rd.from_pandas(df, override_num_blocks=2), "g", "v", ","
     ).to_pandas().set_index("g")["agg_v"].to_dict()
     assert out == {1: "a,b", 2: "z"}
+
+
+def test_grouped_ntile(ray_session):
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.relational import grouped_ntile
+
+    df = _df()
+    out = grouped_ntile(
+        rd.from_pandas(df, override_num_blocks=4), "k", ["v", "id"], 4
+    ).to_pandas()
+    for key, g in df.groupby("k"):
+        m = len(g)
+        q, r = divmod(m, 4)
+        got = (out[out.k == key].sort_values(["v", "id"])["tile"]
+               .to_numpy())
+        # ANSI NTILE: first m%4 tiles one row larger
+        import numpy as np
+        sizes = np.array([q + 1 if i < r else q for i in range(4)])
+        exp = np.repeat(np.arange(1, 5), sizes)[:m]
+        assert (got == exp).all()
+
+
+def test_mixture_sample_rates_and_determinism(ray_session):
+    import hashlib
+
+    import numpy as np
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.relational import mixture_sample
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    df = pd.DataFrame({
+        "id": np.arange(n),
+        "src": rng.choice(["a", "b", "c"], n),
+    })
+    rates = {"a": 0.8, "b": 0.25, "c": 0.0}
+    out = mixture_sample(
+        rd.from_pandas(df, override_num_blocks=5), "src", "id", rates
+    ).to_pandas()
+    # exact reference decision per row
+    cut = {"a": format(int(0.8 * 16**8), "08x"),
+           "b": format(int(0.25 * 16**8), "08x"), "c": ""}
+    exp = df[[hashlib.md5(str(i).encode()).hexdigest() < cut[s]
+              for i, s in zip(df.id, df.src)]]
+    assert set(out.id) == set(exp.id)
+    # empirical rates in the right ballpark, zero-rate source dropped
+    for s, r in rates.items():
+        m = (df.src == s).sum()
+        k = (out.src == s).sum()
+        assert abs(k / m - r) < 0.06
+    # rate >= 1.0 keeps everything
+    full = mixture_sample(
+        rd.from_pandas(df, override_num_blocks=3), "src", "id",
+        {"a": 1.0, "b": 1.0, "c": 1.0},
+    ).to_pandas()
+    assert len(full) == n
