@@ -760,6 +760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_documents": _q_pack_documents,
         "ntile_events_by_type": _q_ntile_events,
         "mixture_sample_documents": _q_mixture_sample,
+        "semantic_dedup_embeddings": _q_semantic_dedup,
     }
 
 
@@ -789,6 +790,19 @@ def _q_cosine_dedup_lsh(sf_dir: str):
 
     ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
     return cosine_dedup_lsh(ds, threshold=0.9).select_columns(["vec_id"])
+
+
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): streamed k-means clustering, then
+    cosine near-dup collapse restricted to within-cluster pairs
+    (rows-only: the cluster restriction is approximate by design;
+    exactness on separated corpora is verified against brute force in
+    tests/test_cluster.py)."""
+    from open_thoughts_ray.ops.cluster import semantic_dedup
+
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = semantic_dedup(ds, k=8, threshold=0.4, iters=6, seed=11)
+    return out.sort("vec_id")
 
 
 def _q_fuzzy_dedup(sf_dir: str):
