@@ -416,12 +416,14 @@ def _q_sessionize(sf_dir: str):
 
 
 def _q_approx_distinct(sf_dir: str):
-    """HyperLogLog approximate COUNT(DISTINCT user_id) (rows-only: DuckDB
-    has its own sketch; exactness checked in tests/test_sketch.py)."""
+    """HyperLogLog approximate COUNT(DISTINCT user_id).  The md5 hasher
+    is bit-reproducible in DuckDB (hex-prefix cast), so the oracle SQL
+    rebuilds the identical registers and estimate — a deterministic
+    sketch is hash-checkable, not merely 'approximately right'."""
     from open_thoughts_ray.ops.sketch import approx_distinct
 
     ds = _rp(sf_dir, "events", ["user_id"])
-    est = approx_distinct(ds, "user_id")
+    est = approx_distinct(ds, "user_id", hasher="md5")
     return pa.table({"approx_distinct_users": pa.array([int(round(est))], pa.int64())})
 
 
@@ -1507,12 +1509,48 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS p90_milli
             FROM events GROUP BY event_type
         """,
+        # HLL with the md5 hasher is deterministic: rebuild the identical
+        # registers in SQL (idx = top 12 bits of the md5-prefix hash,
+        # rho = 53 - bitlength(low 52 bits)) and apply the same
+        # bias-corrected + linear-counting estimate.
+        "approx_distinct_users": """
+            WITH h AS (
+                SELECT CAST(concat('0x',
+                        substr(md5(CAST(user_id AS VARCHAR)), 1, 16))
+                       AS UBIGINT) AS hv
+                FROM events
+            ),
+            reg AS (
+                SELECT hv >> 52 AS idx,
+                       MAX(CASE WHEN (hv & ((1::UBIGINT << 52) - 1)) = 0
+                            THEN 53
+                            ELSE 53 - length(bin(hv & ((1::UBIGINT << 52) - 1)))
+                           END) AS rho
+                FROM h GROUP BY idx
+            ),
+            s AS (
+                SELECT count(*) AS nreg,
+                       sum(power(2.0, -rho)) AS sum_present
+                FROM reg
+            ),
+            est AS (
+                SELECT (0.7213 / (1 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+                         / ((4096 - nreg) * 1.0 + sum_present) AS raw,
+                       (4096 - nreg) AS zeros
+                FROM s
+            )
+            SELECT CAST(round(CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
+                        THEN 4096.0 * ln(4096.0 / zeros)
+                        ELSE raw END) AS BIGINT) AS approx_distinct_users
+            FROM est
+        """,
         # approx_top_tokens_documents: rows-only (sketch lower bounds;
         # exactness + error bound asserted in tests/test_sketch.py)
         # minhash_dedup_documents / simhash_dedup_documents /
         # fuzzy_dedup_documents / flagship_quality_filter /
-        # approx_distinct_users / ann_topk_ivf / cosine_dedup_lsh: not
-        # SQL-expressible (LSH signature recall, HLL sketch, model
-        # scoring) → rows-only checks; ngram_jaccard_dedup_documents is
-        # the hash-checked member vouching for the shared machinery.
+        # ann_topk_ivf / semantic_dedup_embeddings: not SQL-expressible
+        # (LSH signature recall, model scoring, k-means restriction) →
+        # rows-only checks; ngram_jaccard_dedup_documents /
+        # approx_distinct_users are the hash-checked members vouching
+        # for the shared machinery.
     }

@@ -67,17 +67,33 @@ def _hash_values(values: list) -> np.ndarray:
     )
 
 
-def approx_distinct(ds, column: str, p: int = 12) -> float:
+def _hash_values_md5(values: list) -> np.ndarray:
+    """Big-endian first 8 bytes of md5(str(v)) — bit-reproducible in SQL
+    as CAST('0x' || substr(md5(CAST(v AS VARCHAR)),1,16) AS UBIGINT), so
+    an HLL built on it is oracle-checkable end to end."""
+    import hashlib
+
+    return np.asarray(
+        [int(hashlib.md5(str(v).encode()).hexdigest()[:16], 16) for v in values],
+        dtype=np.uint64,
+    )
+
+
+def approx_distinct(ds, column: str, p: int = 12,
+                    hasher: str = "crc") -> float:
     """Approximate COUNT(DISTINCT column) via per-batch HLL partials.
 
     Partial = (register, rho) rows (≤2^p per batch); final merge is a
     small ``groupby(register).max`` — constant-size regardless of input
-    rows."""
+    rows.  ``hasher``: "crc" (default, fastest) or "md5"
+    (SQL-reproducible — see _hash_values_md5)."""
     from ray.data.aggregate import Max
+
+    hash_fn = _hash_values_md5 if hasher == "md5" else _hash_values
 
     def partial(batch: pa.Table) -> pa.Table:
         hll = HyperLogLog(p)
-        hll.add_hashes(_hash_values(batch.column(column).to_pylist()))
+        hll.add_hashes(hash_fn(batch.column(column).to_pylist()))
         nz = np.nonzero(hll.registers)[0]
         return pa.table(
             {

@@ -35,6 +35,42 @@ def test_approx_distinct_dataset(ray_session):
     assert abs(est - n_distinct) / n_distinct < 0.05
 
 
+def test_approx_distinct_md5_matches_sql_reconstruction(ray_session):
+    """The md5 hasher must make the whole sketch bit-reproducible in
+    DuckDB: same registers, same estimate, down to the rounded int."""
+    import duckdb
+    import ray.data as rd
+
+    df = pd.DataFrame({"k": [i % 700 for i in range(5000)]})
+    est = approx_distinct(rd.from_pandas(df), "k", hasher="md5")
+
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql("""
+        WITH h AS (
+            SELECT CAST(concat('0x', substr(md5(CAST(k AS VARCHAR)),1,16))
+                   AS UBIGINT) AS hv FROM t
+        ),
+        reg AS (
+            SELECT hv >> 52 AS idx,
+                   MAX(CASE WHEN (hv & ((1::UBIGINT << 52) - 1)) = 0 THEN 53
+                        ELSE 53 - length(bin(hv & ((1::UBIGINT << 52) - 1)))
+                       END) AS rho
+            FROM h GROUP BY idx
+        ),
+        s AS (SELECT count(*) AS nreg, sum(power(2.0, -rho)) AS sp FROM reg),
+        est AS (
+            SELECT (0.7213/(1+1.079/4096.0))*4096.0*4096.0
+                     / ((4096-nreg)*1.0 + sp) AS raw,
+                   (4096-nreg) AS zeros FROM s
+        )
+        SELECT CASE WHEN raw <= 2.5*4096 AND zeros > 0
+               THEN 4096.0*ln(4096.0/zeros) ELSE raw END FROM est
+    """).fetchall()[0][0]
+    assert round(est) == round(want)
+    assert abs(est - 700) / 700 < 0.05
+
+
 def test_bloom_no_false_negatives():
     bf = BloomFilter(n_bits=1 << 16)
     keys = [f"k{i}" for i in range(2000)]
