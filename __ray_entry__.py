@@ -763,6 +763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile_events_by_type": _q_ntile_events,
         "mixture_sample_documents": _q_mixture_sample,
         "semantic_dedup_embeddings": _q_semantic_dedup,
+        "levenshtein_dedup_documents": _q_levenshtein_dedup,
     }
 
 
@@ -957,6 +958,18 @@ def _q_ngram_jaccard_dedup(sf_dir: str):
 
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
     return ngram_jaccard_dedup(ds, threshold=0.8).select_columns(["doc_id"])
+
+
+def _q_levenshtein_dedup(sf_dir: str):
+    """EXACT Levenshtein dedup (drop b iff some numerically-smaller doc
+    is within 5 edits) via PassJoin segment candidates (recall 1) +
+    distributed banded-DP verification — the SQL-checkable member of
+    the edit-distance family: DuckDB's levenshtein() NOT EXISTS
+    reproduces the survivor set bit-for-bit."""
+    from open_thoughts_ray.ops.editdist import levenshtein_dedup
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return levenshtein_dedup(ds, max_dist=5).select_columns(["doc_id"])
 
 
 def _q_llm_judge(sf_dir: str):
@@ -1508,6 +1521,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(quantile_cont(value, 0.9) * 1000)
                         AS BIGINT) AS p90_milli
             FROM events GROUP BY event_type
+        """,
+        # exact edit-distance dedup: PassJoin candidates are recall-1,
+        # verification is exact, so DuckDB's levenshtein() NOT EXISTS
+        # is the oracle (length filter is implied by the distance bound)
+        "levenshtein_dedup_documents": """
+            SELECT g.doc_id FROM documents g
+            WHERE NOT EXISTS (
+              SELECT 1 FROM documents e WHERE e.doc_id < g.doc_id
+                AND abs(length(e.text) - length(g.text)) <= 5
+                AND levenshtein(e.text, g.text) <= 5)
         """,
         # HLL with the md5 hasher is deterministic: rebuild the identical
         # registers in SQL (idx = top 12 bits of the md5-prefix hash,
