@@ -764,6 +764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample_documents": _q_mixture_sample,
         "semantic_dedup_embeddings": _q_semantic_dedup,
         "levenshtein_dedup_documents": _q_levenshtein_dedup,
+        "containment_dedup_documents": _q_containment_dedup,
     }
 
 
@@ -970,6 +971,17 @@ def _q_levenshtein_dedup(sf_dir: str):
 
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
     return levenshtein_dedup(ds, max_dist=5).select_columns(["doc_id"])
+
+
+def _q_containment_dedup(sf_dir: str):
+    """Substring-containment dedup (drop docs appearing verbatim inside
+    a longer doc; equal texts keep the smallest id) via recall-1
+    min-gram buckets + distributed substring verification — DuckDB's
+    contains() NOT EXISTS reproduces the survivor set bit-for-bit."""
+    from open_thoughts_ray.ops.containment import containment_dedup
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return containment_dedup(ds).select_columns(["doc_id"])
 
 
 def _q_llm_judge(sf_dir: str):
@@ -1531,6 +1543,17 @@ def oracle_sql() -> dict[str, str]:
               SELECT 1 FROM documents e WHERE e.doc_id < g.doc_id
                 AND abs(length(e.text) - length(g.text)) <= 5
                 AND levenshtein(e.text, g.text) <= 5)
+        """,
+        # substring-containment dedup: min-gram candidates are recall-1,
+        # verification exact → contains() NOT EXISTS is the oracle
+        "containment_dedup_documents": """
+            SELECT g.doc_id FROM documents g
+            WHERE NOT EXISTS (
+              SELECT 1 FROM documents e WHERE e.doc_id != g.doc_id
+                AND contains(e.text, g.text)
+                AND (length(e.text) > length(g.text)
+                     OR (length(e.text) = length(g.text)
+                         AND e.doc_id < g.doc_id)))
         """,
         # HLL with the md5 hasher is deterministic: rebuild the identical
         # registers in SQL (idx = top 12 bits of the md5-prefix hash,

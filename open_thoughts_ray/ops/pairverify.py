@@ -44,11 +44,15 @@ def _string_keyed(ds, id_col: str, text_col: str, key_name: str):
 
 
 def verify_pairs_distributed(pairs, ds, id_col: str, text_col: str,
-                             kernel, num_partitions: int = 32):
+                             kernel, num_partitions: int = 32,
+                             with_ids: bool = False):
     """pairs: Dataset[a:string, b:string] (candidate pairs, may contain
     duplicates across bands/partitions — deduped here); ds: the source
     table.  ``kernel(texts_a, texts_b) -> np.ndarray[bool]`` runs per
-    batch on the workers.  Returns the verified edge Dataset[a, b].
+    batch on the workers (``with_ids=True`` → the kernel is called as
+    ``kernel(ids_a, ids_b, texts_a, texts_b)`` for asymmetric rules
+    that need an id tie-break, e.g. containment keep-first).
+    Returns the verified edge Dataset[a, b].
 
     Cost: two hash joins sized by #candidates (the pair set), one
     kernel map — no driver-side pair or text collection.
@@ -84,8 +88,14 @@ def verify_pairs_distributed(pairs, ds, id_col: str, text_col: str,
         if t.num_rows == 0:
             return pa.table({"a": pa.array([], pa.string()),
                              "b": pa.array([], pa.string())})
-        mask = kernel(t.column("__text_a").to_pylist(),
-                      t.column("__text_b").to_pylist())
+        if with_ids:
+            mask = kernel(t.column("a").to_pylist(),
+                          t.column("b").to_pylist(),
+                          t.column("__text_a").to_pylist(),
+                          t.column("__text_b").to_pylist())
+        else:
+            mask = kernel(t.column("__text_a").to_pylist(),
+                          t.column("__text_b").to_pylist())
         kept = t.filter(pa.array(np.asarray(mask, dtype=bool)))
         return pa.table({"a": kept.column("a"), "b": kept.column("b")})
 
