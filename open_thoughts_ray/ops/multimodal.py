@@ -88,12 +88,10 @@ class ImageFeatureExtractor:
 
 
 def frame_sample_batch(batch: pa.Table, every_n: int = 10) -> pa.Table:
-    """Video frame-sampling STUB: the container has no video codec, so
-    payloads are treated as concatenated raw frames via the declared
-    (w, h, n_frames) metadata; real ffmpeg decode replaces `_split`.
-    Emits one row per sampled frame (a flat-map: schema
-    video_id → frame_id rows)."""
+    """Superseded: real frame sampling over the uncompressed OTRV
+    container lives in ``ops/video.frame_sample`` (random-access frame
+    slicing, flat-map fan-out, scene cuts) — only compressed-codec
+    decode still needs ffmpeg (swap seam documented there)."""
     raise NotImplementedError(
-        "video decode needs ffmpeg — not in this container; the sampling "
-        "fan-out shape is exercised via images in tests"
+        "use ops/video.frame_sample — compressed codecs still need ffmpeg"
     )

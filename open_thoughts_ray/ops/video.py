@@ -1,0 +1,145 @@
+"""Video column operators over a REAL (uncompressed) container format:
+frame sampling, per-frame feature rows, scene-cut detection.
+
+Payload convention (``io/codecs`` spirit): magic ``OTRV`` + uint16
+w,h + uint32 n_frames, then ``n_frames`` raw RGB24 frames back to
+back.  Raw concatenated frames need no external library, so — like the
+audio PCM leg — decode here is REAL; swap ``decode_video`` /
+``iter_frames`` for an ffmpeg/pyav call when compressed codecs arrive
+(stage signatures, fan-out schema and batch sizing do not change).
+Replaces the declared ``multimodal.frame_sample_batch`` stub.
+
+Frame sampling is a flat-map (one input row → k frame rows), the shape
+a 10^12-scale video pipeline needs: payload bytes are sliced
+zero-copy-ish per frame BEFORE re-entering the object store, so a
+sampled 1-in-30 stride ships 1/30th of the bytes downstream.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+_MAGIC = b"OTRV"
+_HDR = 4 + 2 + 2 + 4
+
+
+def encode_video(frames: np.ndarray) -> bytes:
+    """(n, h, w, 3) uint8 → framed payload."""
+    f = np.ascontiguousarray(frames, dtype=np.uint8)
+    n, h, w, c = f.shape
+    if c != 3:
+        raise ValueError("expected RGB24 frames")
+    return _MAGIC + struct.pack("<HHI", w, h, n) + f.tobytes()
+
+
+def video_meta(buf: bytes) -> tuple[int, int, int]:
+    """payload → (w, h, n_frames) without touching frame bytes."""
+    if len(buf) < _HDR or buf[:4] != _MAGIC:
+        raise ValueError("not an OTRV payload")
+    w, h, n = struct.unpack("<HHI", buf[4:_HDR])
+    return w, h, n
+
+
+def get_frame(buf: bytes, i: int) -> np.ndarray:
+    """Decode ONE frame by offset slice — the random-access path frame
+    sampling relies on (an ffmpeg swap would seek by timestamp)."""
+    w, h, n = video_meta(buf)
+    if not 0 <= i < n:
+        raise IndexError(i)
+    sz = w * h * 3
+    off = _HDR + i * sz
+    return np.frombuffer(buf, dtype=np.uint8, count=sz, offset=off
+                         ).reshape(h, w, 3)
+
+
+def frame_sample(ds, every_n: int = 10, id_col: str = "video_id",
+                 bytes_col: str = "bytes", encode_frames: bool = True):
+    """Flat-map: one video row → one row per sampled frame
+    (id_col, frame_id:int32, and either the raw frame payload re-framed
+    as a 1-frame video or, with ``encode_frames=False``, the decoded
+    mean-RGB summary only).  Non-payload columns are carried through."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids, fids, payloads = [], [], []
+        carry = {c: [] for c in batch.column_names
+                 if c not in (id_col, bytes_col)}
+        for row in range(batch.num_rows):
+            vid = batch.column(id_col)[row].as_py()
+            buf = batch.column(bytes_col)[row].as_py()
+            w, h, n = video_meta(buf)
+            for i in range(0, n, every_n):
+                ids.append(vid)
+                fids.append(i)
+                if encode_frames:
+                    payloads.append(encode_video(get_frame(buf, i)[None]))
+                for c in carry:
+                    carry[c].append(batch.column(c)[row].as_py())
+        cols = {id_col: pa.array(ids, pa.string()),
+                "frame_id": pa.array(fids, pa.int32())}
+        if encode_frames:
+            cols[bytes_col] = pa.array(payloads, pa.binary())
+        for c, vals in carry.items():
+            cols[c] = pa.array(vals, batch.schema.field(c).type)
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=16)
+
+
+class VideoFrameFeatures:
+    """Actor-pool stage: per sampled frame (1-frame payload), channel
+    means/stds — the deterministic stand-in for a per-frame CNN
+    embedding, same plumbing contract as ImageFeatureExtractor."""
+
+    def __init__(self, bytes_col: str = "bytes"):
+        self.bytes_col = bytes_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for buf in batch.column(self.bytes_col).to_pylist():
+            px = get_frame(buf, 0).astype(np.float64)
+            feats.append(np.concatenate([
+                px.mean(axis=(0, 1)) / 255.0, px.std(axis=(0, 1)) / 255.0,
+            ]).tolist())
+        return batch.append_column(
+            "frame_feat", pa.array(feats, pa.list_(pa.float64())))
+
+
+def scene_cuts(buf: bytes, threshold: float = 30.0) -> list[int]:
+    """Frame indices where mean absolute RGB change from the previous
+    frame exceeds ``threshold`` (a shot-boundary heuristic; vectorized
+    over all frames at once)."""
+    w, h, n = video_meta(buf)
+    if n < 2:
+        return []
+    sz = w * h * 3
+    all_px = np.frombuffer(buf, dtype=np.uint8, count=n * sz, offset=_HDR
+                           ).reshape(n, -1).astype(np.int16)
+    diff = np.abs(np.diff(all_px, axis=0)).mean(axis=1)
+    return (np.nonzero(diff > threshold)[0] + 1).tolist()
+
+
+def scene_cut_stage(ds, threshold: float = 30.0, id_col: str = "video_id",
+                    bytes_col: str = "bytes", concurrency=(1, 8)):
+    """Actor-pool stage: video row → (id, n_frames, cuts:list<int32>)."""
+
+    class F:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, nf, cuts = [], [], []
+            for row in range(batch.num_rows):
+                buf = batch.column(bytes_col)[row].as_py()
+                _, _, n = video_meta(buf)
+                ids.append(batch.column(id_col)[row].as_py())
+                nf.append(n)
+                cuts.append(scene_cuts(buf, threshold))
+            return pa.table({
+                id_col: pa.array(ids, pa.string()),
+                "n_frames": pa.array(nf, pa.int32()),
+                "cuts": pa.array(cuts, pa.list_(pa.int32())),
+            })
+
+    return ds.map_batches(F, batch_format="pyarrow",
+                          concurrency=concurrency, num_cpus=1,
+                          batch_size=8)
