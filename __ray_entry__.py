@@ -701,6 +701,36 @@ def _q_flagship(sf_dir: str):
     return entry()
 
 
+_BM25_QUERIES = {0: ["hash", "join"], 1: ["merge", "sort", "window"],
+                 2: ["stream", "filter", "big"]}
+
+
+def _q_bm25_topk(sf_dir: str):
+    """Distributed BM25 keyword retrieval, global top-10 per query
+    (integer micro-unit scores — order-free summation, SQL-checkable)."""
+    from open_thoughts_ray.ops.retrieval import bm25_topk
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(ds, _BM25_QUERIES, k=10)
+
+
+def _q_hash_split(sf_dir: str):
+    """Deterministic md5-bucket train/val/test assignment (80/10/10)."""
+    from open_thoughts_ray.ops.columns import hash_split_batch
+
+    ds = _rp(sf_dir, "documents", ["doc_id"])
+    return ds.map_batches(hash_split_batch, batch_format="pyarrow")
+
+
+def _q_chunk_documents(sf_dir: str):
+    """Overlapping 32-token windows every 24 tokens (RAG chunk prep) —
+    pure fan-out, no shuffle."""
+    from open_thoughts_ray.ops.packing import chunk_tokens
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_tokens(ds, chunk_size=32, stride=24)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q1_pricing_summary": _q1_pricing_summary,
@@ -765,6 +795,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup_embeddings": _q_semantic_dedup,
         "levenshtein_dedup_documents": _q_levenshtein_dedup,
         "containment_dedup_documents": _q_containment_dedup,
+        "bm25_topk_documents": _q_bm25_topk,
+        "hash_split_documents": _q_hash_split,
+        "chunk_documents": _q_chunk_documents,
     }
 
 
@@ -1090,6 +1123,59 @@ def _q_json_source(sf_dir: str):
         os.replace(tmp, path)
     ds = read_json_source(path, columns=["doc_id", "lang"], limit=200)
     return ds
+
+
+def _bm25_oracle() -> str:
+    """DuckDB BM25 mirror of _q_bm25_topk, generated from the same
+    query dict.  Every float expression keeps the exact parenthesization
+    of ops/retrieval.py (idf via ln, (1.2 + 1.0) literal sums, per-term
+    floor to micro-units, int64 summation) so the hash matches bit-for-bit."""
+    vals = ", ".join(f"({qid}, '{t}')"
+                     for qid, ts in sorted(_BM25_QUERIES.items()) for t in ts)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        -- engine convention: NULL/'' documents have ZERO tokens (Python
+        -- ``t.split(' ') if t else []``), unlike string_split('') = ['']
+        dl AS (SELECT doc_id,
+                      CASE WHEN text IS NULL OR text = '' THEN 0
+                           ELSE len(string_split(text, ' ')) END AS dl
+               FROM documents),
+        c AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+        terms(query_id, tok) AS (VALUES {vals}),
+        uterm AS (SELECT DISTINCT tok FROM terms),
+        df AS (SELECT tok, count(DISTINCT doc_id) AS df
+               FROM toks JOIN uterm USING (tok) GROUP BY tok),
+        tf AS (SELECT doc_id, tok, count(*) AS tf
+               FROM toks JOIN uterm USING (tok) GROUP BY doc_id, tok),
+        scored AS (
+            SELECT t.query_id, tf.doc_id,
+                   SUM(CAST(floor(
+                     ln((c.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                     * (tf.tf * (1.2 + 1.0))
+                     / (tf.tf + 1.2 * ((1.0 - 0.75)
+                        + 0.75 * dl.dl / (CAST(c.sum_dl AS DOUBLE)
+                                          / CAST(c.n_docs AS DOUBLE))))
+                     * 1000000.0) AS BIGINT)) AS score_micro
+            FROM tf
+            JOIN terms t USING (tok)
+            JOIN df USING (tok)
+            JOIN dl USING (doc_id)
+            CROSS JOIN c
+            GROUP BY t.query_id, tf.doc_id
+        ),
+        ranked AS (
+            SELECT query_id, doc_id, score_micro,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score_micro DESC, doc_id ASC)
+                       AS rank
+            FROM scored
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_micro,
+               CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 10
+    """
 
 
 def _scrub_oracle() -> str:
@@ -1589,6 +1675,40 @@ def oracle_sql() -> dict[str, str]:
                         THEN 4096.0 * ln(4096.0 / zeros)
                         ELSE raw END) AS BIGINT) AS approx_distinct_users
             FROM est
+        """,
+        "bm25_topk_documents": _bm25_oracle(),
+        "hash_split_documents": """
+            SELECT doc_id,
+                   CAST(CAST(concat('0x',
+                          substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) % 100 AS BIGINT) AS bucket,
+                   CASE WHEN CAST(CAST(concat('0x',
+                            substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS UBIGINT) % 100 AS BIGINT) < 80 THEN 'train'
+                        WHEN CAST(CAST(concat('0x',
+                            substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS UBIGINT) % 100 AS BIGINT) < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "chunk_documents": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS tk
+                FROM documents WHERE text IS NOT NULL AND text <> ''
+            ),
+            fan AS (
+                SELECT doc_id, tk,
+                       unnest(generate_series(0,
+                           GREATEST(CAST(ceil((len(tk) - 32) / 24.0)
+                                    AS BIGINT), 0))) AS g
+                FROM toks
+            )
+            SELECT doc_id, CAST(g AS BIGINT) AS chunk_id,
+                   array_to_string(list_slice(tk, g*24+1, g*24+32), ' ')
+                       AS chunk_text,
+                   CAST(len(list_slice(tk, g*24+1, g*24+32)) AS BIGINT)
+                       AS n_chunk_tokens
+            FROM fan
         """,
         # approx_top_tokens_documents: rows-only (sketch lower bounds;
         # exactness + error bound asserted in tests/test_sketch.py)

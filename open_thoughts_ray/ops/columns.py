@@ -90,3 +90,23 @@ def upsample_rows(ds, target_rows: int, current_rows: int | None = None,
     if rem:
         out = out.union(ds.random_shuffle(seed=seed).limit(rem))
     return out
+
+
+def hash_split_batch(batch: pa.Table, id_col: str = "doc_id",
+                     train_pct: int = 80, val_pct: int = 10) -> pa.Table:
+    """Deterministic train/val/test assignment by content hash — the
+    split step every training-data assembly ends with.  bucket =
+    int(md5(id)[:8], 16) % 100; split boundaries at train_pct and
+    train_pct+val_pct.  Stable under any partitioning / reordering
+    (pure function of the id), reproducible in SQL via DuckDB md5.
+    """
+    import hashlib
+
+    ids = batch.column(id_col).to_pylist()
+    buckets = [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+               for i in ids]
+    hi = train_pct + val_pct
+    split = ["train" if b < train_pct else ("val" if b < hi else "test")
+             for b in buckets]
+    batch = batch.append_column("bucket", pa.array(buckets, pa.int64()))
+    return batch.append_column("split", pa.array(split, pa.string()))

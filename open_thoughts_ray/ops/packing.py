@@ -109,3 +109,44 @@ def pack_sequences(ds, order_col: str, weight_col: str, budget: int,
         })
 
     return off.map_batches(fin, batch_format="pyarrow")
+
+
+def chunk_tokens(ds, chunk_size: int = 32, stride: int = 24,
+                 id_col: str = "doc_id", text_col: str = "text"):
+    """Overlapping token-window chunking (RAG / context-window prep):
+    each document fans out to ``max(ceil((n - chunk_size)/stride), 0)+1``
+    chunks of ``chunk_size`` whitespace tokens starting every ``stride``
+    tokens; the final chunk may be short; empty documents emit nothing.
+
+    Embarrassingly parallel ``map_batches`` fan-out (1→k rows inside the
+    batch, no shuffle); output (id, chunk_id, chunk_text,
+    n_chunk_tokens).  SQL-checkable via ``generate_series`` +
+    ``list_slice``.
+    """
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_id, out_cid, out_txt, out_n = [], [], [], []
+        for did, t in zip(ids, texts):
+            toks = t.split(" ") if t else []
+            n = len(toks)
+            if n == 0:
+                continue
+            n_chunks = max(math.ceil((n - chunk_size) / stride), 0) + 1
+            for c in range(n_chunks):
+                w = toks[c * stride: c * stride + chunk_size]
+                out_id.append(did)
+                out_cid.append(c)
+                out_txt.append(" ".join(w))
+                out_n.append(len(w))
+        return pa.table({
+            id_col: pa.array(out_id, batch.schema.field(id_col).type),
+            "chunk_id": pa.array(out_cid, pa.int64()),
+            "chunk_text": pa.array(out_txt, pa.string()),
+            "n_chunk_tokens": pa.array(out_n, pa.int64()),
+        })
+
+    return ds.map_batches(fanout, batch_format="pyarrow")
