@@ -1,0 +1,105 @@
+"""``ray job submit`` entrypoint: ``python -m open_thoughts_ray …``.
+
+The reference submits pipelines to a cluster through
+``JobSubmissionClient`` + runtime_env (synthetic_data_manager.py:596-737);
+the Ray-Data-native equivalent is a plain module CLI handed to
+``ray job submit``, e.g. on a running cluster::
+
+    ray job submit --working-dir . -- \
+        python -m open_thoughts_ray flagship \
+            --table /data/images --out /data/decisions --cpus 256
+
+    ray job submit --working-dir . -- \
+        python -m open_thoughts_ray yaml examples/webdoc_curation.yaml \
+            --format input_path=/data/corpus.jsonl --out /data/curated
+
+Inside a submitted job ``ray.init()`` auto-connects to the hosting
+cluster; standalone the guarded init below starts a local session.  The
+CLI owns the session only when IT created it (never in tests where a
+session fixture is active).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray():
+    """Guarded init: a submitted job / test session is already
+    connected; standalone runs get a local one.  Returns True if we
+    created the session (and therefore must shut it down)."""
+    import ray
+
+    if ray.is_initialized():
+        return False
+    ray.init(ignore_reinit_error=True)
+    return True
+
+
+def _cmd_flagship(args) -> dict:
+    from .pipeline import PipelineOptions, run_checkpointed
+
+    opts = PipelineOptions.for_cluster(args.cpus)
+    decisions_dir, metrics = run_checkpointed(
+        args.table, args.out, opts, chunk_fragments=args.chunk_fragments
+    )
+    return {"decisions_dir": decisions_dir, **metrics}
+
+
+def _cmd_yaml(args) -> dict:
+    import yaml
+
+    from .yaml_pipeline import run_pipeline
+
+    with open(args.config) as f:
+        text = f.read()
+    for kv in args.format:
+        # literal {key} replacement (str.format would trip on YAML
+        # flow-style braces elsewhere in the document)
+        key, val = kv.split("=", 1)
+        text = text.replace("{" + key + "}", val)
+    ds = run_pipeline(yaml.safe_load(text), args.output_id)
+    if args.out:
+        ds.write_parquet(args.out)
+        return {"out": args.out, "rows": ds.count()}
+    return {"rows": ds.count()}
+
+
+def main(argv: list[str] | None = None) -> dict:
+    p = argparse.ArgumentParser(prog="python -m open_thoughts_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    f = sub.add_parser("flagship", help="checkpointed image+caption quality filter")
+    f.add_argument("--table", required=True, help="input Lance-layout table dir")
+    f.add_argument("--out", required=True, help="output/checkpoint dir")
+    f.add_argument("--cpus", type=int, default=32,
+                   help="cluster CPU total used to size pools/partitions")
+    f.add_argument("--chunk-fragments", type=int, default=16)
+    f.set_defaults(fn=_cmd_flagship)
+
+    y = sub.add_parser("yaml", help="run a YAML strategy DAG")
+    y.add_argument("config")
+    y.add_argument("--out", default=None, help="write result parquet here")
+    y.add_argument("--output-id", default=None,
+                   help="operator id to emit (default: last)")
+    y.add_argument("--format", nargs="*", default=[], metavar="KEY=VALUE",
+                   help="str.format substitutions applied to the YAML text")
+    y.set_defaults(fn=_cmd_yaml)
+
+    args = p.parse_args(argv)
+    owns = _ensure_ray()
+    try:
+        result = args.fn(args)
+    finally:
+        if owns:
+            import ray
+
+            ray.shutdown()
+    print(json.dumps(result, default=str))
+    return result
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,47 @@
+"""python -m open_thoughts_ray — the ``ray job submit`` entrypoint."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from open_thoughts_ray.__main__ import main
+
+
+def test_cli_yaml_runs_and_writes(ray_session, tmp_path, capsys):
+    pq.write_table(
+        pa.table({"id": pa.array(range(12), pa.int64()),
+                  "output": pa.array([f"t {i}" for i in range(12)], pa.string())}),
+        str(tmp_path / "in.parquet"),
+    )
+    cfg = tmp_path / "p.yaml"
+    cfg.write_text(
+        "operators:\n"
+        "  - id: src\n"
+        "    config: {type: parquet_source, path: \"{input_path}\"}\n"
+        "  - id: up\n"
+        "    config: {type: map_batches_function,\n"
+        "             function: tests.yaml_udfs.uppercase_output}\n"
+    )
+    out_dir = str(tmp_path / "out")
+    result = main(["yaml", str(cfg), "--out", out_dir,
+                   "--format", f"input_path={tmp_path / 'in.parquet'}"])
+    assert result["rows"] == 12
+    # one JSON line on stdout (the job log contract)
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert json.loads(line)["rows"] == 12
+    files = [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
+    assert files
+    got = pa.concat_tables([pq.read_table(os.path.join(out_dir, f))
+                            for f in files])
+    assert sorted(got.column("output").to_pylist())[0] == "T 0"
+
+
+def test_cli_flagship_smoke(ray_session, images_table, tmp_path, capsys):
+    result = main(["flagship", "--table", images_table,
+                   "--out", str(tmp_path / "dec"), "--cpus", "4",
+                   "--chunk-fragments", "64"])
+    assert result["rows"] == 10000
+    assert result["kept"] > 0
+    assert os.path.isdir(result["decisions_dir"])
