@@ -44,6 +44,8 @@ QUERY_SUBSET = [
     "minhash_dedup_documents",
     "simhash_dedup_documents",
     "llm_annotate_documents",
+    "bm25_topk_documents",
+    "chunk_documents",
 ]
 
 

@@ -137,12 +137,24 @@ def rate_limiter_actor():
     return RateLimiter
 
 
+# Named limiters are keyed by their budget, so a handle must outlive
+# the pipeline that created it — otherwise the (non-detached) named
+# actor dies as soon as the actor pool tears down and a later pipeline
+# re-creates it with a cold bucket.  The driver-process cache below
+# pins one handle per name for the Ray session.
+_LIMITER_HANDLES: dict = {}
+
+
 def shared_rate_limiter(requests_per_min: float = 1e9,
                         tokens_per_min: float = 1e12, name: str | None = None):
     """Create (or fetch, when ``name`` given) the shared limiter actor —
     named get-if-exists mirrors the reference's CompletionsSingleton."""
     RateLimiter = rate_limiter_actor()
     if name:
-        return RateLimiter.options(name=name, get_if_exists=True).remote(
-            requests_per_min, tokens_per_min)
+        handle = _LIMITER_HANDLES.get(name)
+        if handle is None:
+            handle = RateLimiter.options(name=name, get_if_exists=True).remote(
+                requests_per_min, tokens_per_min)
+            _LIMITER_HANDLES[name] = handle
+        return handle
     return RateLimiter.remote(requests_per_min, tokens_per_min)

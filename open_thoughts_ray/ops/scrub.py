@@ -39,12 +39,33 @@ def scrub_text(text: str) -> str:
     return text
 
 
+# necessary-trigger prefilters: url needs "http", email needs "@",
+# ssn/phone need a digit.  Substitutions can neither seed nor bridge a
+# later rule's match (replacement strings contain no digits, "@", "."
+# or lexicon words), so a row failing a rule's trigger is untouched by
+# that rule even mid-sequence — skipping its sub is exact (asserted vs
+# the ordered path in tests/test_rules_scrub.py).
+_DIGIT = re.compile(r"\d")
+_TRIGGERS = {
+    "url": lambda t: "http" in t,
+    "email": lambda t: "@" in t,
+    "ssn": lambda t: _DIGIT.search(t) is not None,
+    "phone": lambda t: _DIGIT.search(t) is not None,
+}
+
+
 def scrub_many(texts) -> list[str]:
-    """Vectorized-ish batch variant (compiled patterns, C regex loop)."""
+    """Batch variant: cheap necessary-condition checks skip whole sub
+    passes for rows that cannot match (typical clean captions); the
+    toxic pass always runs (its own scan IS the trigger)."""
     out = list(texts)
-    for _, rx, repl in _COMPILED:
+    for name, rx, repl in _COMPILED:
         sub = rx.sub
-        out = [sub(repl, t) for t in out]
+        trig = _TRIGGERS.get(name)
+        if trig is None:
+            out = [sub(repl, t) for t in out]
+        else:
+            out = [sub(repl, t) if trig(t) else t for t in out]
     return out
 
 
