@@ -340,10 +340,15 @@ def _q_minhash_dedup(sf_dir: str):
 
 
 def _q_simhash_dedup(sf_dir: str):
+    # hasher="md5" + semantics="earlier": with bands=4 / hamming_max=3
+    # banding recall is 1 by pigeonhole, so the survivor set is exactly
+    # the SQL NOT-EXISTS-earlier rule and the query is DuckDB-hash-checked
+    # (r3; previously rows-only with the crc hash + union-find semantics).
     from open_thoughts_ray.ops.dedup_text import simhash_dedup
 
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
-    return simhash_dedup(ds, hamming_max=3).select_columns(["doc_id"])
+    return simhash_dedup(ds, hamming_max=3, hasher="md5",
+                         semantics="earlier").select_columns(["doc_id"])
 
 
 def _q_majority_event_type(sf_dir: str):
@@ -1710,13 +1715,53 @@ def oracle_sql() -> dict[str, str]:
                        AS n_chunk_tokens
             FROM fan
         """,
+        # simhash_dedup_documents: md5 token hash + first-seen-earlier
+        # semantics → the banded-LSH collapse (recall 1 at bands=4 /
+        # ham≤3 by pigeonhole) is replayed exactly: rebuild each doc's
+        # 64-bit simhash from per-token md5 bit sums, then
+        # NOT-EXISTS-earlier on bit_count(xor) ≤ 3.
+        "simhash_dedup_documents": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+              FROM documents
+            ),
+            h AS (
+              SELECT doc_id,
+                     CAST(concat('0x', substr(md5(tk), 1, 16)) AS UBIGINT)
+                         AS hv
+              FROM tok WHERE tk <> ''
+            ),
+            bitsum AS (
+              SELECT doc_id, p,
+                     SUM(CASE WHEN (hv >> p) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS p) bits
+              GROUP BY doc_id, p
+            ),
+            packed AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN s > 0 THEN (1::HUGEINT << p)
+                              ELSE 0::HUGEINT END) AS u
+              FROM bitsum GROUP BY doc_id
+            ),
+            sh AS (
+              SELECT d.doc_id,
+                     CAST(COALESCE(CASE WHEN u >= (1::HUGEINT << 63)
+                                        THEN u - (1::HUGEINT << 64)
+                                        ELSE u END, 0) AS BIGINT) AS hv
+              FROM documents d LEFT JOIN packed USING (doc_id)
+            )
+            SELECT g.doc_id FROM sh g
+            WHERE NOT EXISTS (
+              SELECT 1 FROM sh e WHERE e.doc_id < g.doc_id
+                AND bit_count(xor(e.hv, g.hv)) <= 3)
+        """,
         # approx_top_tokens_documents: rows-only (sketch lower bounds;
         # exactness + error bound asserted in tests/test_sketch.py)
-        # minhash_dedup_documents / simhash_dedup_documents /
-        # fuzzy_dedup_documents / flagship_quality_filter /
-        # ann_topk_ivf / semantic_dedup_embeddings: not SQL-expressible
+        # minhash_dedup_documents / fuzzy_dedup_documents /
+        # flagship_quality_filter / ann_topk_ivf /
+        # semantic_dedup_embeddings: not SQL-expressible
         # (LSH signature recall, model scoring, k-means restriction) →
         # rows-only checks; ngram_jaccard_dedup_documents /
-        # approx_distinct_users are the hash-checked members vouching
-        # for the shared machinery.
+        # simhash_dedup_documents / approx_distinct_users are the
+        # hash-checked members vouching for the shared machinery.
     }

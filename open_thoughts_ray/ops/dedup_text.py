@@ -296,6 +296,40 @@ def minhash_verify_kernel(k: int, shingle_n: int, threshold: float):
     return kernel
 
 
+def _drop_later_endpoints(ds, id_col: str, edges, num_partitions: int,
+                          max_driver_drops: int = 2_000_000):
+    """First-seen-wins drop from a verified edge Dataset[a,b]: every
+    edge demotes its LATER endpoint (numeric id order when ids parse as
+    ints, matching SQL ``e.id < g.id``; else lexicographic).  The drop
+    ids are broadcast when small and anti-joined when large
+    (``max_driver_drops``, the flagship's max_driver_edges pattern)."""
+    from .pairverify import anti_join_ids
+
+    def losers(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pa.table({"id": pa.array([], pa.string())})
+
+        def later(x: str, y: str) -> str:
+            try:
+                return x if int(x) > int(y) else y
+            except ValueError:
+                return x if x > y else y
+
+        a = t.column("a").to_pylist()
+        b = t.column("b").to_pylist()
+        return pa.table({
+            "id": pa.array([later(x, y) for x, y in zip(a, b)], pa.string())})
+
+    drop_ds = edges.map_batches(losers, batch_format="pyarrow").materialize()
+    n_drops = drop_ds.count()
+    if n_drops == 0:
+        return ds
+    if n_drops <= max_driver_drops:
+        drop = set(drop_ds.to_pandas()["id"])  # bounded: O(#dups)
+        return _drop_ids_filter(ds, id_col, drop)
+    return anti_join_ids(ds, id_col, drop_ds, num_partitions)
+
+
 def _dedup_drop_by_components(ds, id_col: str, edges, num_partitions: int):
     """Verified edge Dataset → drop the non-min members of every
     connected component, fully distributed (dedup.edges_to_labels label
@@ -372,10 +406,31 @@ def minhash_lsh_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
 
 
 # ------------------------------------------------------------------ simhash
-def simhash64(text: str) -> int:
-    """64-bit SimHash over word tokens (stable crc32-seeded bit hashes).
-    Scalar reference implementation — the batch path is simhash64_batch
-    (bit-identical; property-tested against this)."""
+def simhash64(text: str, hasher: str = "crc") -> int:
+    """64-bit SimHash over word tokens.  Scalar reference implementation —
+    the batch path is simhash64_batch (bit-identical; property-tested
+    against this).
+
+    ``hasher`` picks the per-token 64-bit hash:
+    * ``"crc"`` (default) — two crc32 passes mixed by the golden-ratio
+      constant; fast, not reproducible outside this codebase.
+    * ``"md5"`` — first 16 hex chars of md5(token), MSB-first bit
+      orientation: output bit k is the sign-of-sum of input bit k.  Bit
+      arithmetic an ANSI-SQL engine can replay exactly, which is what
+      makes simhash_dedup_documents DuckDB-hash-checkable (the HLL md5
+      trick, ops/sketch.py)."""
+    if hasher == "md5":
+        import hashlib
+
+        v = np.zeros(64, dtype=np.int64)
+        for tok in text.split():
+            h64 = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:16], 16)
+            for j in range(64):
+                v[j] += 1 if (h64 >> (63 - j)) & 1 else -1
+        h = 0
+        for j in range(64):
+            h = (h << 1) | (1 if v[j] > 0 else 0)
+        return h
     v = np.zeros(64, dtype=np.int64)
     for tok in text.split():
         b = tok.encode("utf-8")
@@ -389,13 +444,17 @@ def simhash64(text: str) -> int:
     return int(h)
 
 
-def simhash64_batch(texts: list[str]) -> np.ndarray:
+def simhash64_batch(texts: list[str], hasher: str = "crc") -> np.ndarray:
     """(n_docs,) uint64 SimHash, vectorized across the batch (VERDICT r2
     #6): token hashes are computed ONCE per unique token in the batch
     (vocab dict — web text repeats tokens heavily), expanded to a
     (U, 64) ±1 sign matrix with one unpackbits, and per-doc bit sums are
     one np.add.reduceat over the concatenated token-index array — no
-    per-token numpy dispatch inside the doc loop."""
+    per-token numpy dispatch inside the doc loop.
+
+    ``hasher="md5"`` switches to the SQL-reproducible token hash (see
+    simhash64); only the per-unique-token hash and the bit orientation
+    differ — the vectorized sum machinery is shared."""
     n_docs = len(texts)
     if n_docs == 0:
         return np.zeros(0, dtype=np.uint64)
@@ -414,13 +473,24 @@ def simhash64_batch(texts: list[str]) -> np.ndarray:
         concat = np.zeros(0, np.int64)
         uniq_list = []
     h64 = np.empty(max(1, len(uniq_list)), dtype=np.uint64)
-    for j, tk in enumerate(uniq_list):
-        b = tk.encode("utf-8")
-        h64[j] = ((zlib.crc32(b) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF) \
-            ^ zlib.crc32(b[::-1])
-    # (U, 64) ±1 matrix in unpackbits order — identical bit order to the
-    # scalar path (little-endian bytes, MSB-first bits per byte)
-    signs = np.unpackbits(h64[: len(uniq_list)].view(np.uint8).reshape(-1, 8),
+    if hasher == "md5":
+        import hashlib
+
+        for j, tk in enumerate(uniq_list):
+            h64[j] = int(hashlib.md5(tk.encode("utf-8")).hexdigest()[:16], 16)
+        # MSB-first over the whole word (big-endian bytes): output bit k
+        # is the sign-of-sum of input bit k — the orientation the SQL
+        # oracle replays with plain shifts
+        byte_view = h64[: len(uniq_list)].astype(">u8").view(np.uint8)
+    else:
+        for j, tk in enumerate(uniq_list):
+            b = tk.encode("utf-8")
+            h64[j] = ((zlib.crc32(b) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF) \
+                ^ zlib.crc32(b[::-1])
+        # unpackbits order identical to the scalar crc path (little-endian
+        # bytes, MSB-first bits per byte)
+        byte_view = h64[: len(uniq_list)].view(np.uint8)
+    signs = np.unpackbits(byte_view.reshape(-1, 8),
                           axis=1).astype(np.int32) * 2 - 1
     sums = np.zeros((n_docs, 64), dtype=np.int64)
     nonempty = lens > 0
@@ -447,8 +517,8 @@ def simhash64_batch(texts: list[str]) -> np.ndarray:
 
 
 def simhash_batch(batch: pa.Table, text_col: str = "text",
-                  out: str = "simhash") -> pa.Table:
-    hashes = simhash64_batch(batch.column(text_col).to_pylist())
+                  out: str = "simhash", hasher: str = "crc") -> pa.Table:
+    hashes = simhash64_batch(batch.column(text_col).to_pylist(), hasher=hasher)
     vals = hashes.view(np.int64)  # two's-complement reinterpret
     return batch.append_column(out, pa.array(vals, pa.int64()))
 
@@ -456,17 +526,30 @@ def simhash_batch(batch: pa.Table, text_col: str = "text",
 def simhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
                   hamming_max: int = 3, bands: int = 4,
                   num_partitions: int | None = None,
-                  max_driver_edges: int = 2_000_000):
+                  max_driver_edges: int = 2_000_000,
+                  hasher: str = "crc", semantics: str = "components"):
     """SimHash near-dup collapse, reusing the phash banded machinery
     (partition-level pair finding — no per-singleton-bucket dispatch).
     SimHash edges are already Hamming-verified inside the buckets, so
     above ``max_driver_edges`` the component labels come straight from
-    distributed label propagation — no driver edge collect."""
+    distributed label propagation — no driver edge collect.
+
+    ``semantics``:
+    * ``"components"`` (default) — drop every non-min member of each
+      Hamming-≤t connected component (union-find / label propagation).
+    * ``"earlier"`` — first-seen-wins: drop a doc iff it has a verified
+      edge to a NUMERICALLY smaller id (the reference FAISS filter's
+      order semantics made deterministic, similarity_filtering_operator
+      .py:93-114).  With ``bands=4, hamming_max=3`` banding recall is 1
+      by pigeonhole, so with ``hasher="md5"`` the survivor set is exactly
+      DuckDB's ``NOT EXISTS (… e.id < g.id AND bit_count(xor) ≤ t)`` —
+      the SQL-hash-checked path.
+    """
     from .dedup import near_dup_edges
 
     num_partitions = _auto_partitions(num_partitions)
     hashed = ds.map_batches(simhash_batch, batch_format="pyarrow",
-                            fn_kwargs={"text_col": text_col})
+                            fn_kwargs={"text_col": text_col, "hasher": hasher})
     small = hashed.map_batches(
         lambda t: pa.table({"image_id": pa.array([str(v) for v in t.column(id_col).to_pylist()], pa.string()),
                             "phash": t.column("simhash")}),
@@ -474,6 +557,9 @@ def simhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     )
     edges = near_dup_edges(small, bands=bands, hamming_max=hamming_max,
                            num_partitions=num_partitions).materialize()
+    if semantics == "earlier":
+        return _drop_later_endpoints(ds, id_col, edges, num_partitions,
+                                     max_driver_drops=max_driver_edges)
     if edges.count() > max_driver_edges:
         return _dedup_drop_by_components(ds, id_col, edges, num_partitions)
     edf = edges.to_pandas()
@@ -639,9 +725,7 @@ def ngram_jaccard_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     are broadcast when small and anti-joined when large
     (``max_driver_drops`` switch, the flagship's max_driver_edges
     pattern)."""
-    import ray
-
-    from .pairverify import anti_join_ids, verify_pairs_distributed
+    from .pairverify import verify_pairs_distributed
 
     num_partitions = _auto_partitions(num_partitions)
     pairs = ngram_jaccard_pairs(ds, id_col, text_col, n,
@@ -652,27 +736,5 @@ def ngram_jaccard_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
         pairs, ds, id_col, text_col,
         jaccard_verify_kernel(n, threshold), num_partitions,
     )
-
-    def losers(t: pa.Table) -> pa.Table:
-        # the later endpoint is dropped; "later" = numeric id order when
-        # ids parse as integers (matches SQL `e.id < g.id`), else
-        # lexicographic
-        def later(x: str, y: str) -> str:
-            try:
-                return x if int(x) > int(y) else y
-            except ValueError:
-                return x if x > y else y
-
-        a = t.column("a").to_pylist()
-        b = t.column("b").to_pylist()
-        return pa.table({
-            "id": pa.array([later(x, y) for x, y in zip(a, b)], pa.string())})
-
-    drop_ds = edges.map_batches(losers, batch_format="pyarrow").materialize()
-    n_drops = drop_ds.count()
-    if n_drops == 0:
-        return ds
-    if n_drops <= max_driver_drops:
-        drop = set(drop_ds.to_pandas()["id"])  # bounded: O(#dups)
-        return _drop_ids_filter(ds, id_col, drop)
-    return anti_join_ids(ds, id_col, drop_ds, num_partitions)
+    return _drop_later_endpoints(ds, id_col, edges, num_partitions,
+                                 max_driver_drops)

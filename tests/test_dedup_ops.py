@@ -78,6 +78,56 @@ def test_simhash_identical_texts():
     assert simhash64("a b c") != simhash64("x y z")
 
 
+def test_simhash_md5_scalar_batch_parity():
+    from open_thoughts_ray.ops.dedup_text import simhash64_batch
+
+    texts = ["a b c", "a b c d", "", "x", "hello world hello", "a a a b",
+             "the quick brown fox jumps over the lazy dog"]
+    scalar = [simhash64(t, hasher="md5") for t in texts]
+    batch = simhash64_batch(texts, hasher="md5")
+    assert [int(v) for v in batch] == scalar
+    # md5 orientation contract the SQL oracle relies on: output bit k is
+    # the sign-of-sum of input bit k
+    import hashlib
+
+    t = "alpha beta alpha"
+    v = [0] * 64
+    for tok in t.split():
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
+        for k in range(64):
+            v[k] += 1 if (h >> k) & 1 else -1
+    expect = sum((1 << k) for k in range(64) if v[k] > 0)
+    assert simhash64(t, hasher="md5") == expect
+
+
+def test_simhash_dedup_earlier_semantics_matches_bruteforce(ray_session):
+    """semantics='earlier' (the SQL-checked path) must equal the
+    all-pairs first-seen rule: drop iff hamming ≤ t to ANY smaller id."""
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.dedup_text import simhash64_batch
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [{"doc_id": i, "text": f"doc {i} " + " ".join(f"tok{i}_{j}" for j in range(15))}
+            for i in range(25)]
+    rows.append({"doc_id": 50, "text": base})
+    rows.append({"doc_id": 51, "text": base.replace("kappa", "kappa2")})
+    rows.append({"doc_id": 52, "text": base})
+    df = pd.DataFrame(rows)
+    out = simhash_dedup(rd.from_pandas(df), hamming_max=3, hasher="md5",
+                        semantics="earlier").to_pandas()
+    h = simhash64_batch(list(df.text), hasher="md5")
+    ids = list(df.doc_id)
+    expect = set()
+    for i in range(len(ids)):
+        if not any(bin(int(h[i]) ^ int(h[j])).count("1") <= 3
+                   for j in range(i)):
+            expect.add(ids[i])
+    assert set(out.doc_id) == expect
+    assert 50 in expect and 52 not in expect
+
+
 def test_ngram_jaccard():
     assert ngram_jaccard("a b c d e", "a b c d e") == 1.0
     assert ngram_jaccard("a b c d e", "v w x y z") == 0.0
