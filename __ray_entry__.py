@@ -334,9 +334,14 @@ def _q_minhash_dedup(sf_dir: str):
             .to_pandas()
         )
 
+    # hasher="md5" + semantics="earlier" (r3): the md5 gram hashes, the
+    # (a·x+b) mod 2^61−1 signature family, band equality and the ≥0.7
+    # agreement rule are all replayed verbatim by the DuckDB oracle, so
+    # the query is hash-checked (previously rows-only).
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
-    return minhash_lsh_dedup(ds, threshold=0.7,
-                             source_fetch=fetch).select_columns(["doc_id"])
+    return minhash_lsh_dedup(ds, threshold=0.7, source_fetch=fetch,
+                             hasher="md5",
+                             semantics="earlier").select_columns(["doc_id"])
 
 
 def _q_simhash_dedup(sf_dir: str):
@@ -1130,6 +1135,73 @@ def _q_json_source(sf_dir: str):
     return ds
 
 
+def _minhash_oracle(k: int = 64, bands: int = 16, shingle_n: int = 3,
+                    threshold: float = 0.7) -> str:
+    """DuckDB mirror of _q_minhash_dedup (hasher="md5", earlier
+    semantics): recompute every doc's k-wide minhash signature — md5
+    3-gram hashes rolled with the _GRAM_C multipliers mod 2^61−1, then
+    the (a·x+b) mod 2^61−1 family (constants inlined from the engine's
+    seeded _hash_family) — find candidates by exact band equality
+    (engine band keys are hashes OF the band slice, equal iff the slice
+    is equal), verify signature agreement ≥ threshold, and drop every
+    doc with a verified edge to a smaller doc_id."""
+    from open_thoughts_ray.ops.dedup_text import _hash_family
+
+    a, b = _hash_family(k)
+    fam_rows = ", ".join(f"({j}, {int(a[j])}, {int(b[j])})"
+                         for j in range(k))
+    M = 2305843009213693951  # 2^61 - 1
+    r = k // bands
+    min_agree = threshold * k
+    return f"""
+        WITH fam(j, fa, fb) AS (VALUES {fam_rows}),
+        toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, len(t) AS ntok,
+            CASE WHEN len(t) = 0 THEN [0::UBIGINT]
+                 WHEN len(t) < {shingle_n} THEN
+                   [CAST(concat('0x', substr(md5(array_to_string(t, ' ')), 1, 8))
+                         AS UBIGINT)]
+                 ELSE list_transform(generate_series(1, len(t) - {shingle_n - 1}), i ->
+                    ((CAST(concat('0x', substr(md5(t[i]), 1, 8)) AS UBIGINT) * 268435399
+                    + CAST(concat('0x', substr(md5(t[i+1]), 1, 8)) AS UBIGINT) * 268435367
+                    + CAST(concat('0x', substr(md5(t[i+2]), 1, 8)) AS UBIGINT) * 268435361)
+                    % {M}) & 4294967295)
+            END AS gs
+          FROM toks
+        ),
+        gx AS (SELECT doc_id, ntok, unnest(gs) AS g FROM grams),
+        sig AS (
+          SELECT doc_id, j,
+                 CASE WHEN max(ntok) = 0 THEN 0::UBIGINT
+                      ELSE MIN((fa::UBIGINT * g + fb::UBIGINT) % {M}) END AS v
+          FROM gx CROSS JOIN fam GROUP BY doc_id, j
+        ),
+        bandt AS (
+          SELECT doc_id, j // {r} AS bb, list(v ORDER BY j) AS bv
+          FROM sig GROUP BY doc_id, j // {r}
+        ),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS a, rr.doc_id AS b
+          FROM bandt l JOIN bandt rr
+            ON l.bb = rr.bb AND l.bv = rr.bv AND l.doc_id < rr.doc_id
+        ),
+        ver AS (
+          SELECT c.a, c.b
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.a
+          JOIN sig sb ON sb.doc_id = c.b AND sb.j = sa.j
+          GROUP BY c.a, c.b
+          HAVING SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) >= {min_agree}
+        )
+        SELECT d.doc_id FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM ver v WHERE v.b = d.doc_id)
+    """
+
+
 def _bm25_oracle() -> str:
     """DuckDB BM25 mirror of _q_bm25_topk, generated from the same
     query dict.  Every float expression keeps the exact parenthesization
@@ -1682,6 +1754,7 @@ def oracle_sql() -> dict[str, str]:
             FROM est
         """,
         "bm25_topk_documents": _bm25_oracle(),
+        "minhash_dedup_documents": _minhash_oracle(),
         "hash_split_documents": """
             SELECT doc_id,
                    CAST(CAST(concat('0x',
@@ -1757,11 +1830,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         # approx_top_tokens_documents: rows-only (sketch lower bounds;
         # exactness + error bound asserted in tests/test_sketch.py)
-        # minhash_dedup_documents / fuzzy_dedup_documents /
-        # flagship_quality_filter / ann_topk_ivf /
-        # semantic_dedup_embeddings: not SQL-expressible
-        # (LSH signature recall, model scoring, k-means restriction) →
-        # rows-only checks; ngram_jaccard_dedup_documents /
-        # simhash_dedup_documents / approx_distinct_users are the
+        # fuzzy_dedup_documents (Indel ratio needs an LCS kernel SQL
+        # lacks) / flagship_quality_filter (model scoring) /
+        # ann_topk_ivf / semantic_dedup_embeddings (k-means
+        # restriction): not SQL-expressible → rows-only checks;
+        # ngram_jaccard_dedup_documents / simhash_dedup_documents /
+        # minhash_dedup_documents / approx_distinct_users are the
         # hash-checked members vouching for the shared machinery.
     }

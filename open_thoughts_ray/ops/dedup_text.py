@@ -104,22 +104,36 @@ def _hash_family(k: int, seed: int = 97) -> tuple[np.ndarray, np.ndarray]:
 _GRAM_C = (np.uint64(268435399), np.uint64(268435367), np.uint64(268435361))
 
 
-def _gram_hashes_batch(texts: list[str], n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+def _gram_hashes_batch(texts: list[str], n: int = 3,
+                       hasher: str = "crc") -> tuple[np.ndarray, np.ndarray]:
     """32-bit word-n-gram hashes for every doc, vectorized.
 
-    Tokens are crc32-hashed ONCE per unique string (batch vocab dict);
-    gram hashes are a rolling positional combination of token hashes
-    computed in one numpy pass over the batch-wide concatenation, with
+    Tokens are hashed ONCE per unique string (batch vocab dict); gram
+    hashes are a rolling positional combination of token hashes computed
+    in one numpy pass over the batch-wide concatenation, with
     doc-boundary-crossing positions masked out.  Returns (flat gram
     array, doc offsets for np.minimum.reduceat); docs with no grams get
-    one sentinel gram so offsets stay monotone."""
+    one sentinel gram so offsets stay monotone.
+
+    ``hasher="md5"`` swaps crc32 for the first 8 hex chars of md5 —
+    bit-identical replayable in ANSI SQL (the simhash/HLL md5 trick),
+    which is what lets the minhash dedup query be DuckDB-hash-checked."""
+    if hasher == "md5":
+        import hashlib
+
+        def _th(b: bytes) -> int:
+            return int(hashlib.md5(b).hexdigest()[:8], 16)
+    else:
+        def _th(b: bytes) -> int:
+            return zlib.crc32(b)
+
     vocab: dict = {}
     tok_arrays = []
     for t in texts:
         toks = t.split()
-        if len(toks) < n:  # short doc: single gram = crc32 of joined text
+        if len(toks) < n:  # short doc: single gram = hash of joined text
             tok_arrays.append(
-                np.array([zlib.crc32(" ".join(toks).encode("utf-8"))],
+                np.array([_th(" ".join(toks).encode("utf-8"))],
                          dtype=np.uint64) if toks else
                 np.array([0], dtype=np.uint64))
             continue
@@ -127,7 +141,7 @@ def _gram_hashes_batch(texts: list[str], n: int = 3) -> tuple[np.ndarray, np.nda
         for i, tk in enumerate(toks):
             h = vocab.get(tk)
             if h is None:
-                h = zlib.crc32(tk.encode("utf-8"))
+                h = _th(tk.encode("utf-8"))
                 vocab[tk] = h
             hs[i] = h
         tok_arrays.append(hs)
@@ -159,15 +173,15 @@ def _gram_hashes_batch(texts: list[str], n: int = 3) -> tuple[np.ndarray, np.nda
 
 
 def minhash_signature(text: str, k: int = 64, shingle_n: int = 3,
-                      family=None) -> np.ndarray:
+                      family=None, hasher: str = "crc") -> np.ndarray:
     """Single-doc signature (reference semantics / tests); the batch path
     is minhash_signatures_batch."""
-    sig = minhash_signatures_batch([text], k, shingle_n, family)
+    sig = minhash_signatures_batch([text], k, shingle_n, family, hasher)
     return sig[0]
 
 
 def minhash_signatures_batch(texts: list[str], k: int = 64, shingle_n: int = 3,
-                             family=None) -> np.ndarray:
+                             family=None, hasher: str = "crc") -> np.ndarray:
     """(n_docs, k) minhash signatures, vectorized across the whole batch:
     all docs' gram hashes are computed in one rolling pass
     (_gram_hashes_batch), ONE (k × total_grams) affine transform runs
@@ -178,7 +192,7 @@ def minhash_signatures_batch(texts: list[str], k: int = 64, shingle_n: int = 3,
     a, b = family if family is not None else _hash_family(k)
     if not texts:
         return np.zeros((0, len(a)), dtype=np.uint64)
-    x, offsets = _gram_hashes_batch(texts, shingle_n)
+    x, offsets = _gram_hashes_batch(texts, shingle_n, hasher)
     # (k, total) affine mod 2^61-1; inputs sized so nothing wraps.
     # Mersenne reduction (y & M) + (y >> 61) with one conditional
     # subtract replaces the uint64 `%` — numpy integer division has no
@@ -199,7 +213,8 @@ def minhash_signatures_batch(texts: list[str], k: int = 64, shingle_n: int = 3,
 
 
 def minhash_band_rows(batch: pa.Table, *, k: int, bands: int, shingle_n: int,
-                      id_col: str, text_col: str) -> pa.Table:
+                      id_col: str, text_col: str,
+                      hasher: str = "crc") -> pa.Table:
     """doc → `bands` rows of (band_key, id) for the LSH shuffle.
 
     Only the 8-byte band key and the id enter the shuffle — NOT the
@@ -210,7 +225,7 @@ def minhash_band_rows(batch: pa.Table, *, k: int, bands: int, shingle_n: int,
     r = k // bands
     ids = batch.column(id_col)
     sigs = minhash_signatures_batch(batch.column(text_col).to_pylist(),
-                                    k, shingle_n, fam)
+                                    k, shingle_n, fam, hasher)
     n = len(sigs)
     keys = np.empty(n * bands, dtype=np.int64)
     sig_bytes = sigs.tobytes()  # row-major: doc i band b at (i*k + b*r)*8
@@ -265,13 +280,13 @@ def minhash_partition_pairs(group: pd.DataFrame, max_bucket: int = 256,
 
 def minhash_pairs_dataset(ds, id_col: str, text_col: str, k: int, bands: int,
                           shingle_n: int, max_bucket: int,
-                          num_partitions: int):
+                          num_partitions: int, hasher: str = "crc"):
     """Candidate pair Dataset from the banded minhash shuffle (shared by
     minhash_lsh_dedup and fuzzy_dedup)."""
     band_rows = ds.map_batches(
         minhash_band_rows, batch_format="pyarrow",
         fn_kwargs=dict(k=k, bands=bands, shingle_n=shingle_n,
-                       id_col=id_col, text_col=text_col),
+                       id_col=id_col, text_col=text_col, hasher=hasher),
     ).map_batches(
         lambda t: t.append_column(
             "part", pa.array(t.column("band_key").to_numpy(zero_copy_only=False)
@@ -284,13 +299,14 @@ def minhash_pairs_dataset(ds, id_col: str, text_col: str, k: int, bands: int,
     )
 
 
-def minhash_verify_kernel(k: int, shingle_n: int, threshold: float):
+def minhash_verify_kernel(k: int, shingle_n: int, threshold: float,
+                          hasher: str = "crc"):
     """Pair kernel: estimated Jaccard = signature agreement ≥ threshold
     (signatures recomputed per batch on the workers)."""
     def kernel(texts_a: list[str], texts_b: list[str]) -> np.ndarray:
         fam = _hash_family(k)
-        sa = minhash_signatures_batch(texts_a, k, shingle_n, fam)
-        sb = minhash_signatures_batch(texts_b, k, shingle_n, fam)
+        sa = minhash_signatures_batch(texts_a, k, shingle_n, fam, hasher)
+        sb = minhash_signatures_batch(texts_b, k, shingle_n, fam, hasher)
         return (sa == sb).mean(axis=1) >= threshold
 
     return kernel
@@ -347,8 +363,14 @@ def minhash_lsh_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
                       k: int = 64, bands: int = 16, shingle_n: int = 3,
                       threshold: float = 0.7, max_bucket: int = 256,
                       num_partitions: int | None = None, source_fetch=None,
-                      max_driver_pairs: int = 2_000_000):
-    """Near-dup collapse; survivors = min id per component.
+                      max_driver_pairs: int = 2_000_000,
+                      hasher: str = "crc", semantics: str = "components"):
+    """Near-dup collapse; survivors = min id per component
+    (``semantics="components"``), or first-seen-wins —
+    drop iff a verified edge to a numerically smaller id —
+    with ``semantics="earlier"``; combined with ``hasher="md5"`` the
+    earlier rule is what the DuckDB oracle replays (signature recompute
+    + band equality + agreement ≥ threshold are all plain SQL).
 
     shingle→minhash→band→shuffle→candidates→verify→components (SURVEY.md
     dedup family).  The shuffle carries only (band_key, id).  Candidate
@@ -365,7 +387,7 @@ def minhash_lsh_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     num_partitions = _auto_partitions(num_partitions)
     pairs_ds = minhash_pairs_dataset(ds, id_col, text_col, k, bands,
                                      shingle_n, max_bucket,
-                                     num_partitions).materialize()
+                                     num_partitions, hasher).materialize()
     n_pairs = pairs_ds.count()
     if n_pairs == 0:
         return ds
@@ -374,7 +396,11 @@ def minhash_lsh_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
 
         edges = verify_pairs_distributed(
             pairs_ds, ds, id_col, text_col,
-            minhash_verify_kernel(k, shingle_n, threshold), num_partitions)
+            minhash_verify_kernel(k, shingle_n, threshold, hasher),
+            num_partitions)
+        if semantics == "earlier":
+            return _drop_later_endpoints(ds, id_col, edges, num_partitions,
+                                         max_driver_drops=max_driver_pairs)
         return _dedup_drop_by_components(ds, id_col, edges, num_partitions)
     pairs = pairs_ds.to_pandas()
     pairs = pairs.drop_duplicates()  # same pair found via several bands
@@ -392,7 +418,8 @@ def minhash_lsh_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
             .to_pandas()  # bounded: O(#candidate ids)
         )
     fam = _hash_family(k)
-    sigs = minhash_signatures_batch(cand_tbl[text_col].tolist(), k, shingle_n, fam)
+    sigs = minhash_signatures_batch(cand_tbl[text_col].tolist(), k, shingle_n,
+                                    fam, hasher)
     sig_by_id = {str(i): sigs[j] for j, i in enumerate(cand_tbl[id_col])}
     sa = np.stack([sig_by_id[i] for i in pairs["a"]])
     sb = np.stack([sig_by_id[i] for i in pairs["b"]])
@@ -400,6 +427,15 @@ def minhash_lsh_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     verified = pairs[est >= threshold]
     if verified.empty:
         return ds
+    if semantics == "earlier":
+        def later(x: str, y: str) -> str:
+            try:
+                return x if int(x) > int(y) else y
+            except ValueError:
+                return x if x > y else y
+
+        drop = {later(x, y) for x, y in zip(verified["a"], verified["b"])}
+        return _drop_ids_filter(ds, id_col, drop)
     canon = union_find_canonical(verified["a"].tolist(), verified["b"].tolist())
     drop = {m for m, c in canon.items() if m != c}
     return _drop_ids_filter(ds, id_col, drop)

@@ -78,6 +78,44 @@ def test_simhash_identical_texts():
     assert simhash64("a b c") != simhash64("x y z")
 
 
+def test_minhash_md5_earlier_matches_bruteforce(ray_session):
+    """hasher='md5' + semantics='earlier' (the SQL-checked path) must
+    equal the all-pairs rule: drop iff some smaller id shares a band AND
+    signature agreement ≥ threshold."""
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.dedup_text import (_hash_family,
+                                                  minhash_signatures_batch)
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "cat sleeps on the warm windowsill in the afternoon sun")
+    rows = [{"doc_id": i, "text": f"doc {i} " + " ".join(f"w{i}_{j}" for j in range(15))}
+            for i in range(25)]
+    rows.append({"doc_id": 50, "text": base})
+    rows.append({"doc_id": 51, "text": base.replace("cat", "kitten")})
+    rows.append({"doc_id": 52, "text": base})
+    df = pd.DataFrame(rows)
+    out = minhash_lsh_dedup(rd.from_pandas(df), threshold=0.7, hasher="md5",
+                            semantics="earlier").to_pandas()
+    k, bands = 64, 16
+    r = k // bands
+    sig = minhash_signatures_batch(list(df.text), k, 3, _hash_family(k), "md5")
+    ids = list(df.doc_id)
+    expect = set()
+    for i in range(len(ids)):
+        dropped = False
+        for j in range(i):
+            share = any((sig[i, b * r:(b + 1) * r] == sig[j, b * r:(b + 1) * r]).all()
+                        for b in range(bands))
+            if share and (sig[i] == sig[j]).mean() >= 0.7:
+                dropped = True
+                break
+        if not dropped:
+            expect.add(ids[i])
+    assert set(out.doc_id) == expect
+    assert 50 in expect and 52 not in expect
+
+
 def test_simhash_md5_scalar_batch_parity():
     from open_thoughts_ray.ops.dedup_text import simhash64_batch
 
