@@ -260,6 +260,29 @@ def _q_quality_stats(sf_dir: str):
     )
 
 
+def _q_gopher_repetition(sf_dir: str):
+    # Gopher repetition signals + the keep verdict at the published
+    # thresholds (Rae et al. 2021 §A1.1), hash-checked against a DuckDB
+    # replay of the same bigram/trigram/line counting.
+    import pyarrow.compute as pc
+
+    from open_thoughts_ray.ops.textstats import gopher_repetition_batch
+
+    def apply(t):
+        t = gopher_repetition_batch(t)
+        keep = pc.and_(
+            pc.and_(pc.less_equal(t.column("dup_line_frac"), 0.30),
+                    pc.less_equal(t.column("top_bigram_frac"), 0.20)),
+            pc.less_equal(t.column("dup_trigram_frac"), 0.30))
+        return t.append_column("keep", keep)
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(apply, batch_format="pyarrow").select_columns(
+        ["doc_id", "dup_line_frac", "top_bigram_frac",
+         "dup_trigram_frac", "keep"]
+    )
+
+
 def _q_doc_quality_filter(sf_dir: str):
     """Documents-table quality filter (keep/drop decision, SQL-checked):
     keep iff 50 ≤ n_chars ≤ 500 and repetition ratio ≤ 0.6."""
@@ -757,6 +780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_tagged_documents": _q_union_tagged,
         "token_count_documents": _q_token_count,
         "quality_stats_documents": _q_quality_stats,
+        "gopher_repetition_documents": _q_gopher_repetition,
         "doc_quality_filter": _q_doc_quality_filter,
         "md5_fingerprint_documents": _q_md5_fingerprint,
         "embedding_cosine_dedup": _q_cosine_dedup,
@@ -1360,6 +1384,68 @@ def oracle_sql() -> dict[str, str]:
                    floor((1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
                           / len(string_split(text, ' '))) * 1000000) / 1000000 AS rep_ratio
             FROM documents
+        """,
+        # Gopher repetition (word-granular): dup-line fraction, tokens
+        # covered by the top bigram, trigram occurrences in duplicated
+        # trigrams — each floor-quantized to 1e-6 exactly as the kernel.
+        "gopher_repetition_documents": """
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN text IS NULL OR text = '' THEN []
+                          ELSE string_split(text, ' ') END AS t,
+                     CASE WHEN text IS NULL OR text = '' THEN []
+                          ELSE string_split(text, chr(10)) END AS ln
+              FROM documents
+            ),
+            big AS (
+              SELECT doc_id, len(t) AS nt,
+                     unnest(list_transform(generate_series(1, len(t)-1),
+                                           i -> t[i] || chr(1) || t[i+1])) AS g
+              FROM toks WHERE len(t) >= 2
+            ),
+            bigc AS (
+              SELECT doc_id, MAX(c) AS mx, MAX(nt) AS nt
+              FROM (SELECT doc_id, g, MAX(nt) AS nt, count(*) AS c
+                    FROM big GROUP BY doc_id, g)
+              GROUP BY doc_id
+            ),
+            tri AS (
+              SELECT doc_id, len(t) AS nt,
+                     unnest(list_transform(generate_series(1, len(t)-2),
+                            i -> t[i] || chr(1) || t[i+1] || chr(1) || t[i+2])) AS g
+              FROM toks WHERE len(t) >= 3
+            ),
+            tric AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup,
+                     MAX(nt) AS nt
+              FROM (SELECT doc_id, g, MAX(nt) AS nt, count(*) AS c
+                    FROM tri GROUP BY doc_id, g)
+              GROUP BY doc_id
+            ),
+            lines AS (
+              SELECT doc_id,
+                     CASE WHEN len(ln) = 0 THEN 0.0
+                          ELSE CAST(len(ln) - len(list_distinct(ln)) AS DOUBLE)
+                               / len(ln) END AS raw
+              FROM toks
+            ),
+            sig AS (
+              SELECT d.doc_id,
+                     floor(l.raw * 1000000) / 1000000 AS dup_line_frac,
+                     floor(COALESCE(2.0 * b.mx / b.nt, 0.0) * 1000000)
+                         / 1000000 AS top_bigram_frac,
+                     floor(COALESCE(CAST(tr.dup AS DOUBLE) / (tr.nt - 2), 0.0)
+                           * 1000000) / 1000000 AS dup_trigram_frac
+              FROM documents d
+              LEFT JOIN bigc b USING (doc_id)
+              LEFT JOIN tric tr USING (doc_id)
+              JOIN lines l USING (doc_id)
+            )
+            SELECT doc_id, dup_line_frac, top_bigram_frac, dup_trigram_frac,
+                   (dup_line_frac <= 0.30 AND top_bigram_frac <= 0.20
+                    AND dup_trigram_frac <= 0.30) AS keep
+            FROM sig
         """,
         "doc_quality_filter": """
             SELECT doc_id,

@@ -41,6 +41,71 @@ def quality_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("rep_ratio", pa.array(rep_q, pa.float64()))
 
 
+def gopher_repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition signals (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1), word-granular:
+
+    * ``dup_line_frac``     — fraction of lines that are duplicates of an
+      earlier line (newline split).
+    * ``top_bigram_frac``   — fraction of tokens covered by the single
+      most frequent bigram (2·max_count / n_tokens).
+    * ``dup_trigram_frac``  — fraction of trigram occurrences whose
+      trigram appears more than once (Σ count>1 / total trigrams).
+
+    Ratios are floor-quantized to 1e-6 (the quality_stats convention) so
+    the DuckDB oracle reproduces them bit-for-bit.  Per-doc counting is
+    C-speed (Counter over zipped token tuples), same shape as the
+    set()-based rep_ratio kernel above."""
+    from collections import Counter
+
+    texts = batch.column(text_col).to_pylist()
+    n = len(texts)
+    top_big = np.zeros(n, dtype=np.float64)
+    dup_tri = np.zeros(n, dtype=np.float64)
+    dup_line = np.zeros(n, dtype=np.float64)
+    for i, t in enumerate(texts):
+        toks = t.split(" ") if t else []
+        nt = len(toks)
+        if nt >= 2:
+            c2 = Counter(zip(toks, toks[1:]))
+            top_big[i] = 2.0 * max(c2.values()) / nt
+        if nt >= 3:
+            c3 = Counter(zip(toks, toks[1:], toks[2:]))
+            dup = sum(v for v in c3.values() if v > 1)
+            dup_tri[i] = dup / (nt - 2)
+        lines = t.split("\n") if t else []
+        if lines:
+            dup_line[i] = (len(lines) - len(set(lines))) / len(lines)
+    for name, vals in (("dup_line_frac", dup_line),
+                       ("top_bigram_frac", top_big),
+                       ("dup_trigram_frac", dup_tri)):
+        q = np.floor(vals * 1_000_000.0) / 1_000_000.0
+        batch = batch.append_column(name, pa.array(q, pa.float64()))
+    return batch
+
+
+def gopher_repetition_filter(ds, text_col: str = "text",
+                             max_dup_line_frac: float = 0.30,
+                             max_top_bigram_frac: float = 0.20,
+                             max_dup_trigram_frac: float = 0.30):
+    """Drop repetitive documents by the Gopher thresholds (the published
+    rule set uses 0.30 / 0.18–0.20 / 0.30 for the analogous
+    character-fraction rules).  Pure map_batches + filter — no shuffle."""
+    import pyarrow.compute as pc
+
+    def apply(t: pa.Table) -> pa.Table:
+        t = gopher_repetition_batch(t, text_col)
+        keep = pc.and_(
+            pc.and_(
+                pc.less_equal(t.column("dup_line_frac"), max_dup_line_frac),
+                pc.less_equal(t.column("top_bigram_frac"), max_top_bigram_frac)),
+            pc.less_equal(t.column("dup_trigram_frac"), max_dup_trigram_frac))
+        return t.filter(keep).drop_columns(
+            ["dup_line_frac", "top_bigram_frac", "dup_trigram_frac"])
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
 def md5_fingerprint_batch(batch: pa.Table, text_col: str = "text",
                           out: str = "fp") -> pa.Table:
     """Content fingerprint, md5 hex (reference problem-id scheme,
