@@ -87,6 +87,71 @@ class ImageFeatureExtractor:
         )
 
 
+class ImageQualityGate:
+    """Actor-pool stage: pixel-level image quality gate — the image-side
+    complement of the caption heuristics (north-star quality_filter).
+
+    Per image (luminance plane = channel mean, float64):
+    * ``sharpness``  — variance of the 4-neighbour Laplacian
+      (4·c − up − down − left − right over the interior); the classic
+      variance-of-Laplacian blur detector.  < 3×3 images score 0.
+    * ``contrast``   — RMS contrast (std of luminance).
+    * ``clip_frac``  — fraction of channel samples at the sensor rails
+      (≤2 or ≥253): over/under-exposure.
+
+    ``mode="annotate"`` appends the three signals + ``img_keep``;
+    ``mode="filter"`` drops failing rows and keeps the schema unchanged.
+    All numpy-vectorized per image; payload bytes are read zero-copy and
+    never duplicated into the output."""
+
+    def __init__(self, min_sharpness: float = 10.0,
+                 min_contrast: float = 8.0,
+                 max_clip_frac: float = 0.30,
+                 mode: str = "annotate"):
+        if mode not in ("annotate", "filter"):
+            raise ValueError(f"mode must be annotate/filter, got {mode!r}")
+        self.min_sharpness = float(min_sharpness)
+        self.min_contrast = float(min_contrast)
+        self.max_clip_frac = float(max_clip_frac)
+        self.mode = mode
+
+    @staticmethod
+    def signals(px: np.ndarray) -> tuple[float, float, float]:
+        """(sharpness, contrast, clip_frac) for one HxWx3 uint8 image."""
+        gray = px.astype(np.float64).mean(axis=2)
+        if gray.shape[0] >= 3 and gray.shape[1] >= 3:
+            lap = (4.0 * gray[1:-1, 1:-1] - gray[:-2, 1:-1] - gray[2:, 1:-1]
+                   - gray[1:-1, :-2] - gray[1:-1, 2:])
+            sharp = float(lap.var())
+        else:
+            sharp = 0.0
+        contrast = float(gray.std())
+        clip = float(((px <= 2) | (px >= 253)).mean())
+        return sharp, contrast, clip
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bufs = batch.column("bytes").to_pylist()
+        ws = batch.column("w").to_pylist()
+        hs = batch.column("h").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        n = len(bufs)
+        sharpness = np.empty(n, dtype=np.float64)
+        contrast = np.empty(n, dtype=np.float64)
+        clip_frac = np.empty(n, dtype=np.float64)
+        for i, (buf, w, h, fmt) in enumerate(zip(bufs, ws, hs, fmts)):
+            px = codecs.decode(buf, w, h, fmt)
+            sharpness[i], contrast[i], clip_frac[i] = self.signals(px)
+        keep = ((sharpness >= self.min_sharpness)
+                & (contrast >= self.min_contrast)
+                & (clip_frac <= self.max_clip_frac))
+        if self.mode == "filter":
+            return batch.filter(pa.array(keep))
+        batch = batch.append_column("sharpness", pa.array(sharpness, pa.float64()))
+        batch = batch.append_column("contrast", pa.array(contrast, pa.float64()))
+        batch = batch.append_column("clip_frac", pa.array(clip_frac, pa.float64()))
+        return batch.append_column("img_keep", pa.array(keep))
+
+
 def frame_sample_batch(batch: pa.Table, every_n: int = 10) -> pa.Table:
     """Superseded: real frame sampling over the uncompressed OTRV
     container lives in ``ops/video.frame_sample`` (random-access frame

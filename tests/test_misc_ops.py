@@ -86,6 +86,71 @@ def test_image_features(ray_session):
     assert len(out[0]["features"]) == ImageFeatureExtractor.DIM
 
 
+def test_image_quality_gate(ray_session):
+    import ray.data as rd
+
+    from open_thoughts_ray.io import codecs
+    from open_thoughts_ray.ops.multimodal import ImageQualityGate
+
+    rng = np.random.default_rng(7)
+    # sharp: checkerboard (huge Laplacian variance, high contrast);
+    # 30/220 values so no sample sits at the clip rails
+    sharp = (np.indices((16, 16)).sum(axis=0) % 2 * 190 + 30).astype(np.uint8)
+    sharp = np.stack([sharp] * 3, axis=2)
+    # flat: constant mid-gray (contrast 0)
+    flat = np.full((16, 16, 3), 128, dtype=np.uint8)
+    # clipped: all-white (clip_frac 1.0)
+    clipped = np.full((16, 16, 3), 255, dtype=np.uint8)
+    # textured: noisy enough to pass every gate
+    textured = rng.integers(40, 200, size=(16, 16, 3)).astype(np.uint8)
+    rows = {"image_id": [], "bytes": [], "w": [], "h": [], "fmt": []}
+    for name, px in [("sharp", sharp), ("flat", flat),
+                     ("clipped", clipped), ("textured", textured)]:
+        rows["image_id"].append(name)
+        rows["bytes"].append(codecs.encode(px, "raw"))
+        rows["w"].append(16)
+        rows["h"].append(16)
+        rows["fmt"].append("raw")
+    tbl = pa.table({
+        "image_id": pa.array(rows["image_id"], pa.string()),
+        "bytes": pa.array(rows["bytes"], pa.binary()),
+        "w": pa.array(rows["w"], pa.int32()),
+        "h": pa.array(rows["h"], pa.int32()),
+        "fmt": pa.array(rows["fmt"], pa.string()),
+    })
+    ann = rd.from_arrow(tbl).map_batches(
+        ImageQualityGate, batch_format="pyarrow", concurrency=1
+    ).to_pandas().set_index("image_id")
+    assert ann.loc["sharp", "img_keep"]
+    assert not ann.loc["flat", "img_keep"]        # contrast 0
+    assert not ann.loc["clipped", "img_keep"]     # clip_frac 1.0
+    assert ann.loc["textured", "img_keep"]
+    assert ann.loc["clipped", "clip_frac"] == 1.0
+    kept = rd.from_arrow(tbl).map_batches(
+        ImageQualityGate, batch_format="pyarrow", concurrency=1,
+        fn_constructor_kwargs={"mode": "filter"},
+    ).to_pandas()
+    assert set(kept.image_id) == {"sharp", "textured"}
+
+
+def test_image_quality_signals_vs_loop_oracle():
+    """Vectorized Laplacian variance equals the per-pixel double loop."""
+    from open_thoughts_ray.ops.multimodal import ImageQualityGate
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(9, 7, 3)).astype(np.uint8)
+    sharp, contrast, clip = ImageQualityGate.signals(px)
+    gray = px.astype(np.float64).mean(axis=2)
+    vals = []
+    for y in range(1, 8):
+        for x in range(1, 6):
+            vals.append(4 * gray[y, x] - gray[y - 1, x] - gray[y + 1, x]
+                        - gray[y, x - 1] - gray[y, x + 1])
+    assert sharp == pytest.approx(np.var(vals))
+    assert contrast == pytest.approx(gray.std())
+    assert clip == pytest.approx(((px <= 2) | (px >= 253)).mean())
+
+
 def test_frame_sample_is_stub():
     with pytest.raises(NotImplementedError):
         frame_sample_batch(_image_batch())
