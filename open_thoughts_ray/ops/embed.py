@@ -96,3 +96,70 @@ def train_text_classifier(positive_ds, negative_ds, text_column: str = "text",
                 texts.append(t or "")
                 labels.append(lab)
     return HashedNgramClassifier.train(texts, labels).to_bytes()
+
+
+def train_text_classifier_distributed(ds, text_column: str = "text",
+                                      label_column: str = "label",
+                                      dim: int = DEFAULT_DIM,
+                                      alpha: float = 0.5,
+                                      num_partitions: int | None = None) -> bytes:
+    """``train_fasttext`` at 100-TB scale: no driver text collect.
+
+    The model is count-based (W = log-smoothed per-class feature counts,
+    b = log class priors — HashedNgramClassifier.train), and counts are
+    MERGEABLE SUMS, so the fit distributes exactly:
+
+    1. one ``map_batches`` pass emits each batch's per-class feature
+       counts SPARSE — (label, feat, cnt) rows pre-combined inside the
+       batch, plus a (label, -1, n_rows) prior row;
+    2. one ``groupby(label, feat).sum`` shuffle merges them globally —
+       shuffle payload is O(batches × distinct-feats-per-batch), never
+       row- or corpus-sized;
+    3. the driver scatters the ≤ C·dim summed rows into the (C, dim)
+       count matrix and applies the identical smoothing/log/float32
+       pipeline as the serial fit.
+
+    Integer count addition is associative, so the returned bytes are
+    BIT-IDENTICAL to ``HashedNgramClassifier.train`` on the same rows
+    (asserted in tests/test_similarity_embed.py).  Driver state is
+    O(C·dim) — the model itself."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t.column(text_column).to_pylist()
+        labels = t.column(label_column).to_pylist()
+        lab_arr = np.asarray(labels, dtype=object)
+        out_lab, out_idx, out_cnt = [], [], []
+        for lab in sorted(set(labels)):
+            sel = np.nonzero(lab_arr == lab)[0]
+            f, _owner, _counts = _features_concat(
+                [texts[i] or "" for i in sel], dim)
+            if f.size:
+                idx, cnt = np.unique(f, return_counts=True)
+                out_lab.extend([lab] * (len(idx) + 1))
+                out_idx.extend([int(v) for v in idx] + [-1])
+                out_cnt.extend([int(v) for v in cnt] + [len(sel)])
+            else:
+                out_lab.append(lab)
+                out_idx.append(-1)
+                out_cnt.append(len(sel))
+        return pa.table({"label": pa.array(out_lab, pa.string()),
+                         "feat": pa.array(out_idx, pa.int64()),
+                         "cnt": pa.array(out_cnt, pa.int64())})
+
+    agg = (ds.select_columns([text_column, label_column])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(["label", "feat"]).sum("cnt")
+           .to_pandas())  # ≤ C·dim + C rows: the model's own size
+    classes = sorted(agg["label"].unique())
+    cidx = {c: i for i, c in enumerate(classes)}
+    counts = np.zeros((len(classes), dim), dtype=np.float64)
+    prior = np.zeros(len(classes), dtype=np.float64)
+    for lab, feat, cnt in zip(agg["label"], agg["feat"], agg["sum(cnt)"]):
+        if feat < 0:
+            prior[cidx[lab]] += cnt
+        else:
+            counts[cidx[lab], feat] += cnt
+    totals = counts.sum(axis=1, keepdims=True)
+    W = np.log((counts + alpha) / (totals + alpha * dim)).astype(np.float32)
+    b = np.log(prior / prior.sum()).astype(np.float32)
+    return HashedNgramClassifier(W, b, classes).to_bytes()

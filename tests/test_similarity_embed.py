@@ -93,6 +93,32 @@ def test_train_text_classifier_separates(ray_session):
     assert labels.count("pos") >= 49
 
 
+def test_train_classifier_distributed_bit_identical(ray_session):
+    """The distributed count-merge fit must produce byte-identical model
+    bytes to the serial HashedNgramClassifier.train on the same rows —
+    integer count sums are associative, the driver applies the same
+    smoothing/log path."""
+    import ray.data as rd
+
+    from open_thoughts_ray.fixtures import textgen
+    from open_thoughts_ray.models.fasttext_like import HashedNgramClassifier
+    from open_thoughts_ray.ops.embed import train_text_classifier_distributed
+
+    pos = [textgen.gen_clean_en(np.random.default_rng(100 + i)) for i in range(80)]
+    neg = [textgen.gen_lang(np.random.default_rng(500 + i), "xx1") for i in range(80)]
+    texts = pos + neg + [""]  # empty text contributes its padding gram
+    labels = ["pos"] * 80 + ["neg"] * 80 + ["neg"]
+    serial = HashedNgramClassifier.train(texts, labels).to_bytes()
+    df = pd.DataFrame({"text": texts, "label": labels})
+    dist = train_text_classifier_distributed(
+        rd.from_pandas(df).repartition(7))
+    assert dist == serial
+    clf = HashedNgramClassifier.from_bytes(dist)
+    got, _ = clf.predict_batch(
+        [textgen.gen_clean_en(np.random.default_rng(900 + i)) for i in range(30)])
+    assert got.count("pos") >= 29
+
+
 def _brute_force_survivors(m: np.ndarray, threshold: float) -> set:
     mn = m / np.linalg.norm(m, axis=1, keepdims=True)
     sims = mn @ mn.T
