@@ -397,6 +397,16 @@ def _q_token_entropy(sf_dir: str):
     return pa.table({"entropy": pa.array([q], pa.float64())})
 
 
+def _q_token_gini(sf_dir: str):
+    # exact-integer numerator/denominator → one float division, so no
+    # quantization needed: the DuckDB row_number() formulation lands on
+    # the identical double.
+    from open_thoughts_ray.ops.consensus import token_gini
+
+    ds = _rp(sf_dir, "documents", ["text"])
+    return pa.table({"token_gini": pa.array([token_gini(ds)], pa.float64())})
+
+
 def _q_decontaminate(sf_dir: str):
     """Broadcast anti-join decontamination: documents minus rows whose
     8-gram overlap with the first-5-docs 'benchmark' is >= 0.5."""
@@ -789,6 +799,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup_documents": _q_simhash_dedup,
         "majority_event_type_per_user": _q_majority_event_type,
         "token_entropy_documents": _q_token_entropy,
+        "token_gini_documents": _q_token_gini,
         "decontaminate_documents": _q_decontaminate,
         "asof_join_events": _q_asof_join,
         "approx_distinct_users": _q_approx_distinct,
@@ -1488,6 +1499,21 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY count(*) DESC, event_type) AS rn
                 FROM events GROUP BY user_id, event_type
             ) WHERE rn = 1
+        """,
+        # Gini over token frequencies: the rank-weighted sum is computed
+        # in exact integer arithmetic on both sides (tie order is value-
+        # invariant: tied counts share a contiguous rank block), one
+        # final double division each.
+        "token_gini_documents": """
+            WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t
+                         FROM documents),
+            cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+            rk AS (SELECT c, row_number() OVER (ORDER BY c, t) AS i
+                   FROM cnt),
+            s AS (SELECT count(*) AS n, SUM(c) AS sx FROM cnt)
+            SELECT CAST(SUM((2 * i - n - 1)::HUGEINT * c) AS DOUBLE)
+                   / CAST(n::HUGEINT * sx AS DOUBLE) AS token_gini
+            FROM rk CROSS JOIN s GROUP BY n, sx
         """,
         "token_entropy_documents": """
             WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),

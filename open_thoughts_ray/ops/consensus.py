@@ -88,6 +88,45 @@ def token_entropy(ds, text_col: str = "text") -> float:
     return float(np.log(t) - s1 / t)
 
 
+def token_gini(ds, text_col: str = "text") -> float:
+    """Gini coefficient of the corpus token-frequency distribution — the
+    inequality member of the reference's diversity metrics
+    (DiversityExperiments/diversity_metrics.py:118-304).
+
+    Fully distributed, open-vocabulary safe: per-batch partial counts →
+    grouped token totals (one keyed shuffle) → a SECOND tiny groupby over
+    the count VALUES (frequency-of-frequencies).  Only the (count,
+    multiplicity) table reaches the driver — O(#distinct frequencies),
+    ≲ O(√total-tokens) by Zipf, never vocabulary-sized.  Each block of
+    tied counts occupies a contiguous rank range, so its Σ(2i−n−1)·c
+    term has the closed form c·(2·(start·m + m(m+1)/2) − (n+1)·m);
+    accumulated in exact Python integers, one final float division —
+    bit-identical to DuckDB's row_number() formulation."""
+    from ray.data.aggregate import Sum
+
+    partial = ds.map_batches(
+        _partial_token_counts, batch_format="pyarrow",
+        fn_kwargs={"text_col": text_col},
+    )
+    grouped = partial.groupby("token").aggregate(Sum("c", alias_name="n"))
+    freq = grouped.groupby("n").count().to_pandas()
+    if freq.empty:
+        return 0.0
+    freq = freq.sort_values("n")
+    cs = [int(v) for v in freq["n"]]
+    ms = [int(v) for v in freq["count()"]]
+    n_tot = sum(ms)
+    sumx = sum(c * m for c, m in zip(cs, ms))
+    if n_tot == 0 or sumx == 0:
+        return 0.0
+    num = 0
+    start = 0
+    for c, m in zip(cs, ms):
+        num += c * (2 * (start * m + m * (m + 1) // 2) - (n_tot + 1) * m)
+        start += m
+    return float(num) / float(n_tot * sumx)
+
+
 def distinct_ngram_ratio(ds, text_col: str = "text", n: int = 2) -> float:
     """#distinct word-n-grams / #total n-grams over the corpus — the
     classic diversity score.  Partial per-batch hash sets (crc32 of the

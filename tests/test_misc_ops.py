@@ -37,6 +37,28 @@ def test_token_entropy_matches_direct(ray_session):
     assert abs(got - expect) < 1e-9
 
 
+def test_token_gini_matches_mean_abs_difference(ray_session):
+    """Rank-block formula equals the O(V²) mean-absolute-difference
+    definition of Gini on the token frequency vector."""
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.consensus import token_gini
+
+    texts = ["a a a b b c", "a b d", "e e e e a"]
+    ds = rd.from_pandas(pd.DataFrame({"text": texts}))
+    got = token_gini(ds)
+    from collections import Counter
+
+    x = np.array(sorted(Counter(
+        t for s in texts for t in s.split(" ")).values()), dtype=float)
+    n = len(x)
+    expect = np.abs(x[:, None] - x[None, :]).sum() / (2 * n * x.sum())
+    assert got == pytest.approx(expect, rel=1e-12)
+    # uniform distribution → gini 0
+    uni = rd.from_pandas(pd.DataFrame({"text": ["p q r s"]}))
+    assert token_gini(uni) == pytest.approx(0.0, abs=1e-12)
+
+
 def test_distinct_ngram_ratio(ray_session):
     import ray.data as rd
 
