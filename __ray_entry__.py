@@ -509,6 +509,29 @@ def _q3_shipping_priority(sf_dir: str):
     )
 
 
+def _q_domain_annotate(sf_dir: str):
+    """Root-domain extraction + frequent-domain annotate (reference
+    WebInstruct/utils.py:104-192).  The corpus has no URL column, so
+    each row gets a deterministic doc_id-keyed URL (identical ||
+    expression in the oracle): three repeating hosts become frequent,
+    the per-doc site<N>.io hosts stay rare."""
+    from open_thoughts_ray.ops.web import annotate_frequent_domains
+
+    def add_url(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        hosts = ["www.alpha.example.com", "beta.example.org",
+                 "cdn.gamma.net", None]
+        urls = [
+            f"https://{hosts[i % 4] or f'site{i}.io'}/p/{i}" for i in ids
+        ]
+        return t.append_column("url", pa.array(urls, pa.string()))
+
+    ds = _rp(sf_dir, "documents", ["doc_id"]).map_batches(
+        add_url, batch_format="pyarrow")
+    return annotate_frequent_domains(ds, min_count=5).select_columns(
+        ["doc_id", "root_domain", "is_frequent_domain"])
+
+
 def _q_scrub_documents(sf_dir: str):
     """Ordered regex PII/toxicity scrub — the north-star's
     scrubbed-caption semantic as a standalone SQL-checked query (the
@@ -823,6 +846,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_sample_documents": _q_priority_sample,
         "approx_top_tokens_documents": _q_approx_top_tokens,
         "scrub_documents": _q_scrub_documents,
+        "domain_annotate_documents": _q_domain_annotate,
         "latest_event_per_user": _q_latest_event_per_user,
         "median_quantity_per_flag": _q_median_quantity,
         "max_gap_events": _q_max_gap_events,
@@ -1499,6 +1523,42 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY count(*) DESC, event_type) AS rn
                 FROM events GROUP BY user_id, event_type
             ) WHERE rn = 1
+        """,
+        # root-domain extraction + frequent-domain membership (HAVING
+        # floor 5), urls synthesized with the identical || expression
+        "domain_annotate_documents": """
+            WITH u AS (
+              SELECT doc_id,
+                     'https://' || (CASE doc_id % 4
+                        WHEN 0 THEN 'www.alpha.example.com'
+                        WHEN 1 THEN 'beta.example.org'
+                        WHEN 2 THEN 'cdn.gamma.net'
+                        ELSE 'site' || doc_id || '.io' END)
+                     || '/p/' || doc_id AS url
+              FROM documents
+            ),
+            hx AS (SELECT doc_id,
+                          regexp_extract(lower(url),
+                              '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS h
+                   FROM u),
+            h2 AS (SELECT doc_id,
+                          CASE WHEN starts_with(h, 'www.')
+                               THEN substr(h, 5) ELSE h END AS h
+                   FROM hx),
+            d AS (SELECT doc_id,
+                         CASE WHEN h = '' THEN ''
+                              ELSE array_to_string(list_slice(
+                                     string_split(h, '.'),
+                                     greatest(1, len(string_split(h, '.')) - 1),
+                                     len(string_split(h, '.'))), '.')
+                         END AS root_domain
+                  FROM h2),
+            f AS (SELECT root_domain FROM d
+                  GROUP BY root_domain HAVING count(*) >= 5)
+            SELECT doc_id, root_domain,
+                   root_domain IN (SELECT root_domain FROM f)
+                       AS is_frequent_domain
+            FROM d
         """,
         # Gini over token frequencies: the rank-weighted sum is computed
         # in exact integer arithmetic on both sides (tie order is value-

@@ -37,6 +37,27 @@ def test_token_entropy_matches_direct(ray_session):
     assert abs(got - expect) < 1e-9
 
 
+def test_extract_root_domain_and_frequent_annotate(ray_session):
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.web import (annotate_frequent_domains,
+                                           extract_root_domain)
+
+    assert extract_root_domain("https://www.alpha.example.com/p/1") == "example.com"
+    assert extract_root_domain("HTTP://Beta.Example.ORG/x?q=1") == "example.org"
+    assert extract_root_domain("https://localhost/x") == "localhost"
+    assert extract_root_domain("not a url") == ""
+    assert extract_root_domain("") == ""
+
+    urls = (["https://www.a.com/1"] * 3 + ["https://b.org/2"] * 2
+            + ["https://rare.net/3"])
+    out = annotate_frequent_domains(
+        rd.from_pandas(pd.DataFrame({"url": urls})), min_count=2).to_pandas()
+    by_dom = out.groupby("root_domain")["is_frequent_domain"].all()
+    assert by_dom["a.com"] and by_dom["b.org"]
+    assert not out[out.root_domain == "rare.net"]["is_frequent_domain"].any()
+
+
 def test_token_gini_matches_mean_abs_difference(ray_session):
     """Rank-block formula equals the O(V²) mean-absolute-difference
     definition of Gini on the token frequency vector."""
