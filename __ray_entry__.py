@@ -397,6 +397,15 @@ def _q_token_entropy(sf_dir: str):
     return pa.table({"entropy": pa.array([q], pa.float64())})
 
 
+def _q_self_bleu(sf_dir: str):
+    # exact-integer micro-unit summation (order-free) + one final
+    # division, so the DuckDB replay is bit-identical.
+    from open_thoughts_ray.ops.consensus import self_bleu
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return pa.table({"self_bleu": pa.array([self_bleu(ds)], pa.float64())})
+
+
 def _q_token_gini(sf_dir: str):
     # exact-integer numerator/denominator → one float division, so no
     # quantization needed: the DuckDB row_number() formulation lands on
@@ -823,6 +832,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "majority_event_type_per_user": _q_majority_event_type,
         "token_entropy_documents": _q_token_entropy,
         "token_gini_documents": _q_token_gini,
+        "self_bleu_documents": _q_self_bleu,
         "decontaminate_documents": _q_decontaminate,
         "asof_join_events": _q_asof_join,
         "approx_distinct_users": _q_approx_distinct,
@@ -1559,6 +1569,60 @@ def oracle_sql() -> dict[str, str]:
                    root_domain IN (SELECT root_domain FROM f)
                        AS is_frequent_domain
             FROM d
+        """,
+        # Self-BLEU (max_n=2): modified n-gram precision clipped against
+        # the best OTHER document, geometric mean, micro-unit floor,
+        # mean over ALL docs (empty docs score 0 via the denominator).
+        "self_bleu_documents": """
+            WITH tok AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+              WHERE text IS NOT NULL AND text <> ''
+            ),
+            gr AS (
+              SELECT doc_id, unnest(t) AS g, 1 AS n FROM tok
+              UNION ALL
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(t)-1),
+                            i -> t[i] || chr(1) || t[i+1])) AS g, 2 AS n
+              FROM tok WHERE len(t) >= 2
+            ),
+            gc AS (SELECT doc_id, g, n, count(*) AS c
+                   FROM gr GROUP BY doc_id, g, n),
+            gmax AS (SELECT g, n, max(c) AS t1 FROM gc GROUP BY g, n),
+            gstat AS (
+              SELECT gc.g, gc.n, any_value(gm.t1) AS t1,
+                     count(*) FILTER (WHERE c = gm.t1) AS nmax,
+                     COALESCE(max(c) FILTER (WHERE c < gm.t1), 0) AS t2
+              FROM gc JOIN gmax gm ON gc.g = gm.g AND gc.n = gm.n
+              GROUP BY gc.g, gc.n
+            ),
+            clip AS (
+              SELECT gc.doc_id, gc.n,
+                     SUM(LEAST(c, CASE WHEN c < s.t1 OR s.nmax >= 2
+                                       THEN s.t1 ELSE s.t2 END)) AS clip,
+                     SUM(c) AS tot
+              FROM gc JOIN gstat s ON gc.g = s.g AND gc.n = s.n
+              GROUP BY gc.doc_id, gc.n
+            ),
+            p AS (
+              SELECT doc_id,
+                     max(CASE WHEN n = 1
+                              THEN CAST(clip AS DOUBLE) / tot END) AS p1,
+                     max(CASE WHEN n = 2
+                              THEN CAST(clip AS DOUBLE) / tot END) AS p2
+              FROM clip GROUP BY doc_id
+            ),
+            sc AS (
+              SELECT CASE WHEN p1 IS NULL OR p2 IS NULL
+                               OR p1 <= 0 OR p2 <= 0 THEN 0
+                          ELSE CAST(floor(sqrt(p1 * p2) * 1000000)
+                                    AS BIGINT) END AS micro
+              FROM p
+            )
+            SELECT CAST(COALESCE(SUM(micro), 0) AS DOUBLE)
+                   / (1000000.0 * (SELECT count(*) FROM documents))
+                       AS self_bleu
+            FROM sc
         """,
         # Gini over token frequencies: the rank-weighted sum is computed
         # in exact integer arithmetic on both sides (tie order is value-

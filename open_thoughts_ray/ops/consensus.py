@@ -127,6 +127,128 @@ def token_gini(ds, text_col: str = "text") -> float:
     return float(num) / float(n_tot * sumx)
 
 
+def self_bleu(ds, text_col: str = "text", max_n: int = 2) -> float:
+    """Corpus Self-BLEU (Zhu et al. 2018, Texygen, arXiv:1802.01886) —
+    the reference diversity family's remaining member
+    (DiversityExperiments/diversity_metrics.py:118-304) — in a
+    deterministic distributed form: for each doc d and gram order n,
+
+        p_n(d) = Σ_g min(c_g(d), max_{d'≠d} c_g(d')) / Σ_g c_g(d)
+
+    (modified n-gram precision, clipped against the best OTHER single
+    document), per-doc score = geometric mean of p_1..p_max_n (0 if any
+    order is empty/zero), Self-BLEU = mean over ALL docs.  No brevity
+    penalty (references are corpus-wide).
+
+    Plan (join-free, two keyed shuffles): one gram-count pass tags rows
+    (doc, gram, n, c) with a gram-hash partition key → partition-level
+    grouping (NOT per-gram map_groups — millions of tiny groups would be
+    pure dispatch cost) computes per-gram (t1, nmax, t2) with segment
+    reduceat and emits min(c, max-other) per row (max-other = t1 unless
+    this row uniquely holds t1, then t2) → ``groupby(doc, n)`` sums →
+    doc-keyed partitions reduce to ONE micro-unit partial sum each
+    (exact int64, order-free) → one final division.  Caveat: a stop-word
+    gram contributes one (doc_id, c) row per containing doc to its
+    partition — wide but thin; at adversarial vocabulary skew pre-split
+    hot grams by a doc salt and merge (t1, t2, nmax) partials instead."""
+    import zlib
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    num_parts = 32
+    n_docs = ds.count()
+    if n_docs == 0:
+        return 0.0
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        docs_out, gram_out, n_out, c_out = [], [], [], []
+        texts = batch.column(text_col).to_pylist()
+        keys = batch.column("doc_id").to_pylist()
+        for did, t in zip(keys, texts):
+            toks = (t or "").split(" ") if t else []
+            for n in range(1, max_n + 1):
+                counts: dict[str, int] = {}
+                for i in range(max(0, len(toks) - n + 1)):
+                    g = "\x01".join(toks[i:i + n])
+                    counts[g] = counts.get(g, 0) + 1
+                for g, c in counts.items():
+                    docs_out.append(int(did))
+                    gram_out.append(g)
+                    n_out.append(n)
+                    c_out.append(c)
+        part = [zlib.crc32(g.encode("utf-8")) % num_parts for g in gram_out]
+        return pa.table({"doc": pa.array(docs_out, pa.int64()),
+                         "gram": pa.array(gram_out, pa.string()),
+                         "n": pa.array(n_out, pa.int64()),
+                         "c": pa.array(c_out, pa.int64()),
+                         "part": pa.array(part, pa.int64())})
+
+    def clip_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per-(gram, n) segment stats over the whole partition
+        codes = pd.factorize(
+            g["gram"].to_numpy() + np.char.mod("\x02%d", g["n"].to_numpy()))[0]
+        order = np.argsort(codes, kind="stable")
+        c = g["c"].to_numpy()[order]
+        doc = g["doc"].to_numpy()[order]
+        nn = g["n"].to_numpy()[order]
+        sc = codes[order]
+        starts = np.flatnonzero(np.concatenate([[True], sc[1:] != sc[:-1]]))
+        seg = np.cumsum(np.concatenate([[False], sc[1:] != sc[:-1]]))
+        t1 = np.maximum.reduceat(c, starts)[seg]
+        is_max = c == t1
+        nmax = np.add.reduceat(is_max, starts)[seg]
+        t2 = np.maximum.reduceat(np.where(is_max, 0, c), starts)[seg]
+        max_other = np.where((~is_max) | (nmax >= 2), t1, t2)
+        return pd.DataFrame({"doc": doc, "n": nn,
+                             "clip": np.minimum(c, max_other), "tot": c})
+
+    grams = ds.map_batches(gram_rows, batch_format="pyarrow")
+    clipped = grams.groupby("part", num_partitions=num_parts).map_groups(
+        clip_partition, batch_format="pandas")
+    sums = clipped.groupby(["doc", "n"]).aggregate(
+        Sum("clip", alias_name="clip"), Sum("tot", alias_name="tot"))
+
+    def add_doc_part(t: pa.Table) -> pa.Table:
+        doc = t.column("doc").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "dpart", pa.array((doc % num_parts).astype(np.int64), pa.int64()))
+
+    def score_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # one micro-unit partial per doc-salted partition: pivot (doc, n)
+        # → per-doc precision product, geometric mean, floor — all
+        # vectorized.  The aggregate's sort-based output splits blocks at
+        # arbitrary row boundaries, so a doc's n=1/n=2 rows CAN straddle
+        # blocks; the dpart groupby re-collects them before scoring.
+        doc = g["doc"].to_numpy()
+        nn = g["n"].to_numpy()
+        clip = g["clip"].to_numpy().astype(np.float64)
+        tot = g["tot"].to_numpy().astype(np.float64)
+        if len(doc) == 0:
+            return pd.DataFrame({"micro": [0]})
+        order = np.lexsort((nn, doc))
+        doc, nn = doc[order], nn[order]
+        clip, tot = clip[order], tot[order]
+        p = np.where(tot > 0, clip / np.maximum(tot, 1.0), 0.0)
+        new = np.concatenate([[True], doc[1:] != doc[:-1]])
+        starts = np.flatnonzero(new)
+        cnt = np.add.reduceat(np.ones_like(doc), starts)
+        allpos = np.logical_and.reduceat(p > 0, starts)
+        prod = np.multiply.reduceat(np.where(p > 0, p, 1.0), starts)
+        ok = (cnt == max_n) & allpos
+        # sqrt (not pow 1/n) for the 2-gram default: IEEE sqrt is
+        # correctly rounded, so DuckDB's sqrt() lands on the same bits
+        score = np.sqrt(prod) if max_n == 2 else prod ** (1.0 / max_n)
+        micro = np.where(ok, np.floor(score * 1_000_000.0), 0.0).astype(np.int64)
+        return pd.DataFrame({"micro": [int(micro.sum())]})
+
+    micro = (sums.map_batches(add_doc_part, batch_format="pyarrow")
+             .groupby("dpart", num_partitions=num_parts)
+             .map_groups(score_partition, batch_format="pandas")
+             .sum("micro"))
+    return float(micro or 0) / (1_000_000.0 * n_docs)
+
+
 def distinct_ngram_ratio(ds, text_col: str = "text", n: int = 2) -> float:
     """#distinct word-n-grams / #total n-grams over the corpus — the
     classic diversity score.  Partial per-batch hash sets (crc32 of the

@@ -397,3 +397,44 @@ def test_yaml_dedup_family_ops(ray_session, tmp_path):
     ]}
     out3 = run_pipeline(doc3).to_pandas()
     assert 3 in set(out3["doc_id"])  # distinct doc always survives
+
+
+def test_self_bleu_matches_naive(ray_session):
+    """Distributed Self-BLEU equals the O(N²·V) textbook computation:
+    per-doc modified n-gram precision clipped against the best OTHER
+    doc, geometric mean of p1..p2, micro-unit floor, mean over ALL docs
+    (empty docs contribute 0)."""
+    import math
+    from collections import Counter
+
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.consensus import self_bleu
+
+    texts = ["the cat sat on the mat", "the cat sat on a mat",
+             "dogs run fast", "the mat sat", "", "unique words only here",
+             "the cat sat on the mat"]
+    docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = self_bleu(rd.from_pandas(docs))
+
+    def grams(t, n):
+        toks = t.split(" ") if t else []
+        return Counter(tuple(toks[i:i + n]) for i in range(len(toks) - n + 1))
+
+    total = 0
+    for i, t in enumerate(texts):
+        ps = []
+        for n in (1, 2):
+            c = grams(t, n)
+            tot = sum(c.values())
+            if tot == 0:
+                ps = None
+                break
+            others = [grams(u, n) for j, u in enumerate(texts) if j != i]
+            clip = sum(min(v, max(o.get(g, 0) for o in others))
+                       for g, v in c.items())
+            ps.append(clip / tot)
+        if ps and all(p > 0 for p in ps):
+            total += math.floor(math.sqrt(ps[0] * ps[1]) * 1_000_000)
+    expect = total / (1_000_000 * len(texts))
+    assert got == pytest.approx(expect, abs=0)
