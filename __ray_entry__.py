@@ -806,6 +806,54 @@ def _q_chunk_documents(sf_dir: str):
     return chunk_tokens(ds, chunk_size=32, stride=24)
 
 
+def _q_bow_dedup_keep_best(sf_dir: str):
+    """Bag-of-words-fingerprint dedup keeping the BEST representative
+    per cluster (max n_chars, tie → min doc_id) — the keep-best variant
+    of exact_dedup over a token-shuffle-insensitive key."""
+    from open_thoughts_ray.ops.dedup import bow_fingerprint_batch, dedup_keep_best
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    fp = ds.map_batches(bow_fingerprint_batch, batch_format="pyarrow")
+    best = dedup_keep_best(fp, ["bow_fp"], ["n_chars", "doc_id"],
+                           ascending=[False, True])
+    return best.select_columns(["doc_id", "n_chars", "bow_fp"])
+
+
+def _q_jsd_drift(sf_dir: str):
+    """Jensen–Shannon drift between the even- and odd-doc_id halves of
+    the corpus (stand-in for two crawl snapshots) — exact-integer
+    mixture scale, floor-quantized at 1e-6 like token_entropy."""
+    import math
+
+    from open_thoughts_ray.ops.consensus import js_divergence
+    from open_thoughts_ray.ops.relational import filter_expr
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    import pyarrow.compute as pc
+
+    even = filter_expr(ds, lambda t: pc.equal(
+        pc.bit_wise_and(t.column("doc_id"), 1), 0))
+    odd = filter_expr(ds, lambda t: pc.equal(
+        pc.bit_wise_and(t.column("doc_id"), 1), 1))
+    val = js_divergence(even, odd)
+    q = math.floor(val * 1_000_000) / 1_000_000
+    return pa.table({"jsd": pa.array([q], pa.float64())})
+
+
+def _q_boilerplate_removal(sf_dir: str):
+    """C4/CCNet-style corpus-frequent-line pruning: lines = 6-token
+    windows (deterministic stand-in for newline lines — the synthetic
+    corpus has none), drop every line whose document frequency ≥ 2,
+    rejoin in order.  One (8-byte hash, count) shuffle; the DuckDB
+    oracle replays the rule on the line STRINGS, so the driver gate
+    also proves the 64-bit line hash never collided."""
+    from open_thoughts_ray.ops.boilerplate import remove_boilerplate_lines
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return remove_boilerplate_lines(ds, "doc_id", "text", line_tokens=6,
+                                    min_df=2)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q1_pricing_summary": _q1_pricing_summary,
@@ -877,6 +925,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_documents": _q_bm25_topk,
         "hash_split_documents": _q_hash_split,
         "chunk_documents": _q_chunk_documents,
+        "boilerplate_removal_documents": _q_boilerplate_removal,
+        "jsd_drift_documents": _q_jsd_drift,
+        "bow_dedup_keep_best_documents": _q_bow_dedup_keep_best,
     }
 
 
@@ -1367,6 +1418,59 @@ def oracle_sql() -> dict[str, str]:
         "filter_documents": """
             SELECT doc_id, source, n_chars FROM documents
             WHERE lang = 'en' AND n_chars BETWEEN 100 AND 400
+        """,
+        "bow_dedup_keep_best_documents": """
+            WITH f AS (SELECT doc_id, n_chars,
+                              md5(array_to_string(
+                                list_sort(string_split(text, ' ')), ' '))
+                                AS bow_fp
+                       FROM documents),
+            r AS (SELECT doc_id, n_chars, bow_fp,
+                         row_number() OVER (PARTITION BY bow_fp
+                           ORDER BY n_chars DESC, doc_id) AS rn
+                  FROM f)
+            SELECT doc_id, n_chars, bow_fp FROM r WHERE rn = 1
+        """,
+        "jsd_drift_documents": """
+            WITH ta AS (SELECT unnest(string_split(text, ' ')) AS t
+                        FROM documents WHERE doc_id % 2 = 0),
+            tb AS (SELECT unnest(string_split(text, ' ')) AS t
+                   FROM documents WHERE doc_id % 2 = 1),
+            ca AS (SELECT t, CAST(count(*) AS DOUBLE) AS a FROM ta GROUP BY t),
+            cb AS (SELECT t, CAST(count(*) AS DOUBLE) AS b FROM tb GROUP BY t),
+            j AS (SELECT coalesce(ca.a, 0) AS a, coalesce(cb.b, 0) AS b
+                  FROM ca FULL OUTER JOIN cb ON ca.t = cb.t),
+            s AS (SELECT sum(a) AS A, sum(b) AS B,
+                         sum(CASE WHEN a > 0 THEN a*ln(a) ELSE 0 END) AS SA,
+                         sum(CASE WHEN b > 0 THEN b*ln(b) ELSE 0 END) AS SB
+                  FROM j),
+            sc AS (SELECT sum((s.B*j.a + s.A*j.b) * ln(s.B*j.a + s.A*j.b))
+                     AS SC FROM j, s)
+            SELECT floor((ln(2*s.A*s.B) - sc.SC/(2*s.A*s.B)
+                    - 0.5*((ln(s.A) - s.SA/s.A) + (ln(s.B) - s.SB/s.B)))
+                   * 1000000) / 1000000 AS jsd
+            FROM s, sc
+        """,
+        "boilerplate_removal_documents": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+            l AS (
+              SELECT doc_id, i,
+                     array_to_string(
+                       list_slice(toks, (i-1)*6+1, (i-1)*6+6), ' ') AS line
+              FROM t, UNNEST(generate_series(
+                       1, CAST(ceil(len(toks)/6.0) AS BIGINT))) AS u(i)
+            ),
+            f AS (SELECT line FROM (SELECT line,
+                                           count(DISTINCT doc_id) AS df
+                                    FROM l GROUP BY line) WHERE df >= 2),
+            k AS (SELECT doc_id, i, line FROM l
+                  WHERE line NOT IN (SELECT line FROM f))
+            SELECT d.doc_id,
+                   coalesce(string_agg(k.line, ' ' ORDER BY k.i), '')
+                     AS clean_text
+            FROM documents d LEFT JOIN k ON d.doc_id = k.doc_id
+            GROUP BY d.doc_id
         """,
         "grouped_count_having": """
             SELECT source, COUNT(*) AS n_docs FROM documents

@@ -249,6 +249,71 @@ def self_bleu(ds, text_col: str = "text", max_n: int = 2) -> float:
     return float(micro or 0) / (1_000_000.0 * n_docs)
 
 
+def js_divergence(ds_a, ds_b, text_col: str = "text") -> float:
+    """Jensen–Shannon divergence (nats) between the token distributions
+    of two corpora — the drift metric a training-data pipeline runs
+    between crawl snapshots or source mixes (reference diversity family,
+    DiversityExperiments/diversity_metrics.py:118-304).
+
+    Fully distributed, open-vocabulary safe: each side's per-batch
+    partial token counts union into ONE ``groupby(token)`` shuffle with
+    two Sums, then the three entropy terms reduce as Σ n·ln n /
+    Σ c·ln c partials — only a handful of 8-byte floats ever reach the
+    driver.  The mixture is computed on the exact-integer common scale
+    c = B·a + A·b over 2AB (a/A + b/B = c/(AB); m = c/(2AB)), so every
+    per-token double matches an ANSI-SQL replay bit-for-bit and only
+    the summation ORDER differs — final values are quantized by the
+    caller like token_entropy."""
+    from ray.data.aggregate import Sum
+
+    def tagged(side: str):
+        def f(batch: pa.Table) -> pa.Table:
+            p = _partial_token_counts(batch, text_col)
+            c = p.column("c").to_numpy(zero_copy_only=False)
+            zero = np.zeros(len(c), np.int64)
+            return pa.table({
+                "token": p.column("token"),
+                "ca": pa.array(c if side == "a" else zero, pa.int64()),
+                "cb": pa.array(c if side == "b" else zero, pa.int64()),
+            })
+
+        return f
+
+    both = ds_a.map_batches(tagged("a"), batch_format="pyarrow").union(
+        ds_b.map_batches(tagged("b"), batch_format="pyarrow"))
+    grouped = both.groupby("token").aggregate(
+        Sum("ca", alias_name="a"), Sum("cb", alias_name="b")).materialize()
+
+    def nlogn(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.float64)
+        b = batch.column("b").to_numpy(zero_copy_only=False).astype(np.float64)
+        sa = float((a[a > 0] * np.log(a[a > 0])).sum())
+        sb = float((b[b > 0] * np.log(b[b > 0])).sum())
+        return pa.table({"sa": pa.array([sa]), "sb": pa.array([sb]),
+                         "ta": pa.array([float(a.sum())]),
+                         "tb": pa.array([float(b.sum())])})
+
+    s = grouped.map_batches(nlogn, batch_format="pyarrow") \
+        .sum(["sa", "sb", "ta", "tb"])
+    A, B = float(s["sum(ta)"]), float(s["sum(tb)"])
+    if A <= 0 or B <= 0:
+        return 0.0
+    SA, SB = float(s["sum(sa)"]), float(s["sum(sb)"])
+
+    def clogc(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.float64)
+        b = batch.column("b").to_numpy(zero_copy_only=False).astype(np.float64)
+        c = B * a + A * b  # exact integers below 2^53; a+b ≥ 1 ⇒ c > 0
+        return pa.table({"sc": pa.array([float((c * np.log(c)).sum())])})
+
+    SC = float(grouped.map_batches(clogc, batch_format="pyarrow").sum("sc"))
+    two_ab = (2 * A) * B
+    h_m = np.log(two_ab) - SC / two_ab
+    h_p = np.log(A) - SA / A
+    h_q = np.log(B) - SB / B
+    return float(h_m - 0.5 * (h_p + h_q))
+
+
 def distinct_ngram_ratio(ds, text_col: str = "text", n: int = 2) -> float:
     """#distinct word-n-grams / #total n-grams over the corpus — the
     classic diversity score.  Partial per-batch hash sets (crc32 of the

@@ -407,3 +407,58 @@ def exact_dedup(ds, key_cols: list[str], order_col: str,
         .map_groups(keep_first, batch_format="pandas")
         .drop_columns(["_key_hash", "_part"])
     )
+
+
+def dedup_keep_best(ds, key_cols: list[str], best_cols: list[str],
+                    ascending: list[bool] | None = None,
+                    num_partitions: int = 64):
+    """Keep-BEST exact dedup: per key group the winner is the row with
+    the greatest ``best_cols`` tuple (``ascending`` flips per column;
+    default all-descending, i.e. max wins; append the id ascending for a
+    deterministic tie-break).  SQL ``row_number() OVER (PARTITION BY key
+    ORDER BY ...) = 1`` semantics — the "keep the highest-quality
+    representative per duplicate cluster" rule a curation pipeline runs
+    instead of keep-first (exact_dedup).  Same partition-level plan:
+    one ``_key_hash % P`` shuffle, one vectorized pandas pass per
+    PARTITION — no per-singleton-group dispatch."""
+    if ascending is None:
+        ascending = [False] * len(best_cols)
+    hashed = ds.map_batches(
+        add_hash_column, batch_format="pyarrow", fn_kwargs={"cols": key_cols}
+    ).map_batches(
+        lambda t: t.append_column(
+            "_part",
+            pa.array(t.column("_key_hash").to_numpy(zero_copy_only=False)
+                     % num_partitions, pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+
+    def keep_best(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(list(best_cols), ascending=list(ascending),
+                          kind="mergesort")
+            .drop_duplicates(subset=key_cols, keep="first")
+        )
+
+    return (
+        hashed.groupby("_part")
+        .map_groups(keep_best, batch_format="pandas")
+        .drop_columns(["_key_hash", "_part"])
+    )
+
+
+def bow_fingerprint_batch(batch: pa.Table, text_col: str = "text",
+                          out: str = "bow_fp") -> pa.Table:
+    """md5 of the doc's SORTED token multiset ("bag-of-words
+    fingerprint") — catches token-shuffled near-dups that exact text
+    dedup misses, while staying an EXACT key (SQL:
+    ``md5(array_to_string(list_sort(string_split(text, ' ')), ' '))``)."""
+    import hashlib
+
+    fps = [
+        hashlib.md5(" ".join(sorted((t or "").split(" "))).encode("utf-8"))
+        .hexdigest()
+        for t in batch.column(text_col).to_pylist()
+    ]
+    return batch.append_column(out, pa.array(fps, pa.string()))

@@ -438,3 +438,64 @@ def test_self_bleu_matches_naive(ray_session):
             total += math.floor(math.sqrt(ps[0] * ps[1]) * 1_000_000)
     expect = total / (1_000_000 * len(texts))
     assert got == pytest.approx(expect, abs=0)
+
+
+def test_js_divergence_matches_direct(ray_session):
+    """Distributed JSD equals a direct scipy-style computation, and the
+    identical-corpus / disjoint-corpus limits hold (0 and ln 2)."""
+    import math
+
+    import ray.data as rd
+
+    from collections import Counter
+
+    from open_thoughts_ray.ops.consensus import js_divergence
+
+    a_texts = ["a a b c", "b b d"]
+    b_texts = ["a c c", "e e b"]
+    dsa = rd.from_pandas(pd.DataFrame({"text": a_texts}))
+    dsb = rd.from_pandas(pd.DataFrame({"text": b_texts}))
+    got = js_divergence(dsa, dsb)
+
+    ca = Counter(t for s in a_texts for t in s.split(" "))
+    cb = Counter(t for s in b_texts for t in s.split(" "))
+    A, B = sum(ca.values()), sum(cb.values())
+    vocab = set(ca) | set(cb)
+    expect = 0.0
+    for t in vocab:
+        p = ca.get(t, 0) / A
+        q = cb.get(t, 0) / B
+        m = (p + q) / 2
+        if p:
+            expect += 0.5 * p * math.log(p / m)
+        if q:
+            expect += 0.5 * q * math.log(q / m)
+    assert got == pytest.approx(expect, abs=1e-12)
+
+    same = rd.from_pandas(pd.DataFrame({"text": a_texts}))
+    assert js_divergence(dsa, same) == pytest.approx(0.0, abs=1e-12)
+    disj_a = rd.from_pandas(pd.DataFrame({"text": ["x x y"]}))
+    disj_b = rd.from_pandas(pd.DataFrame({"text": ["z w w"]}))
+    assert js_divergence(disj_a, disj_b) == pytest.approx(math.log(2),
+                                                          abs=1e-12)
+
+
+def test_dedup_keep_best_and_bow_fingerprint(ray_session):
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.dedup import (bow_fingerprint_batch,
+                                             dedup_keep_best)
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        # docs 0/1/3 are token permutations of each other → one cluster
+        "text": ["b a c", "c b a", "unique words here", "a b c", "b a c x"],
+        "quality": [5, 9, 1, 9, 2],
+    })
+    fp = rd.from_pandas(df).map_batches(bow_fingerprint_batch,
+                                        batch_format="pyarrow")
+    out = dedup_keep_best(fp, ["bow_fp"], ["quality", "doc_id"],
+                          ascending=[False, True]).to_pandas()
+    kept = sorted(out["doc_id"].tolist())
+    # cluster {0,1,3}: max quality 9 tied between 1 and 3 → min doc_id 1
+    assert kept == [1, 2, 4]
