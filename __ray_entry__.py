@@ -806,6 +806,46 @@ def _q_chunk_documents(sf_dir: str):
     return chunk_tokens(ds, chunk_size=32, stride=24)
 
 
+def _q_dedup_lines_within(sf_dir: str):
+    """Intra-doc line dedup (CCNet paragraph dedup): first occurrence
+    of each 6-token window line wins, order preserved; doc-local, no
+    shuffle."""
+    from open_thoughts_ray.ops.boilerplate import dedup_lines_within_doc
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return dedup_lines_within_doc(ds, "doc_id", "text", line_tokens=6)
+
+
+def _q_zscore_events(sf_dir: str):
+    """Global z-score standardization of events.value on exact integer
+    cents moments — bit-identical SQL replay, no quantization."""
+    from open_thoughts_ray.ops.relational import zscore_column
+
+    ds = _rp(sf_dir, "events", ["event_id", "value"])
+    return zscore_column(ds, "value", "z_value").select_columns(
+        ["event_id", "z_value"])
+
+
+def _q_minmax_events(sf_dir: str):
+    """Global min-max normalization of events.value — min/max are exact
+    value picks, so the rescale hash-matches SQL with no quantization."""
+    from open_thoughts_ray.ops.relational import minmax_normalize_column
+
+    ds = _rp(sf_dir, "events", ["event_id", "value"])
+    return minmax_normalize_column(ds, "value", "norm_value").select_columns(
+        ["event_id", "norm_value"])
+
+
+def _q_tfidf_top_terms(sf_dir: str):
+    """Top-3 TF-IDF terms per document (keyword extraction).  No float
+    sums anywhere — every score is a product of exact-integer ratios and
+    one libm ln, so the ranking matches DuckDB bit-for-bit."""
+    from open_thoughts_ray.ops.retrieval import tfidf_top_terms
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_top_terms(ds, "doc_id", "text", k=3)
+
+
 def _q_bow_dedup_keep_best(sf_dir: str):
     """Bag-of-words-fingerprint dedup keeping the BEST representative
     per cluster (max n_chars, tie → min doc_id) — the keep-best variant
@@ -928,6 +968,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_removal_documents": _q_boilerplate_removal,
         "jsd_drift_documents": _q_jsd_drift,
         "bow_dedup_keep_best_documents": _q_bow_dedup_keep_best,
+        "dedup_lines_within_documents": _q_dedup_lines_within,
+        "zscore_events": _q_zscore_events,
+        "minmax_events": _q_minmax_events,
+        "tfidf_top_terms_documents": _q_tfidf_top_terms,
     }
 
 
@@ -1418,6 +1462,65 @@ def oracle_sql() -> dict[str, str]:
         "filter_documents": """
             SELECT doc_id, source, n_chars FROM documents
             WHERE lang = 'en' AND n_chars BETWEEN 100 AND 400
+        """,
+        "dedup_lines_within_documents": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+            l AS (SELECT doc_id, i, array_to_string(
+                         list_slice(toks, (i-1)*6+1, (i-1)*6+6), ' ') AS line
+                  FROM t, UNNEST(generate_series(
+                         1, CAST(ceil(len(toks)/6.0) AS BIGINT))) AS u(i)),
+            k AS (SELECT doc_id, i, line,
+                         row_number() OVER (PARTITION BY doc_id, line
+                                            ORDER BY i) AS rn
+                  FROM l)
+            SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS dedup_text
+            FROM k WHERE rn = 1 GROUP BY doc_id
+        """,
+        "zscore_events": """
+            WITH c AS (SELECT event_id,
+                              CAST(floor(value*100 + 0.5) AS BIGINT) AS c
+                       FROM events),
+            s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(c) AS BIGINT) AS s,
+                         CAST(sum(c*c) AS BIGINT) AS ss
+                  FROM c),
+            m AS (SELECT CAST(s AS DOUBLE)/CAST(n AS DOUBLE) AS mu,
+                         CAST(ss AS DOUBLE)/CAST(n AS DOUBLE)
+                           - (CAST(s AS DOUBLE)/CAST(n AS DOUBLE))
+                             * (CAST(s AS DOUBLE)/CAST(n AS DOUBLE)) AS var
+                  FROM s)
+            SELECT event_id,
+                   CASE WHEN m.var > 0
+                        THEN (CAST(c.c AS DOUBLE) - m.mu) / sqrt(m.var)
+                        ELSE 0.0 END AS z_value
+            FROM c, m
+        """,
+        "minmax_events": """
+            WITH s AS (SELECT min(value) AS lo, max(value) AS hi
+                       FROM events)
+            SELECT event_id,
+                   CASE WHEN s.hi - s.lo > 0
+                        THEN (value - s.lo) / (s.hi - s.lo)
+                        ELSE 0.0 END AS norm_value
+            FROM events, s
+        """,
+        "tfidf_top_terms_documents": """
+            WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+            tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                    FROM documents),
+            tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+                   FROM tok GROUP BY doc_id, term),
+            df AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+                   FROM tok GROUP BY term),
+            s AS (SELECT tf.doc_id, tf.term, tf.tf * ln(n.n / df.df) AS raw
+                  FROM tf JOIN df USING (term), n),
+            r AS (SELECT doc_id, term, raw,
+                         row_number() OVER (PARTITION BY doc_id
+                           ORDER BY raw DESC, term) AS rn
+                  FROM s)
+            SELECT doc_id, term, floor(raw*1000000)/1000000 AS score
+            FROM r WHERE rn <= 3
         """,
         "bow_dedup_keep_best_documents": """
             WITH f AS (SELECT doc_id, n_chars,

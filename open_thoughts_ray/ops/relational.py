@@ -244,6 +244,77 @@ def pearson_corr(ds, x_col: str, y_col: str) -> float:
     return num / den if den else float("nan")
 
 
+def zscore_column(ds, value_col: str, out_col: str | None = None,
+                  scale: int = 100):
+    """Global z-score standardization of a numeric column — the score
+    normalizer run before threshold filters so cutoffs transfer across
+    corpora.  Two streaming passes, no shuffle: pass 1 folds the three
+    mergeable sums (n, Σc, Σc²) over EXACT integer micro-units
+    c = floor(v·scale + 0.5) — integer partials make mean/variance
+    independent of summation order, so every row's z-score is
+    bit-identical to an ANSI-SQL replay with the same parenthesization
+    (the q1 cents trick applied to moments); pass 2 rewrites rows.
+    Constant-variance input → z = 0 everywhere."""
+    out_col = out_col or f"z_{value_col}"
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        c = np.floor(v * scale + 0.5).astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(c)], pa.int64()),
+            "s": pa.array([int(c.sum())], pa.int64()),
+            "ss": pa.array([int((c * c).sum())], pa.int64()),
+        })
+
+    sums = ds.select_columns([value_col]).map_batches(
+        partial, batch_format="pyarrow").sum(["n", "s", "ss"])
+    n = int(sums["sum(n)"] or 0)
+    if n == 0:
+        return ds.map_batches(
+            lambda t: t.append_column(out_col, pa.array([], pa.float64())),
+            batch_format="pyarrow")
+    s, ss = int(sums["sum(s)"]), int(sums["sum(ss)"])
+    # evaluation order mirrors the SQL oracle exactly: mu = S/n;
+    # var = SS/n - mu*mu; sigma = sqrt(var)
+    mu = float(s) / float(n)
+    var = float(ss) / float(n) - mu * mu
+    sigma = float(np.sqrt(var)) if var > 0 else 0.0
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        c = np.floor(v * scale + 0.5)
+        z = (c - mu) / sigma if sigma > 0 else np.zeros(len(c))
+        return t.append_column(out_col, pa.array(z, pa.float64()))
+
+    return ds.map_batches(rewrite, batch_format="pyarrow")
+
+
+def minmax_normalize_column(ds, value_col: str, out_col: str | None = None):
+    """Global min-max normalization to [0, 1].  Min/max are exact column
+    VALUES (order-free picks, no float-sum drift), so the per-row
+    rescale (v − min)/(max − min) hash-matches SQL with no quantization.
+    Constant column → 0.0 everywhere."""
+    out_col = out_col or f"norm_{value_col}"
+    stats = ds.select_columns([value_col]).map_batches(
+        lambda t: pa.table({
+            "lo": pa.array([pc.min(t.column(value_col)).as_py()],
+                           pa.float64()),
+            "hi": pa.array([pc.max(t.column(value_col)).as_py()],
+                           pa.float64()),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+    lo, hi = stats.min("lo"), stats.max("hi")
+    span = hi - lo
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        z = (v - lo) / span if span > 0 else np.zeros(len(v))
+        return t.append_column(out_col, pa.array(z, pa.float64()))
+
+    return ds.map_batches(rewrite, batch_format="pyarrow")
+
+
 # ------------------------------------------------------- top-k / quantile
 def top_k(ds, column: str, k: int, descending: bool = True):
     """_B2_Filtering/utils.py:4-29 filter_top_n — global sort + limit.

@@ -152,3 +152,125 @@ def bm25_topk(ds, queries: dict[int, list[str]], k: int = 10,
         return g[["query_id", "doc_id", "score_micro", "rank"]]
 
     return cand.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+def token_df_table(ds, text_col: str = "text"):
+    """Dataset[(term:string, df:int64)] — corpus document frequency per
+    token, from per-batch distinct-per-doc partials folded by one
+    grouped Sum (a doc's row lives in exactly one batch, so the partial
+    sums are exact)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for t in batch.column(text_col).to_pylist():
+            for tok in set((t or "").split(" ")):
+                counts[tok] = counts.get(tok, 0) + 1
+        return pa.table({"term": pa.array(list(counts.keys()), pa.string()),
+                         "c": pa.array(list(counts.values()), pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("c", alias_name="df"))
+
+
+def tfidf_top_terms(ds, id_col: str = "doc_id", text_col: str = "text",
+                    k: int = 3, max_driver_vocab: int = 2_000_000,
+                    num_partitions: int | None = None):
+    """Dataset[(doc_id, term, score)] — the k highest-TF-IDF terms per
+    document (keyword extraction for dataset cards / topic routing).
+    score = tf · ln(N/df); ranking ties break (score desc, term asc);
+    emitted scores are floor-quantized at 1e-6.
+
+    Every float expression is a product/division of exact integers plus
+    one ln — no float SUMS anywhere — so each (doc, term) score is the
+    identical double in an ANSI-SQL replay and the ranking matches
+    bit-for-bit.
+
+    Plan: one grouped-Sum pass builds the (term, df) table; vocab ≤
+    ``max_driver_vocab`` broadcasts it (``ray.put`` once, read per
+    actor) and scoring is doc-local with NO shuffle; larger vocabs
+    explode (doc, term, tf) rows, hash-join the df table, and take
+    per-doc top-k with one keyed shuffle."""
+    import pandas as pd
+    import ray
+
+    from .dedup_text import _auto_partitions
+
+    num_partitions = _auto_partitions(num_partitions)
+    df_ds = token_df_table(ds, text_col).materialize()
+    n_docs = ds.count()
+    vocab_n = df_ds.count()
+
+    def doc_tf(text: str | None) -> dict[str, int]:
+        tf: dict[str, int] = {}
+        for tok in (text or "").split(" "):
+            tf[tok] = tf.get(tok, 0) + 1
+        return tf
+
+    if vocab_n <= max_driver_vocab:
+        pdf = df_ds.to_pandas()  # bounded: O(vocab)
+        df_map = dict(zip(pdf["term"], pdf["df"].astype(int)))
+        ref = ray.put(df_map)
+
+        class Score:
+            def __init__(self):
+                self.df = ray.get(ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                out_id, out_t, out_s = [], [], []
+                ids = batch.column(id_col).to_pylist()
+                for i, t in zip(ids, batch.column(text_col).to_pylist()):
+                    scored = [
+                        (float(c) * math.log(float(n_docs) / float(self.df[tok])),
+                         tok)
+                        for tok, c in doc_tf(t).items()
+                    ]
+                    scored.sort(key=lambda x: (-x[0], x[1]))
+                    for s, tok in scored[:k]:
+                        out_id.append(i)
+                        out_t.append(tok)
+                        out_s.append(math.floor(s * 1000000.0) / 1000000.0)
+                return pa.table({
+                    id_col: pa.array(out_id,
+                                     batch.schema.field(id_col).type),
+                    "term": pa.array(out_t, pa.string()),
+                    "score": pa.array(out_s, pa.float64()),
+                })
+
+        return ds.map_batches(Score, batch_format="pyarrow",
+                              concurrency=(1, 8))
+
+    # large-vocab path: explode → hash-join df → per-doc top-k shuffle
+    def explode(batch: pa.Table) -> pa.Table:
+        ids_in = batch.column(id_col).to_pylist()
+        out_id, out_t, out_c = [], [], []
+        for i, t in zip(ids_in, batch.column(text_col).to_pylist()):
+            for tok, c in doc_tf(t).items():
+                out_id.append(i)
+                out_t.append(tok)
+                out_c.append(c)
+        return pa.table({
+            id_col: pa.array(out_id, batch.schema.field(id_col).type),
+            "term": pa.array(out_t, pa.string()),
+            "tf": pa.array(out_c, pa.int64()),
+        })
+
+    rows = ds.map_batches(explode, batch_format="pyarrow")
+    joined = rows.join(df_ds.repartition(num_partitions), join_type="inner",
+                       on=("term",), num_partitions=num_partitions)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        # math.log (libm), not np.log (SIMD): DuckDB's ln() is libm, and
+        # the two can differ in the last ulp — which would flip ranking
+        # ties vs the broadcast path / SQL oracle
+        s = np.asarray([
+            float(c) * math.log(float(n_docs) / float(d))
+            for c, d in zip(g["tf"], g["df"])
+        ])
+        g = g.assign(score=np.floor(s * 1000000.0) / 1000000.0,
+                     _raw=s)
+        g = g.sort_values(["_raw", "term"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        return g[[id_col, "term", "score"]]
+
+    return joined.groupby(id_col).map_groups(topk, batch_format="pandas")

@@ -109,3 +109,24 @@ def test_frequent_line_hashes_counts_distinct_docs(ray_session):
                                 "g h i j k l m n o p q r"]})
     freq = frequent_line_hashes(rd.from_pandas(df), min_df=2).to_pandas()
     assert len(freq) == 0
+
+
+def test_dedup_lines_within_doc(ray_session):
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.boilerplate import dedup_lines_within_doc
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["a b c d e f a b c d e f g h i j k l",  # window 1 == window 0
+                 "unique one two three four five"],
+    })
+    got = (dedup_lines_within_doc(rd.from_pandas(df), line_tokens=6)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got.loc[0, "dedup_text"] == "a b c d e f g h i j k l"
+    assert got.loc[1, "dedup_text"] == df.loc[1, "text"]
+    # newline mode keeps first occurrence in order
+    df2 = pd.DataFrame({"doc_id": [0], "text": ["x\ny\nx\nz"]})
+    got2 = dedup_lines_within_doc(rd.from_pandas(df2),
+                                  line_tokens=None).to_pandas()
+    assert got2.loc[0, "dedup_text"] == "x\ny\nz"

@@ -223,3 +223,40 @@ def test_mixture_sample_rates_and_determinism(ray_session):
         {"a": 1.0, "b": 1.0, "c": 1.0},
     ).to_pandas()
     assert len(full) == n
+
+
+def test_zscore_column_exact_integer_moments(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.relational import zscore_column
+
+    df = pd.DataFrame({"event_id": range(5),
+                       "value": [1.0, 2.0, 3.0, 4.0, 10.0]})
+    got = (zscore_column(rd.from_pandas(df), "value").to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    c = (df.value * 100).round()
+    mu = c.sum() / len(c)
+    var = (c * c).sum() / len(c) - mu * mu
+    exp = (c - mu) / math.sqrt(var)
+    assert np.allclose(got["z_value"], exp, rtol=0, atol=0)
+    # constant column → all zeros
+    const = pd.DataFrame({"event_id": range(3), "value": [7.0, 7.0, 7.0]})
+    gz = zscore_column(rd.from_pandas(const), "value").to_pandas()
+    assert (gz["z_value"] == 0).all()
+
+
+def test_minmax_normalize_column(ray_session):
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.relational import minmax_normalize_column
+
+    df = pd.DataFrame({"event_id": range(4), "value": [5.0, 10.0, 7.5, 5.0]})
+    got = (minmax_normalize_column(rd.from_pandas(df), "value").to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    assert np.allclose(got["norm_value"], [0.0, 1.0, 0.5, 0.0],
+                       rtol=0, atol=0)
+    const = pd.DataFrame({"event_id": range(2), "value": [3.0, 3.0]})
+    gc = minmax_normalize_column(rd.from_pandas(const), "value").to_pandas()
+    assert (gc["norm_value"] == 0).all()

@@ -183,3 +183,44 @@ def test_chunk_tokens_fanout_and_sql_parity(ray_session):
             .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want.astype(
         {"doc_id": "int64", "chunk_id": "int64", "n_chunk_tokens": "int64"}))
+
+
+def test_tfidf_top_terms_matches_direct_and_join_path(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from collections import Counter
+
+    from open_thoughts_ray.ops.retrieval import tfidf_top_terms
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["apple apple banana common",
+                 "banana cherry common common",
+                 "cherry date common apple"],
+    })
+    got = (tfidf_top_terms(rd.from_pandas(df), k=2).to_pandas()
+           .sort_values(["doc_id", "score", "term"],
+                        ascending=[True, False, True])
+           .reset_index(drop=True))
+    # direct computation
+    n = len(df)
+    dfc = Counter(t for s in df.text for t in set(s.split(" ")))
+    expect = []
+    for i, s in zip(df.doc_id, df.text):
+        tf = Counter(s.split(" "))
+        scored = sorted(((c * math.log(n / dfc[t]), t)
+                         for t, c in tf.items()),
+                        key=lambda x: (-x[0], x[1]))[:2]
+        for sc, t in scored:
+            expect.append((i, t, math.floor(sc * 1e6) / 1e6))
+    exp = pd.DataFrame(expect, columns=["doc_id", "term", "score"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    joined = (tfidf_top_terms(rd.from_pandas(df), k=2, max_driver_vocab=0,
+                              num_partitions=4).to_pandas()
+              .sort_values(["doc_id", "score", "term"],
+                           ascending=[True, False, True])
+              .reset_index(drop=True))
+    pd.testing.assert_frame_equal(joined, exp, check_dtype=False)
