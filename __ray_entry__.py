@@ -789,6 +789,19 @@ def _q_bm25_topk(sf_dir: str):
     return bm25_topk(ds, _BM25_QUERIES, k=10)
 
 
+def _q_rrf_hybrid_topk(sf_dir: str):
+    """Hybrid retrieval: BM25 top-10 ⊕ raw-term-count top-10 fused by
+    reciprocal-rank fusion (floor(1e9/(60+rank)) int64 contributions —
+    order-free sums, bit-identical SQL replay)."""
+    from open_thoughts_ray.ops.retrieval import (bm25_topk, rrf_fuse,
+                                                 termcount_topk)
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    bm = bm25_topk(ds, _BM25_QUERIES, k=10)
+    tc = termcount_topk(ds, _BM25_QUERIES, k=10)
+    return rrf_fuse(bm, tc, k=10)
+
+
 def _q_hash_split(sf_dir: str):
     """Deterministic md5-bucket train/val/test assignment (80/10/10)."""
     from open_thoughts_ray.ops.columns import hash_split_batch
@@ -972,6 +985,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_events": _q_zscore_events,
         "minmax_events": _q_minmax_events,
         "tfidf_top_terms_documents": _q_tfidf_top_terms,
+        "rrf_hybrid_topk_documents": _q_rrf_hybrid_topk,
     }
 
 
@@ -1416,6 +1430,44 @@ def _bm25_oracle() -> str:
         SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_micro,
                CAST(rank AS BIGINT) AS rank
         FROM ranked WHERE rank <= 10
+    """
+
+
+def _rrf_oracle() -> str:
+    """DuckDB mirror of _q_rrf_hybrid_topk: the BM25 oracle nests as a
+    CTE, a raw-term-count ranking joins the same VALUES term list, and
+    both contribute floor(1e9/(60+rank)) exact int64 units to the fused
+    sum — identical tie-breaks (score desc, doc_id asc) at every level."""
+    vals = ", ".join(f"({qid}, '{t}')"
+                     for qid, ts in sorted(_BM25_QUERIES.items()) for t in ts)
+    return f"""
+        WITH bm AS ({_bm25_oracle()}),
+        toks2 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+        terms2(query_id, tok) AS (VALUES {vals}),
+        tsc AS (SELECT t.query_id, x.doc_id, count(*) AS tcount
+                FROM toks2 x JOIN terms2 t USING (tok)
+                GROUP BY t.query_id, x.doc_id),
+        trk AS (SELECT query_id, doc_id, tcount,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY tcount DESC, doc_id) AS rank
+                FROM tsc),
+        u AS (SELECT query_id, doc_id,
+                     CAST(floor(1000000000.0/(60+rank)) AS BIGINT) AS c
+              FROM bm
+              UNION ALL
+              SELECT query_id, doc_id,
+                     CAST(floor(1000000000.0/(60+rank)) AS BIGINT)
+              FROM trk WHERE rank <= 10),
+        f AS (SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_micro
+              FROM u GROUP BY query_id, doc_id),
+        fr AS (SELECT query_id, doc_id, rrf_micro,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY rrf_micro DESC, doc_id) AS rank
+               FROM f)
+        SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rrf_micro,
+               CAST(rank AS BIGINT) AS rank
+        FROM fr WHERE rank <= 10
     """
 
 
@@ -2197,6 +2249,7 @@ def oracle_sql() -> dict[str, str]:
             FROM est
         """,
         "bm25_topk_documents": _bm25_oracle(),
+        "rrf_hybrid_topk_documents": _rrf_oracle(),
         "minhash_dedup_documents": _minhash_oracle(),
         "hash_split_documents": """
             SELECT doc_id,

@@ -274,3 +274,90 @@ def tfidf_top_terms(ds, id_col: str = "doc_id", text_col: str = "text",
         return g[[id_col, "term", "score"]]
 
     return joined.groupby(id_col).map_groups(topk, batch_format="pandas")
+
+
+def termcount_topk(ds, queries: dict[int, list[str]], k: int = 10,
+                   id_col: str = "doc_id", text_col: str = "text"):
+    """Dataset[(query_id, doc_id, tcount, rank)] — global top-k per
+    query by TOTAL term frequency of the query's terms (the cheap
+    lexical ranker fused with BM25 in hybrid retrieval).  Scores are
+    exact int64, ties break (tcount desc, id asc); same partial-top-k →
+    tiny ``groupby(query_id)`` combine plan as bm25_topk, single pass,
+    no stats."""
+    import pandas as pd
+
+    terms = sorted({t for ts in queries.values() for t in ts})
+    qterm_idx = {qid: np.asarray([terms.index(t) for t in ts], dtype=np.int64)
+                 for qid, ts in queries.items()}
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf, _dl = _term_freqs(batch.column(text_col).to_pylist(), terms)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        out_q, out_id, out_s = [], [], []
+        for qid, cols in qterm_idx.items():
+            scores = tf[:, cols].sum(axis=1)
+            rows = np.flatnonzero(scores > 0)
+            if not len(rows):
+                continue
+            order = np.lexsort((ids[rows], -scores[rows]))[:k]
+            for i in order:
+                out_q.append(qid)
+                out_id.append(int(ids[rows][i]))
+                out_s.append(int(scores[rows][i]))
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "doc_id": pa.array(out_id, pa.int64()),
+            "tcount": pa.array(out_s, pa.int64()),
+        })
+
+    cand = ds.map_batches(score, batch_format="pyarrow")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["tcount", "doc_id"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "doc_id", "tcount", "rank"]]
+
+    return cand.groupby("query_id").map_groups(final_topk,
+                                               batch_format="pandas")
+
+
+def rrf_fuse(ranked_a, ranked_b, k: int = 10, k0: int = 60,
+             rank_col: str = "rank"):
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of two
+    ranked Datasets[(query_id, doc_id, ..., rank)] — the standard
+    hybrid-retrieval combiner (BM25 ⊕ dense/secondary ranker).
+
+    Each list contributes floor(1e9 / (k0 + rank)) as an exact int64
+    micro-score, so the fused sum is summation-order-free and the
+    result hash-matches an ANSI-SQL replay.  One tiny
+    ``groupby(query_id, doc_id)`` Sum over ≤ 2·Q·k rows, then a per-query
+    top-k; ties break (rrf_micro desc, doc_id asc)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def contrib(t: pa.Table) -> pa.Table:
+        r = t.column(rank_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        c = np.floor(1000000000.0 / (k0 + r)).astype(np.int64)
+        return pa.table({
+            "query_id": t.column("query_id"),
+            "doc_id": t.column("doc_id"),
+            "c": pa.array(c, pa.int64()),
+        })
+
+    u = ranked_a.map_batches(contrib, batch_format="pyarrow").union(
+        ranked_b.map_batches(contrib, batch_format="pyarrow"))
+    fused = u.groupby(["query_id", "doc_id"]).aggregate(
+        Sum("c", alias_name="rrf_micro"))
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["rrf_micro", "doc_id"],
+                          ascending=[False, True], kind="mergesort").head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "doc_id", "rrf_micro", "rank"]]
+
+    return fused.groupby("query_id").map_groups(final_topk,
+                                                batch_format="pandas")

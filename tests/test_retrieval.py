@@ -224,3 +224,33 @@ def test_tfidf_top_terms_matches_direct_and_join_path(ray_session):
                            ascending=[True, False, True])
               .reset_index(drop=True))
     pd.testing.assert_frame_equal(joined, exp, check_dtype=False)
+
+
+def test_termcount_and_rrf_fuse(ray_session):
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.retrieval import (bm25_topk, rrf_fuse,
+                                                 termcount_topk)
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["hash hash join extra", "join only once",
+                 "hash join hash join", "nothing relevant"],
+    })
+    queries = {0: ["hash", "join"]}
+    tc = termcount_topk(rd.from_pandas(df), queries, k=3).to_pandas()
+    # doc 2 has 4 hits, doc 0 has 3, doc 1 has 1; doc 3 absent
+    assert tc.sort_values("rank")["doc_id"].tolist() == [2, 0, 1]
+    assert tc.sort_values("rank")["tcount"].tolist() == [4, 3, 1]
+
+    bm = bm25_topk(rd.from_pandas(df), queries, k=3)
+    fused = rrf_fuse(bm, termcount_topk(rd.from_pandas(df), queries, k=3),
+                     k=3).to_pandas().sort_values("rank")
+    assert len(fused) == 3
+    assert set(fused["doc_id"]) <= {0, 1, 2}
+    # fused micro-score = sum of floor(1e9/(60+rank)) over both lists
+    bmr = {r.doc_id: r.rank for r in bm.to_pandas().itertuples()}
+    tcr = {r.doc_id: r.rank for r in tc.itertuples()}
+    for r in fused.itertuples():
+        exp = int(1e9 // (60 + bmr[r.doc_id])) + int(1e9 // (60 + tcr[r.doc_id]))
+        assert r.rrf_micro == exp
