@@ -462,3 +462,90 @@ def bow_fingerprint_batch(batch: pa.Table, text_col: str = "text",
         for t in batch.column(text_col).to_pylist()
     ]
     return batch.append_column(out, pa.array(fps, pa.string()))
+
+
+def near_dup_keep_best(ds, id_col: str = "image_id",
+                       phash_col: str = "phash",
+                       quality_col: str = "quality",
+                       bands: int = 2, hamming_max: int = 3,
+                       max_bucket: int = 512, window: int = 64,
+                       num_partitions: int = 64,
+                       max_driver_edges: int = 2_000_000):
+    """Near-dup collapse keeping the BEST member of every phash
+    component — "keep the largest / sharpest version of each image"
+    (winner = max ``quality_col``, ties → lexicographic-min id), where
+    the flagship's reference-parity rule keeps the min id.
+
+    Scale plan mirrors dedup_stage: the banded shuffle and the component
+    labels only ever carry (id, phash/quality) THIN projections; the
+    full table is never shuffled — survivors come from a drop-id filter
+    (broadcast set below ``max_driver_edges``, distributed
+    label-propagation + per-component argmax + anti-join above it)."""
+    import pyarrow.compute as pc
+
+    from .dedup_text import _drop_ids_filter
+    from .pairverify import anti_join_ids
+
+    def thin(t: pa.Table) -> pa.Table:
+        col = t.column(id_col)
+        if col.type != pa.string():
+            col = col.cast(pa.string())
+        return pa.table({"image_id": col, "phash": t.column(phash_col),
+                         "q": t.column(quality_col)})
+
+    small = ds.map_batches(thin, batch_format="pyarrow").materialize()
+    edges = near_dup_edges(
+        small.select_columns(["image_id", "phash"]), bands, hamming_max,
+        max_bucket, window, num_partitions).materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return ds
+
+    def losers_from(members: pd.DataFrame) -> set:
+        """members: (id, label, q) → every member except each label's
+        (max q, min id) winner."""
+        members = members.sort_values(["q", "id"], ascending=[False, True],
+                                      kind="mergesort")
+        winners = members.drop_duplicates(subset=["label"], keep="first")
+        return set(members["id"]) - set(winners["id"])
+
+    if n_edges <= max_driver_edges:
+        edf = edges.to_pandas()  # bounded: O(#dups)
+        canon = union_find_canonical(edf["a"].tolist(), edf["b"].tolist())
+        member_ids = set(canon)
+        qdf = (
+            small.map_batches(
+                lambda t: t.filter(pc.is_in(
+                    t.column("image_id"),
+                    value_set=pa.array(list(member_ids), pa.string()))),
+                batch_format="pyarrow",
+            ).select_columns(["image_id", "q"]).to_pandas()
+        )  # bounded: O(#component members)
+        qdf = qdf.rename(columns={"image_id": "id"})
+        qdf["label"] = [canon[i] for i in qdf["id"]]
+        drop = losers_from(qdf)
+        return _drop_ids_filter(ds, id_col, drop)
+
+    # distributed: full membership labels → join quality → per-label
+    # argmax inside map_groups emits the LOSERS → anti-join
+    nodes = edges.map_batches(
+        lambda t: pa.table({"id": pa.concat_arrays(
+            [t.column("a").combine_chunks(), t.column("b").combine_chunks()])}),
+        batch_format="pyarrow",
+    )
+    labels = label_propagation(nodes, edges,
+                               num_partitions=num_partitions).materialize()
+    keyed = small.map_batches(
+        lambda t: pa.table({"id": t.column("image_id"), "q": t.column("q")}),
+        batch_format="pyarrow",
+    )
+    joined = labels.join(keyed, join_type="inner", on=("id",),
+                         num_partitions=num_partitions).materialize()
+
+    def emit_losers(g: pd.DataFrame) -> pd.DataFrame:
+        drop = losers_from(g)
+        return pd.DataFrame({"id": sorted(drop)})
+
+    drop_ds = joined.groupby("label").map_groups(emit_losers,
+                                                 batch_format="pandas")
+    return anti_join_ids(ds, id_col, drop_ds, num_partitions)

@@ -252,3 +252,43 @@ def test_minhash_oversized_bucket_window_fallback():
         assert (f"d{i:02d}", f"d{i+1:02d}") in pairs
     # all-pairs was NOT used (far pair absent) — the skew cap is active
     assert ("d00", "d09") not in pairs
+
+
+def test_near_dup_keep_best_quality_winner(ray_session):
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.dedup import near_dup_keep_best
+
+    # cluster {a,b,c}: phashes within hamming<=3, best quality wins
+    df = pd.DataFrame({
+        "image_id": ["a", "b", "c", "d", "e"],
+        "phash": [0x0F0F0F0F0F0F0F0F,
+                  0x0F0F0F0F0F0F0F0E,          # 1 bit from a
+                  0x0F0F0F0F0F0F0F0C,          # 2 bits from a
+                  0x7777777777777777,          # isolated
+                  -0x1234567887654321],        # isolated
+        "quality": [100, 500, 300, 10, 20],
+    })
+    got = near_dup_keep_best(rd.from_pandas(df), bands=2, hamming_max=3,
+                             num_partitions=4).to_pandas()
+    assert sorted(got["image_id"]) == ["b", "d", "e"]
+
+    dist = near_dup_keep_best(rd.from_pandas(df), bands=2, hamming_max=3,
+                              num_partitions=4,
+                              max_driver_edges=0).to_pandas()
+    assert sorted(dist["image_id"]) == ["b", "d", "e"]
+
+
+def test_near_dup_keep_best_tie_breaks_min_id(ray_session):
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.dedup import near_dup_keep_best
+
+    df = pd.DataFrame({
+        "image_id": ["z2", "z1", "z3"],
+        "phash": [0x00000000000000FF] * 3,   # one exact cluster
+        "quality": [7, 7, 5],
+    })
+    got = near_dup_keep_best(rd.from_pandas(df), bands=2, hamming_max=3,
+                             num_partitions=4).to_pandas()
+    assert got["image_id"].tolist() == ["z1"]
