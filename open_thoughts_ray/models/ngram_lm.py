@@ -149,6 +149,11 @@ class BigramLM:
         words = sorted(self.vocab, key=self.vocab.get)
         keys = np.fromiter(self.bi.keys(), dtype=np.int64, count=len(self.bi))
         vals = np.fromiter(self.bi.values(), dtype=np.float64, count=len(self.bi))
+        # canonical serialization: bigrams sorted by key, so a serial fit
+        # and the distributed rebuild (train_bigram_lm_distributed, whose
+        # dict insertion order is shuffle-dependent) emit IDENTICAL bytes
+        o = np.argsort(keys, kind="stable")
+        keys, vals = keys[o], vals[o]
         buf = io.BytesIO()
         np.savez_compressed(
             buf,

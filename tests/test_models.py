@@ -68,3 +68,29 @@ def test_artifacts_deterministic():
     a = artifacts.build_langid_bytes()
     b = artifacts.build_langid_bytes()
     assert hashlib.sha256(a).hexdigest() == hashlib.sha256(b).hexdigest()
+
+
+def test_train_bigram_lm_distributed_bit_identical(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from open_thoughts_ray.models.ngram_lm import BigramLM
+    from open_thoughts_ray.ops.perplexity import train_bigram_lm_distributed
+
+    rng = np.random.default_rng(11)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    texts = [" ".join(rng.choice(words, size=int(rng.integers(3, 12))))
+             for _ in range(60)]
+    df = pd.DataFrame({"doc_id": range(60), "text": texts})
+
+    serial = BigramLM.train(list(df.sort_values("doc_id")["text"]))
+    # shuffle the row order/partitioning — the fit must not care
+    ds = rd.from_pandas(df.sample(frac=1.0, random_state=3)).repartition(7)
+    dist_bytes = train_bigram_lm_distributed(ds)
+
+    assert dist_bytes == serial.to_bytes()
+    lm = BigramLM.from_bytes(dist_bytes)
+    probe = ["alpha beta gamma", "zeta zeta unseen"]
+    assert np.allclose(lm.perplexity_batch(probe),
+                       serial.perplexity_batch(probe), rtol=0, atol=0)
