@@ -152,6 +152,29 @@ class ImageQualityGate:
         return batch.append_column("img_keep", pa.array(keep))
 
 
+def geometry_gate_batch(batch: pa.Table, min_side: int = 16,
+                        min_pixels: int = 0, max_aspect: float = 3.0,
+                        mode: str = "annotate") -> pa.Table:
+    """METADATA-ONLY image geometry gate (DataComp/LAION-style: drop
+    tiny images and extreme aspect ratios) — vectorized over the w/h
+    columns, payload bytes never touched.  Run this BEFORE any decode
+    stage: at 10^12 images the decode cost of rows this rule rejects is
+    pure waste, and a metadata filter pushes down to the scan.
+
+    ``mode="filter"`` drops failing rows; ``"annotate"`` appends
+    ``geom_keep``."""
+    w = batch.column("w").to_numpy(zero_copy_only=False).astype(np.float64)
+    h = batch.column("h").to_numpy(zero_copy_only=False).astype(np.float64)
+    side_ok = (np.minimum(w, h) >= min_side)
+    px_ok = (w * h >= min_pixels)
+    aspect = np.maximum(w, h) / np.maximum(np.minimum(w, h), 1.0)
+    asp_ok = aspect <= max_aspect
+    keep = side_ok & px_ok & asp_ok
+    if mode == "filter":
+        return batch.filter(pa.array(keep))
+    return batch.append_column("geom_keep", pa.array(keep))
+
+
 def frame_sample_batch(batch: pa.Table, every_n: int = 10) -> pa.Table:
     """Superseded: real frame sampling over the uncompressed OTRV
     container lives in ``ops/video.frame_sample`` (random-access frame

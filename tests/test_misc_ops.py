@@ -499,3 +499,26 @@ def test_dedup_keep_best_and_bow_fingerprint(ray_session):
     kept = sorted(out["doc_id"].tolist())
     # cluster {0,1,3}: max quality 9 tied between 1 and 3 → min doc_id 1
     assert kept == [1, 2, 4]
+
+
+def test_geometry_gate_metadata_only(ray_session):
+    import pyarrow as pa
+
+    from open_thoughts_ray.ops.multimodal import geometry_gate_batch
+
+    batch = pa.table({
+        "image_id": ["ok", "tiny", "extreme", "big"],
+        # bytes column intentionally bogus: the gate must never read it
+        "bytes": [b"x", b"y", b"z", b"w"],
+        "w": pa.array([64, 8, 300, 4096], pa.int32()),
+        "h": pa.array([48, 64, 20, 4096], pa.int32()),
+    })
+    ann = geometry_gate_batch(batch, min_side=16, max_aspect=3.0)
+    assert ann.column("geom_keep").to_pylist() == [True, False, False, True]
+    filt = geometry_gate_batch(batch, min_side=16, max_aspect=3.0,
+                               mode="filter")
+    assert filt.column("image_id").to_pylist() == ["ok", "big"]
+    # min_pixels rule
+    ann2 = geometry_gate_batch(batch, min_side=1, max_aspect=100.0,
+                               min_pixels=5000)
+    assert ann2.column("geom_keep").to_pylist() == [False, False, True, True]
