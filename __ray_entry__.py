@@ -849,6 +849,26 @@ def _q_minmax_events(sf_dir: str):
         ["event_id", "norm_value"])
 
 
+def _q_robust_scale_events(sf_dir: str):
+    """Median/IQR robust standardization of events.value (exact
+    quantile_cont quantiles + deterministic double rescale — no
+    quantization needed)."""
+    from open_thoughts_ray.ops.relational import robust_scale_column
+
+    ds = _rp(sf_dir, "events", ["event_id", "value"])
+    return robust_scale_column(ds, "value", "robust_value").select_columns(
+        ["event_id", "robust_value"])
+
+
+def _q_histogram_events(sf_dir: str):
+    """Fixed-width 20-bin histogram of events.value over [0, 200) —
+    per-batch pre-combined bucket counts, one tiny groupby Sum."""
+    from open_thoughts_ray.ops.relational import histogram_column
+
+    ds = _rp(sf_dir, "events", ["value"])
+    return histogram_column(ds, "value", 0.0, 200.0, 20)
+
+
 def _q_tfidf_top_terms(sf_dir: str):
     """Top-3 TF-IDF terms per document (keyword extraction).  No float
     sums anywhere — every score is a product of exact-integer ratios and
@@ -986,6 +1006,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minmax_events": _q_minmax_events,
         "tfidf_top_terms_documents": _q_tfidf_top_terms,
         "rrf_hybrid_topk_documents": _q_rrf_hybrid_topk,
+        "robust_scale_events": _q_robust_scale_events,
+        "histogram_events": _q_histogram_events,
     }
 
 
@@ -1528,6 +1550,24 @@ def oracle_sql() -> dict[str, str]:
                   FROM l)
             SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS dedup_text
             FROM k WHERE rn = 1 GROUP BY doc_id
+        """,
+        "robust_scale_events": """
+            WITH s AS (SELECT quantile_cont(value, 0.25) AS q1,
+                              quantile_cont(value, 0.5) AS med,
+                              quantile_cont(value, 0.75) AS q3
+                       FROM events)
+            SELECT event_id,
+                   CASE WHEN s.q3 - s.q1 > 0
+                        THEN (value - s.med) / (s.q3 - s.q1)
+                        ELSE 0.0 END AS robust_value
+            FROM events, s
+        """,
+        "histogram_events": """
+            SELECT CAST(least(greatest(
+                     floor((value - 0.0) / ((200.0 - 0.0) / 20.0)), 0), 19)
+                   AS BIGINT) AS bucket,
+                   count(*) AS n
+            FROM events GROUP BY 1
         """,
         "zscore_events": """
             WITH c AS (SELECT event_id,

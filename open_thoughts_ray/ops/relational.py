@@ -315,6 +315,72 @@ def minmax_normalize_column(ds, value_col: str, out_col: str | None = None):
     return ds.map_batches(rewrite, batch_format="pyarrow")
 
 
+def robust_scale_column(ds, value_col: str, out_col: str | None = None,
+                        exact_threshold: int = 2_000_000,
+                        num_points: int = 1024):
+    """Median/IQR robust standardization — the outlier-insensitive
+    normalizer (z-score's median cousin): (v − median)/(q75 − q25).
+
+    Quantiles come from the same two-path plan as
+    global_quantile_threshold: exact linear-interpolation (bit-identical
+    to DuckDB ``quantile_cont``) when the row count fits
+    ``exact_threshold`` — only the VALUE COLUMN is collected — and the
+    mergeable order-statistic summary above it.  The per-row rescale is
+    deterministic double arithmetic, so the exact path hash-matches SQL
+    with no quantization.  Zero IQR → 0.0 everywhere."""
+    out_col = out_col or f"robust_{value_col}"
+    total = ds.count()
+    if total == 0:
+        q1 = med = q3 = 0.0
+    elif total <= exact_threshold:
+        vals = np.concatenate([
+            b.column(value_col).to_numpy(zero_copy_only=False)
+            for b in ds.select_columns([value_col]).iter_batches(
+                batch_size=1 << 16, batch_format="pyarrow")
+        ])
+        q1 = float(np.quantile(vals, 0.25, method="linear"))
+        med = float(np.quantile(vals, 0.5, method="linear"))
+        q3 = float(np.quantile(vals, 0.75, method="linear"))
+    else:
+        from .sketch import distributed_quantile
+
+        q1 = distributed_quantile(ds, value_col, 0.25, num_points=num_points)
+        med = distributed_quantile(ds, value_col, 0.5, num_points=num_points)
+        q3 = distributed_quantile(ds, value_col, 0.75, num_points=num_points)
+    iqr = q3 - q1
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        z = (v - med) / iqr if iqr > 0 else np.zeros(len(v))
+        return t.append_column(out_col, pa.array(z, pa.float64()))
+
+    return ds.map_batches(rewrite, batch_format="pyarrow")
+
+
+def histogram_column(ds, value_col: str, lo: float, hi: float, nbins: int):
+    """Fixed-width histogram: Dataset[(bucket:int64, n:int64)] with
+    bucket = clip(floor((v − lo)/width), 0, nbins−1), width =
+    (hi − lo)/nbins.  Per-batch vectorized bucket counts pre-combine
+    into (bucket, partial n) rows, one tiny ``groupby(bucket).sum`` —
+    the shuffle carries ≤ blocks×nbins rows regardless of input size.
+    Every float op is the identical double expression in SQL, so the
+    counts hash-match with no quantization."""
+    from ray.data.aggregate import Sum
+
+    width = (float(hi) - float(lo)) / float(nbins)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.clip(np.floor((v - lo) / width), 0, nbins - 1).astype(np.int64)
+        idx, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(idx, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    return (ds.select_columns([value_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket").aggregate(Sum("n", alias_name="n")))
+
+
 # ------------------------------------------------------- top-k / quantile
 def top_k(ds, column: str, k: int, descending: bool = True):
     """_B2_Filtering/utils.py:4-29 filter_top_n — global sort + limit.

@@ -260,3 +260,35 @@ def test_minmax_normalize_column(ray_session):
     const = pd.DataFrame({"event_id": range(2), "value": [3.0, 3.0]})
     gc = minmax_normalize_column(rd.from_pandas(const), "value").to_pandas()
     assert (gc["norm_value"] == 0).all()
+
+
+def test_robust_scale_column(ray_session):
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.relational import robust_scale_column
+
+    df = pd.DataFrame({"event_id": range(7),
+                       "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 100.0]})
+    got = (robust_scale_column(rd.from_pandas(df), "value").to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    q1, med, q3 = np.quantile(df.value, [0.25, 0.5, 0.75], method="linear")
+    exp = (df.value - med) / (q3 - q1)
+    assert np.allclose(got["robust_value"], exp, rtol=0, atol=0)
+    const = pd.DataFrame({"event_id": range(3), "value": [5.0] * 3})
+    gc = robust_scale_column(rd.from_pandas(const), "value").to_pandas()
+    assert (gc["robust_value"] == 0).all()
+
+
+def test_histogram_column(ray_session):
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.relational import histogram_column
+
+    df = pd.DataFrame({"value": [0.0, 5.0, 9.99, 10.0, 95.0, 250.0, -3.0]})
+    got = (histogram_column(rd.from_pandas(df).repartition(3), "value",
+                            0.0, 100.0, 10).to_pandas()
+           .sort_values("bucket").reset_index(drop=True))
+    # bucket 0: {0, 5, 9.99, -3 clipped}, bucket 1: {10.0},
+    # bucket 9: {95, 250 clipped}
+    assert got["bucket"].tolist() == [0, 1, 9]
+    assert got["n"].tolist() == [4, 1, 2]
