@@ -849,6 +849,29 @@ def _q_minmax_events(sf_dir: str):
         ["event_id", "norm_value"])
 
 
+def _q_percent_rank_documents(sf_dir: str):
+    """Global percent-rank (ECDF) of n_chars — frequency-table broadcast,
+    no global sort; exact-integer division, no quantization."""
+    from open_thoughts_ray.ops.relational import percent_rank_annotate
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "n_chars"])
+    return percent_rank_annotate(ds, "n_chars").select_columns(
+        ["doc_id", "pr_n_chars"])
+
+
+def _q_mi_lang_source(sf_dir: str):
+    """Mutual information (nats) between lang and source — one
+    contingency groupby; floor-quantized at 1e-6 like token_entropy."""
+    import math
+
+    from open_thoughts_ray.ops.relational import mutual_information
+
+    ds = _rp(sf_dir, "documents", ["lang", "source"])
+    val = mutual_information(ds, "lang", "source")
+    q = math.floor(val * 1_000_000) / 1_000_000
+    return pa.table({"mi": pa.array([q], pa.float64())})
+
+
 def _q_robust_scale_events(sf_dir: str):
     """Median/IQR robust standardization of events.value (exact
     quantile_cont quantiles + deterministic double rescale — no
@@ -1008,6 +1031,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_hybrid_topk_documents": _q_rrf_hybrid_topk,
         "robust_scale_events": _q_robust_scale_events,
         "histogram_events": _q_histogram_events,
+        "percent_rank_documents": _q_percent_rank_documents,
+        "mi_lang_source_documents": _q_mi_lang_source,
     }
 
 
@@ -1550,6 +1575,27 @@ def oracle_sql() -> dict[str, str]:
                   FROM l)
             SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS dedup_text
             FROM k WHERE rn = 1 GROUP BY doc_id
+        """,
+        "percent_rank_documents": """
+            SELECT doc_id, percent_rank() OVER (ORDER BY n_chars)
+                     AS pr_n_chars
+            FROM documents
+        """,
+        "mi_lang_source_documents": """
+            WITH c AS (SELECT lang, source,
+                              CAST(count(*) AS BIGINT) AS nxy
+                       FROM documents GROUP BY lang, source),
+            n AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM c),
+            a AS (SELECT lang, CAST(sum(nxy) AS BIGINT) AS na
+                  FROM c GROUP BY lang),
+            b AS (SELECT source, CAST(sum(nxy) AS BIGINT) AS nb
+                  FROM c GROUP BY source)
+            SELECT floor(sum(
+                     (CAST(nxy AS DOUBLE) / CAST(n.n AS DOUBLE))
+                     * ln((CAST(nxy AS DOUBLE) * CAST(n.n AS DOUBLE))
+                          / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))))
+                   * 1000000) / 1000000 AS mi
+            FROM c JOIN a USING (lang) JOIN b USING (source), n
         """,
         "robust_scale_events": """
             WITH s AS (SELECT quantile_cont(value, 0.25) AS q1,

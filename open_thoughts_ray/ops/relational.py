@@ -9,6 +9,8 @@ reference's per-shard percentile bug (fasttext_operator.py:148-152).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -313,6 +315,69 @@ def minmax_normalize_column(ds, value_col: str, out_col: str | None = None):
         return t.append_column(out_col, pa.array(z, pa.float64()))
 
     return ds.map_batches(rewrite, batch_format="pyarrow")
+
+
+def percent_rank_annotate(ds, value_col: str, out_col: str | None = None,
+                          max_driver_values: int = 5_000_000):
+    """Annotate each row with its global percent rank over ``value_col``
+    — SQL ``percent_rank() OVER (ORDER BY v)`` = (#values strictly
+    below)/(n−1), ties share a rank.  NO global sort: one
+    ``groupby(value).count`` shuffle builds the frequency table, the
+    driver turns it into a value → rank map (O(#distinct values) — the
+    op asserts ≤ ``max_driver_values``; percent-ranking a
+    continuous-unique column needs the range-partitioned sort instead),
+    and a broadcast lookup rewrites rows.  count_below/(n−1) is one
+    exact-integer division, so results hash-match SQL with no
+    quantization.  n == 1 → 0.0 (DuckDB convention)."""
+    import ray
+
+    out_col = out_col or f"pr_{value_col}"
+    freq = ds.groupby(value_col).count().to_pandas()
+    if len(freq) > max_driver_values:
+        raise ValueError(
+            f"{len(freq)} distinct values exceed max_driver_values="
+            f"{max_driver_values}; use a sort-based rank for "
+            f"continuous-unique columns")
+    freq = freq.sort_values(value_col, kind="mergesort")
+    counts = freq["count()"].to_numpy()
+    n = int(counts.sum())
+    below = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    denom = float(n - 1) if n > 1 else 1.0
+    pr = {v: float(b) / denom for v, b in zip(freq[value_col], below)}
+    ref = ray.put(pr)
+
+    class Annotate:
+        def __init__(self):
+            self.pr = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vals = t.column(value_col).to_pylist()
+            return t.append_column(
+                out_col, pa.array([self.pr[v] for v in vals], pa.float64()))
+
+    return ds.map_batches(Annotate, batch_format="pyarrow",
+                          concurrency=(1, 8))
+
+
+def mutual_information(ds, a_col: str, b_col: str) -> float:
+    """Mutual information (nats) between two categorical columns — the
+    dataset-audit dependence metric (does `lang` leak `source`?).  One
+    ``groupby(a, b).count`` shuffle; the driver sees only the |A|×|B|
+    contingency cells and the two marginals derived from them.  Per-cell
+    doubles mirror the SQL replay's parenthesization exactly; callers
+    quantize the final sum (summation order is the only difference)."""
+    cells = ds.groupby([a_col, b_col]).count().to_pandas()
+    if cells.empty:
+        return 0.0
+    nxy = cells["count()"].astype(int)
+    n = int(nxy.sum())
+    na = cells.groupby(a_col)["count()"].transform("sum").astype(int)
+    nb = cells.groupby(b_col)["count()"].transform("sum").astype(int)
+    total = 0.0
+    for cxy, ca, cb in zip(nxy, na, nb):
+        total += (float(cxy) / float(n)) * math.log(
+            (float(cxy) * float(n)) / (float(ca) * float(cb)))
+    return total
 
 
 def robust_scale_column(ds, value_col: str, out_col: str | None = None,

@@ -6,6 +6,7 @@ import math
 
 import numpy as np
 import pandas as pd
+import pytest
 
 from open_thoughts_ray.ops.relational import (
     argmax_per_group,
@@ -292,3 +293,35 @@ def test_histogram_column(ray_session):
     # bucket 9: {95, 250 clipped}
     assert got["bucket"].tolist() == [0, 1, 9]
     assert got["n"].tolist() == [4, 1, 2]
+
+
+def test_percent_rank_annotate(ray_session):
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.relational import percent_rank_annotate
+
+    df = pd.DataFrame({"id": range(5), "v": [10, 20, 20, 30, 40]})
+    got = (percent_rank_annotate(rd.from_pandas(df), "v").to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    # percent_rank: ties share (count strictly below)/(n-1)
+    assert got["pr_v"].tolist() == [0.0, 0.25, 0.25, 0.75, 1.0]
+    one = pd.DataFrame({"id": [0], "v": [5]})
+    g1 = percent_rank_annotate(rd.from_pandas(one), "v").to_pandas()
+    assert g1["pr_v"].tolist() == [0.0]
+
+
+def test_mutual_information(ray_session):
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.relational import mutual_information
+
+    # perfectly dependent: MI = H(X) = ln 2 for a 50/50 split
+    dep = pd.DataFrame({"a": ["x", "x", "y", "y"],
+                        "b": ["p", "p", "q", "q"]})
+    assert mutual_information(rd.from_pandas(dep), "a", "b") == \
+        pytest.approx(math.log(2), abs=1e-12)
+    # independent: MI = 0
+    ind = pd.DataFrame({"a": ["x", "x", "y", "y"],
+                        "b": ["p", "q", "p", "q"]})
+    assert mutual_information(rd.from_pandas(ind), "a", "b") == \
+        pytest.approx(0.0, abs=1e-12)
