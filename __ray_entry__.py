@@ -849,6 +849,34 @@ def _q_minmax_events(sf_dir: str):
         ["event_id", "norm_value"])
 
 
+def _q_dau_events(sf_dir: str):
+    """Daily active users: exact count(DISTINCT user) per day — derived
+    day key + two-level distinct groupby (no per-group sets)."""
+    import pyarrow.compute as pc
+
+    from open_thoughts_ray.ops import relational as R
+
+    ds = _rp(sf_dir, "events", ["ts", "user_id"])
+    withday = ds.map_batches(
+        lambda t: t.append_column(
+            "day", pc.strftime(t.column("ts"), format="%Y-%m-%d")),
+        batch_format="pyarrow",
+    ).select_columns(["day", "user_id"])
+    return R.grouped_nunique(withday, "day", "user_id", out_col="dau")
+
+
+def _q_weighted_sample_documents(sf_dir: str):
+    """Deterministic weighted Bernoulli sample: keep iff
+    md5-uniform(doc_id) < n_chars/1000 — quality-weighted downsampling,
+    partition-order free."""
+    from open_thoughts_ray.ops.columns import weighted_bernoulli_sample_batch
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "n_chars"])
+    return ds.map_batches(
+        weighted_bernoulli_sample_batch, batch_format="pyarrow",
+        fn_kwargs=dict(id_col="doc_id", weight_col="n_chars", scale=1000.0))
+
+
 def _q_percent_rank_documents(sf_dir: str):
     """Global percent-rank (ECDF) of n_chars — frequency-table broadcast,
     no global sort; exact-integer division, no quantization."""
@@ -1033,6 +1061,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "histogram_events": _q_histogram_events,
         "percent_rank_documents": _q_percent_rank_documents,
         "mi_lang_source_documents": _q_mi_lang_source,
+        "dau_events": _q_dau_events,
+        "weighted_sample_documents": _q_weighted_sample_documents,
     }
 
 
@@ -1575,6 +1605,18 @@ def oracle_sql() -> dict[str, str]:
                   FROM l)
             SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS dedup_text
             FROM k WHERE rn = 1 GROUP BY doc_id
+        """,
+        "dau_events": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+            FROM events GROUP BY 1
+        """,
+        "weighted_sample_documents": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                              1, 8) AS UBIGINT) AS DOUBLE)
+                  / 4294967296.0
+                  < CAST(n_chars AS DOUBLE) / 1000.0
         """,
         "percent_rank_documents": """
             SELECT doc_id, percent_rank() OVER (ORDER BY n_chars)

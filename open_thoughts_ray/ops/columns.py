@@ -110,3 +110,24 @@ def hash_split_batch(batch: pa.Table, id_col: str = "doc_id",
              for b in buckets]
     batch = batch.append_column("bucket", pa.array(buckets, pa.int64()))
     return batch.append_column("split", pa.array(split, pa.string()))
+
+
+def weighted_bernoulli_sample_batch(batch: pa.Table, id_col: str,
+                                    weight_col: str, scale: float,
+                                    out: str | None = None) -> pa.Table:
+    """Deterministic weighted downsampling: keep a row iff
+    u(id) < weight/scale, where u(id) = int(md5(id)[:8], 16) / 2³² is a
+    content-addressed uniform in [0, 1) — the quality-weighted mixture
+    sampler (upweight long/high-score docs) that is stable under any
+    partitioning and replayable in SQL (DuckDB md5).  Weights above
+    ``scale`` always keep.  Pure map; no shuffle, no RNG state."""
+    import hashlib
+
+    ids = batch.column(id_col).to_pylist()
+    w = batch.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    u = np.asarray([int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                    for i in ids], dtype=np.float64) / 4294967296.0
+    keep = u < (w / float(scale))
+    if out is not None:
+        return batch.append_column(out, pa.array(keep))
+    return batch.filter(pa.array(keep))

@@ -47,3 +47,28 @@ def test_upsample_rows(ds):
     assert len(out) == 8
     # whole copies preserved: each original id appears ≥2 times
     assert out.id.value_counts().min() >= 2
+
+
+def test_weighted_bernoulli_sample_deterministic(ray_session):
+    import hashlib
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from open_thoughts_ray.ops.columns import weighted_bernoulli_sample_batch
+
+    batch = pa.table({"doc_id": [0, 1, 2, 3],
+                      "w": pa.array([0.0, 2000.0, 500.0, 500.0],
+                                    pa.float64())})
+    out = weighted_bernoulli_sample_batch(batch, "doc_id", "w", 1000.0)
+    kept = out.column("doc_id").to_pylist()
+    assert 0 not in kept          # weight 0 never kept
+    assert 1 in kept              # weight > scale always kept
+    # rows 2/3: kept iff md5-uniform < 0.5, independent of batch order
+    for i in (2, 3):
+        u = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) / 2**32
+        assert (i in kept) == (u < 0.5)
+    # annotate mode preserves rows
+    ann = weighted_bernoulli_sample_batch(batch, "doc_id", "w", 1000.0,
+                                          out="keep")
+    assert ann.num_rows == 4
