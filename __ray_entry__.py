@@ -793,13 +793,10 @@ def _q_rrf_hybrid_topk(sf_dir: str):
     """Hybrid retrieval: BM25 top-10 ⊕ raw-term-count top-10 fused by
     reciprocal-rank fusion (floor(1e9/(60+rank)) int64 contributions —
     order-free sums, bit-identical SQL replay)."""
-    from open_thoughts_ray.ops.retrieval import (bm25_topk, rrf_fuse,
-                                                 termcount_topk)
+    from open_thoughts_ray.ops.retrieval import hybrid_rrf_topk
 
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
-    bm = bm25_topk(ds, _BM25_QUERIES, k=10)
-    tc = termcount_topk(ds, _BM25_QUERIES, k=10)
-    return rrf_fuse(bm, tc, k=10)
+    return hybrid_rrf_topk(ds, _BM25_QUERIES, k=10)
 
 
 def _q_hash_split(sf_dir: str):

@@ -46,6 +46,9 @@ QUERY_SUBSET = [
     "llm_annotate_documents",
     "bm25_topk_documents",
     "chunk_documents",
+    "boilerplate_removal_documents",
+    "tfidf_top_terms_documents",
+    "rrf_hybrid_topk_documents",
 ]
 
 

@@ -361,3 +361,81 @@ def rrf_fuse(ranked_a, ranked_b, k: int = 10, k0: int = 60,
 
     return fused.groupby("query_id").map_groups(final_topk,
                                                 batch_format="pandas")
+
+
+def hybrid_rrf_topk(ds, queries: dict[int, list[str]], k: int = 10,
+                    k0: int = 60, id_col: str = "doc_id",
+                    text_col: str = "text"):
+    """One-scan hybrid retrieval: the BM25 and term-count rankings come
+    from a SINGLE score pass (the tf matrix is computed once per batch
+    and feeds both rankers), then reciprocal-rank fusion — 2 passes over
+    the corpus total (stats + score) instead of the 3 that running
+    bm25_topk and termcount_topk separately costs.  Bit-identical to
+    rrf_fuse(bm25_topk(...), termcount_topk(...))."""
+    import pandas as pd
+
+    terms = sorted({t for ts in queries.values() for t in ts})
+    n_docs, sum_dl, df = corpus_term_stats(ds, terms, text_col=text_col)
+    avgdl = float(sum_dl) / float(n_docs)
+    idf = np.asarray(
+        [math.log((n_docs - int(d) + 0.5) / (int(d) + 0.5) + 1.0) for d in df],
+        dtype=np.float64,
+    )
+    qterm_idx = {qid: np.asarray([terms.index(t) for t in ts], dtype=np.int64)
+                 for qid, ts in queries.items()}
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf, dl = _term_freqs(batch.column(text_col).to_pylist(), terms)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        tff = tf.astype(np.float64)
+        dlf = dl.astype(np.float64)
+        denom = tff + (K1 * ((1.0 - B) + B * dlf / avgdl))[:, None]
+        contrib = idf[None, :] * (tff * (K1 + 1.0)) / denom
+        micro = np.floor(contrib * 1000000.0).astype(np.int64)
+        micro[tf == 0] = 0
+        out_r, out_q, out_id, out_s = [], [], [], []
+        for qid, cols in qterm_idx.items():
+            hit = (tf[:, cols] > 0).any(axis=1)
+            if not hit.any():
+                continue
+            rows = np.flatnonzero(hit)
+            sub_ids = ids[rows]
+            for ranker, scores in (
+                (0, micro[:, cols].sum(axis=1)[rows]),     # bm25 micro
+                (1, tf[:, cols].sum(axis=1)[rows]),        # raw term count
+            ):
+                order = np.lexsort((sub_ids, -scores))[:k]
+                for i in order:
+                    out_r.append(ranker)
+                    out_q.append(qid)
+                    out_id.append(int(sub_ids[i]))
+                    out_s.append(int(scores[i]))
+        return pa.table({
+            "ranker": pa.array(out_r, pa.int64()),
+            "query_id": pa.array(out_q, pa.int64()),
+            "doc_id": pa.array(out_id, pa.int64()),
+            "score": pa.array(out_s, pa.int64()),
+        })
+
+    cand = ds.map_batches(score, batch_format="pyarrow")
+
+    def ranked(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["ranker", "query_id", "doc_id", "rank"]]
+
+    both = cand.groupby(["ranker", "query_id"]).map_groups(
+        ranked, batch_format="pandas").materialize()
+
+    def only(r: int):
+        import pyarrow.compute as pc
+
+        return both.map_batches(
+            lambda t: t.filter(pc.equal(t.column("ranker"), r))
+            .drop_columns(["ranker"]),
+            batch_format="pyarrow",
+        )
+
+    return rrf_fuse(only(0), only(1), k=k, k0=k0)

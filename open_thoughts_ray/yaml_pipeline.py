@@ -221,6 +221,40 @@ def run_pipeline(doc: dict, output_id: str | None = None):
                 text_col=cfg.get("text_column", "text"),
                 ratio_threshold=float(cfg.get("ratio_threshold", 90.0)),
             )
+        elif typ == "boilerplate_removal":
+            from .ops.boilerplate import remove_boilerplate_lines
+
+            out = remove_boilerplate_lines(
+                ins[0], id_col=cfg.get("id_column", "doc_id"),
+                text_col=cfg.get("text_column", "text"),
+                line_tokens=cfg.get("line_tokens", 6),
+                min_df=int(cfg.get("min_df", 2)),
+            )
+        elif typ == "dedup_lines_within_doc":
+            from .ops.boilerplate import dedup_lines_within_doc
+
+            out = dedup_lines_within_doc(
+                ins[0], id_col=cfg.get("id_column", "doc_id"),
+                text_col=cfg.get("text_column", "text"),
+                line_tokens=cfg.get("line_tokens", 6),
+            )
+        elif typ == "zscore":
+            out = R.zscore_column(ins[0], cfg["column"],
+                                  cfg.get("output_column"))
+        elif typ == "minmax_normalize":
+            out = R.minmax_normalize_column(ins[0], cfg["column"],
+                                            cfg.get("output_column"))
+        elif typ == "robust_scale":
+            out = R.robust_scale_column(ins[0], cfg["column"],
+                                        cfg.get("output_column"))
+        elif typ == "tfidf_top_terms":
+            from .ops.retrieval import tfidf_top_terms
+
+            out = tfidf_top_terms(
+                ins[0], id_col=cfg.get("id_column", "doc_id"),
+                text_col=cfg.get("text_column", "text"),
+                k=int(cfg.get("k", 3)),
+            )
         elif typ == "decontaminate":
             from .ops.decontaminate import decontaminate
 

@@ -522,3 +522,47 @@ def test_geometry_gate_metadata_only(ray_session):
     ann2 = geometry_gate_batch(batch, min_side=1, max_aspect=100.0,
                                min_pixels=5000)
     assert ann2.column("geom_keep").to_pylist() == [False, False, True, True]
+
+
+def test_yaml_r3_ops(ray_session, tmp_path):
+    """YAML surface for the round-3 additions: boilerplate removal,
+    intra-doc line dedup, normalizers, TF-IDF."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from open_thoughts_ray.yaml_pipeline import run_pipeline
+
+    path = str(tmp_path / "docs.parquet")
+    boiler = "one two three four five six"
+    pq.write_table(pa.table({
+        "doc_id": [1, 2, 3],
+        "text": [boiler + " u1 u2 u3 u4 u5 u6",
+                 boiler + " w1 w2 w3 w4 w5 w6",
+                 "solo doc nothing shared here now"],
+        "score": pa.array([1.0, 2.0, 4.0], pa.float64()),
+    }), path)
+
+    doc = {"operators": [
+        {"id": "src", "config": {"type": "parquet_source", "path": path}},
+        {"id": "bp", "config": {"type": "boilerplate_removal"}},
+    ]}
+    out = run_pipeline(doc).to_pandas().sort_values("doc_id")
+    assert out["clean_text"].tolist() == [
+        "u1 u2 u3 u4 u5 u6", "w1 w2 w3 w4 w5 w6",
+        "solo doc nothing shared here now"]
+
+    doc2 = {"operators": [
+        {"id": "src", "config": {"type": "parquet_source", "path": path}},
+        {"id": "z", "config": {"type": "minmax_normalize",
+                               "column": "score",
+                               "output_column": "s01"}},
+    ]}
+    out2 = run_pipeline(doc2).to_pandas().sort_values("doc_id")
+    assert out2["s01"].tolist() == [0.0, 1.0 / 3.0, 1.0]
+
+    doc3 = {"operators": [
+        {"id": "src", "config": {"type": "parquet_source", "path": path}},
+        {"id": "kw", "config": {"type": "tfidf_top_terms", "k": 1}},
+    ]}
+    out3 = run_pipeline(doc3).to_pandas()
+    assert len(out3) == 3 and set(out3.columns) == {"doc_id", "term", "score"}

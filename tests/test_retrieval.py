@@ -254,3 +254,25 @@ def test_termcount_and_rrf_fuse(ray_session):
     for r in fused.itertuples():
         exp = int(1e9 // (60 + bmr[r.doc_id])) + int(1e9 // (60 + tcr[r.doc_id]))
         assert r.rrf_micro == exp
+
+
+def test_hybrid_rrf_single_pass_equals_two_pass(ray_session):
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.retrieval import (bm25_topk, hybrid_rrf_topk,
+                                                 rrf_fuse, termcount_topk)
+
+    rng = np.random.RandomState(5)
+    words = ["hash", "join", "scan", "sort", "merge", "other"]
+    texts = [" ".join(rng.choice(words, size=rng.randint(4, 15)))
+             for _ in range(50)]
+    df = pd.DataFrame({"doc_id": range(50), "text": texts})
+    queries = {0: ["hash", "join"], 1: ["sort"]}
+
+    two = rrf_fuse(bm25_topk(rd.from_pandas(df), queries, k=5),
+                   termcount_topk(rd.from_pandas(df), queries, k=5),
+                   k=5).to_pandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    one = hybrid_rrf_topk(rd.from_pandas(df), queries, k=5).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(one, two, check_dtype=False)
