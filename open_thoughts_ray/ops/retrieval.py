@@ -215,16 +215,24 @@ def tfidf_top_terms(ds, id_col: str = "doc_id", text_col: str = "text",
         class Score:
             def __init__(self):
                 self.df = ray.get(ref)
+                # idf memo: ln is computed ONCE per distinct token per
+                # actor, not once per (doc, term) — web vocab repeats
+                # heavily, so this removes almost every libm call
+                self.idf: dict[str, float] = {}
+
+            def _idf(self, tok: str) -> float:
+                v = self.idf.get(tok)
+                if v is None:
+                    v = math.log(float(n_docs) / float(self.df[tok]))
+                    self.idf[tok] = v
+                return v
 
             def __call__(self, batch: pa.Table) -> pa.Table:
                 out_id, out_t, out_s = [], [], []
                 ids = batch.column(id_col).to_pylist()
                 for i, t in zip(ids, batch.column(text_col).to_pylist()):
-                    scored = [
-                        (float(c) * math.log(float(n_docs) / float(self.df[tok])),
-                         tok)
-                        for tok, c in doc_tf(t).items()
-                    ]
+                    scored = [(float(c) * self._idf(tok), tok)
+                              for tok, c in doc_tf(t).items()]
                     scored.sort(key=lambda x: (-x[0], x[1]))
                     for s, tok in scored[:k]:
                         out_id.append(i)
