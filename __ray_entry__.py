@@ -846,6 +846,38 @@ def _q_minmax_events(sf_dir: str):
         ["event_id", "norm_value"])
 
 
+def _q_psi_events(sf_dir: str):
+    """Population Stability Index between the even/odd event_id halves
+    of events.value (20 bins over [0, 200)) — drift monitor; quantized
+    at 1e-6."""
+    import math
+
+    import pyarrow.compute as pc
+
+    from open_thoughts_ray.ops.relational import (filter_expr,
+                                                  population_stability_index)
+
+    ds = _rp(sf_dir, "events", ["event_id", "value"])
+    even = filter_expr(ds, lambda t: pc.equal(
+        pc.bit_wise_and(t.column("event_id"), 1), 0))
+    odd = filter_expr(ds, lambda t: pc.equal(
+        pc.bit_wise_and(t.column("event_id"), 1), 1))
+    val = population_stability_index(even, odd, "value", 0.0, 200.0, 20)
+    q = math.floor(val * 1_000_000) / 1_000_000
+    return pa.table({"psi": pa.array([q], pa.float64())})
+
+
+def _q_zscore_per_type_events(sf_dir: str):
+    """Per-event_type z-score of value on exact cents moments — the
+    within-group normalizer; hash-identical to the SQL window replay."""
+    from open_thoughts_ray.ops.relational import zscore_per_group
+
+    ds = _rp(sf_dir, "events", ["event_id", "event_type", "value"])
+    return zscore_per_group(ds, "event_type", "value",
+                            "z_value").select_columns(
+        ["event_id", "z_value"])
+
+
 def _q_dau_events(sf_dir: str):
     """Daily active users: exact count(DISTINCT user) per day — derived
     day key + two-level distinct groupby (no per-group sets)."""
@@ -1060,6 +1092,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mi_lang_source_documents": _q_mi_lang_source,
         "dau_events": _q_dau_events,
         "weighted_sample_documents": _q_weighted_sample_documents,
+        "psi_events": _q_psi_events,
+        "zscore_per_type_events": _q_zscore_per_type_events,
     }
 
 
@@ -1602,6 +1636,47 @@ def oracle_sql() -> dict[str, str]:
                   FROM l)
             SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS dedup_text
             FROM k WHERE rn = 1 GROUP BY doc_id
+        """,
+        "psi_events": """
+            WITH ha AS (SELECT CAST(least(greatest(
+                          floor((value - 0.0) / ((200.0 - 0.0) / 20.0)),
+                          0), 19) AS BIGINT) AS b,
+                        CAST(count(*) AS BIGINT) AS x
+                 FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+            hb AS (SELECT CAST(least(greatest(
+                          floor((value - 0.0) / ((200.0 - 0.0) / 20.0)),
+                          0), 19) AS BIGINT) AS b,
+                        CAST(count(*) AS BIGINT) AS y
+                 FROM events WHERE event_id % 2 = 1 GROUP BY 1),
+            s AS (SELECT (SELECT CAST(sum(x) AS BIGINT) FROM ha) AS na,
+                         (SELECT CAST(sum(y) AS BIGINT) FROM hb) AS nb)
+            SELECT floor(sum(
+                     (CAST(x AS DOUBLE)/CAST(na AS DOUBLE)
+                      - CAST(y AS DOUBLE)/CAST(nb AS DOUBLE))
+                     * ln((CAST(x AS DOUBLE)/CAST(na AS DOUBLE))
+                          / (CAST(y AS DOUBLE)/CAST(nb AS DOUBLE))))
+                   * 1000000) / 1000000 AS psi
+            FROM ha JOIN hb USING (b), s
+        """,
+        "zscore_per_type_events": """
+            WITH c AS (SELECT event_id, event_type,
+                              CAST(floor(value*100 + 0.5) AS BIGINT) AS c
+                       FROM events),
+            s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(c) AS BIGINT) AS s,
+                         CAST(sum(c*c) AS BIGINT) AS ss
+                  FROM c GROUP BY event_type),
+            m AS (SELECT event_type,
+                         CAST(s AS DOUBLE)/CAST(n AS DOUBLE) AS mu,
+                         CAST(ss AS DOUBLE)/CAST(n AS DOUBLE)
+                           - (CAST(s AS DOUBLE)/CAST(n AS DOUBLE))
+                             * (CAST(s AS DOUBLE)/CAST(n AS DOUBLE)) AS var
+                  FROM s)
+            SELECT c.event_id,
+                   CASE WHEN m.var > 0
+                        THEN (CAST(c.c AS DOUBLE) - m.mu) / sqrt(m.var)
+                        ELSE 0.0 END AS z_value
+            FROM c JOIN m USING (event_type)
         """,
         "dau_events": """
             SELECT strftime(ts, '%Y-%m-%d') AS day,

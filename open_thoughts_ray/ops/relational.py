@@ -380,6 +380,97 @@ def mutual_information(ds, a_col: str, b_col: str) -> float:
     return total
 
 
+def population_stability_index(ds_a, ds_b, value_col: str, lo: float,
+                               hi: float, nbins: int) -> float:
+    """Population Stability Index between two datasets' distributions of
+    ``value_col`` over a fixed-width binning — the standard
+    score/feature drift monitor (PSI = Σ (p−q)·ln(p/q); <0.1 stable,
+    >0.25 shifted).  Two histogram_column passes (per-batch pre-combined
+    bucket counts, one tiny grouped Sum each); only 2·nbins integers
+    reach the driver.  Buckets empty on either side are skipped (the
+    no-epsilon convention), mirrored exactly by the SQL replay; callers
+    quantize the final sum."""
+    ha = histogram_column(ds_a, value_col, lo, hi, nbins).to_pandas()
+    hb = histogram_column(ds_b, value_col, lo, hi, nbins).to_pandas()
+    ca = dict(zip(ha["bucket"].astype(int), ha["n"].astype(int)))
+    cb = dict(zip(hb["bucket"].astype(int), hb["n"].astype(int)))
+    na, nb = sum(ca.values()), sum(cb.values())
+    if na == 0 or nb == 0:
+        return 0.0
+    total = 0.0
+    for b in range(nbins):
+        x, y = ca.get(b, 0), cb.get(b, 0)
+        if x > 0 and y > 0:
+            p = float(x) / float(na)
+            q = float(y) / float(nb)
+            total += (p - q) * math.log(p / q)
+    return total
+
+
+def zscore_per_group(ds, group_col: str, value_col: str,
+                     out_col: str | None = None, scale: int = 100):
+    """Per-GROUP z-score standardization (normalize scores within each
+    language/source before a global threshold).  Same exact-integer
+    cents-moments trick as zscore_column, per group: one
+    ``groupby(group).sum`` over (n, Σc, Σc²) partials pre-combined in
+    every batch, a broadcast {group: (mu, sigma)} map (O(#groups)), and
+    a rewrite pass — order-free, hash-identical to the SQL window
+    replay.  Zero-variance groups → 0.0."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    out_col = out_col or f"z_{value_col}"
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        c = np.floor(v * scale + 0.5).astype(np.int64)
+        g = t.column(group_col).to_pylist()
+        agg: dict = {}
+        for gi, ci in zip(g, c):
+            n, s, ss = agg.get(gi, (0, 0, 0))
+            agg[gi] = (n + 1, s + int(ci), ss + int(ci) * int(ci))
+        ks = list(agg.keys())
+        return pa.table({
+            group_col: pa.array(ks),
+            "n": pa.array([agg[k][0] for k in ks], pa.int64()),
+            "s": pa.array([agg[k][1] for k in ks], pa.int64()),
+            "ss": pa.array([agg[k][2] for k in ks], pa.int64()),
+        })
+
+    stats = (ds.select_columns([group_col, value_col])
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby(group_col)
+             .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                        Sum("ss", alias_name="ss"))
+             .to_pandas())  # O(#groups)
+    params = {}
+    for g, n, s, ss in zip(stats[group_col], stats["n"], stats["s"],
+                           stats["ss"]):
+        mu = float(s) / float(n)
+        var = float(ss) / float(n) - mu * mu
+        params[g] = (mu, float(np.sqrt(var)) if var > 0 else 0.0)
+    ref = ray.put(params)
+
+    class Rewrite:
+        def __init__(self):
+            self.params = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            v = t.column(value_col).to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            c = np.floor(v * scale + 0.5)
+            g = t.column(group_col).to_pylist()
+            out = np.empty(len(c))
+            for i, gi in enumerate(g):
+                mu, sigma = self.params[gi]
+                out[i] = (c[i] - mu) / sigma if sigma > 0 else 0.0
+            return t.append_column(out_col, pa.array(out, pa.float64()))
+
+    return ds.map_batches(Rewrite, batch_format="pyarrow",
+                          concurrency=(1, 8))
+
+
 def robust_scale_column(ds, value_col: str, out_col: str | None = None,
                         exact_threshold: int = 2_000_000,
                         num_points: int = 1024):

@@ -325,3 +325,41 @@ def test_mutual_information(ray_session):
                         "b": ["p", "q", "p", "q"]})
     assert mutual_information(rd.from_pandas(ind), "a", "b") == \
         pytest.approx(0.0, abs=1e-12)
+
+
+def test_population_stability_index(ray_session):
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.relational import population_stability_index
+
+    a = pd.DataFrame({"v": [5.0] * 50 + [15.0] * 50})
+    b_same = pd.DataFrame({"v": [5.0] * 30 + [15.0] * 30})
+    assert population_stability_index(
+        rd.from_pandas(a), rd.from_pandas(b_same), "v", 0, 20, 2) == \
+        pytest.approx(0.0, abs=1e-12)
+    b_shift = pd.DataFrame({"v": [5.0] * 10 + [15.0] * 90})
+    got = population_stability_index(
+        rd.from_pandas(a), rd.from_pandas(b_shift), "v", 0, 20, 2)
+    exp = (0.5 - 0.1) * math.log(0.5 / 0.1) + (0.5 - 0.9) * math.log(0.5 / 0.9)
+    assert got == pytest.approx(exp, rel=1e-12)
+
+
+def test_zscore_per_group(ray_session):
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.relational import zscore_per_group
+
+    df = pd.DataFrame({
+        "event_id": range(6),
+        "g": ["a", "a", "a", "b", "b", "b"],
+        "v": [1.0, 2.0, 3.0, 10.0, 10.0, 10.0],
+    })
+    got = (zscore_per_group(rd.from_pandas(df).repartition(3), "g", "v")
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    c = (df.v * 100).round()
+    for g in ("a", "b"):
+        sel = df.g == g
+        mu = c[sel].mean()
+        var = (c[sel] ** 2).mean() - mu * mu
+        exp = ((c[sel] - mu) / math.sqrt(var)) if var > 0 else c[sel] * 0.0
+        assert np.allclose(got.loc[sel.values, "z_v"], exp, rtol=0, atol=0)
