@@ -789,6 +789,15 @@ def _q_bm25_topk(sf_dir: str):
     return bm25_topk(ds, _BM25_QUERIES, k=10)
 
 
+def _q_ctfidf_per_source(sf_dir: str):
+    """c-TF-IDF (BERTopic): top-5 terms most characteristic of each
+    source — class term counts + class-df, fully shuffle-based."""
+    from open_thoughts_ray.ops.retrieval import ctfidf_top_terms_per_class
+
+    ds = _rp(sf_dir, "documents", ["source", "text"])
+    return ctfidf_top_terms_per_class(ds, "source", "text", k=5)
+
+
 def _q_rrf_hybrid_topk(sf_dir: str):
     """Hybrid retrieval: BM25 top-10 ⊕ raw-term-count top-10 fused by
     reciprocal-rank fusion (floor(1e9/(60+rank)) int64 contributions —
@@ -1094,6 +1103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_documents": _q_weighted_sample_documents,
         "psi_events": _q_psi_events,
         "zscore_per_type_events": _q_zscore_per_type_events,
+        "ctfidf_per_source_documents": _q_ctfidf_per_source,
     }
 
 
@@ -1636,6 +1646,26 @@ def oracle_sql() -> dict[str, str]:
                   FROM l)
             SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS dedup_text
             FROM k WHERE rn = 1 GROUP BY doc_id
+        """,
+        "ctfidf_per_source_documents": """
+            WITH tok AS (SELECT source, unnest(string_split(text, ' '))
+                           AS term FROM documents),
+            tf AS (SELECT source, term, CAST(count(*) AS DOUBLE) AS tf
+                   FROM tok GROUP BY source, term),
+            nc AS (SELECT CAST(count(DISTINCT source) AS DOUBLE) AS n
+                   FROM documents),
+            dfs AS (SELECT term,
+                           CAST(count(DISTINCT source) AS DOUBLE) AS df
+                    FROM tok GROUP BY term),
+            s AS (SELECT tf.source, tf.term,
+                         tf.tf * ln(nc.n / dfs.df) AS raw
+                  FROM tf JOIN dfs USING (term), nc),
+            r AS (SELECT source, term, raw,
+                         row_number() OVER (PARTITION BY source
+                           ORDER BY raw DESC, term) AS rn
+                  FROM s)
+            SELECT source, term, floor(raw*1000000)/1000000 AS score
+            FROM r WHERE rn <= 5
         """,
         "psi_events": """
             WITH ha AS (SELECT CAST(least(greatest(

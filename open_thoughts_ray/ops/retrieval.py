@@ -447,3 +447,70 @@ def hybrid_rrf_topk(ds, queries: dict[int, list[str]], k: int = 10,
         )
 
     return rrf_fuse(only(0), only(1), k=k, k0=k0)
+
+
+def ctfidf_top_terms_per_class(ds, class_col: str = "source",
+                               text_col: str = "text", k: int = 5,
+                               num_partitions: int | None = None):
+    """Class-based TF-IDF (the c-TF-IDF of BERTopic, Grootendorst 2022):
+    Dataset[(class, term, score)] with the k terms most CHARACTERISTIC
+    of each class — score = tf_class · ln(n_classes / class-df) — the
+    "what distinguishes each source/cluster" audit view.
+
+    Fully shuffle-based (nothing vocabulary-sized on the driver): one
+    ``groupby(class, term).sum`` builds the class term counts, a
+    (term → class-df) table derives from it with a second grouped Sum,
+    one hash-join re-attaches df, and a per-class top-k map_groups
+    finishes.  ln is evaluated through a precomputed {df: ln(n/df)}
+    table (df has at most n_classes values) using libm — bit-identical
+    to DuckDB's ln, ties (score desc, term asc)."""
+    import pandas as pd
+
+    from .dedup_text import _auto_partitions
+    from ray.data.aggregate import Sum
+
+    num_partitions = _auto_partitions(num_partitions)
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts: dict[tuple, int] = {}
+        for cls, txt in zip(t.column(class_col).to_pylist(),
+                            t.column(text_col).to_pylist()):
+            for tok in (txt or "").split(" "):
+                key = (cls, tok)
+                counts[key] = counts.get(key, 0) + 1
+        ks = list(counts.keys())
+        return pa.table({
+            class_col: pa.array([x[0] for x in ks]),
+            "term": pa.array([x[1] for x in ks], pa.string()),
+            "c": pa.array(list(counts.values()), pa.int64()),
+        })
+
+    tf = (ds.select_columns([class_col, text_col])
+          .map_batches(partial, batch_format="pyarrow")
+          .groupby([class_col, "term"])
+          .aggregate(Sum("c", alias_name="tf"))
+          .repartition(num_partitions).materialize())
+    n_classes = tf.map_batches(
+        lambda t: pa.table({class_col: t.column(class_col)}),
+        batch_format="pyarrow").groupby(class_col).count().count()
+    dfs = tf.map_batches(
+        lambda t: pa.table({"term": t.column("term"),
+                            "one": pa.array([1] * t.num_rows, pa.int64())}),
+        batch_format="pyarrow",
+    ).groupby("term").aggregate(Sum("one", alias_name="df")) \
+        .repartition(num_partitions).materialize()
+    logtab = {d: math.log(float(n_classes) / float(d))
+              for d in range(1, n_classes + 1)}
+    joined = tf.join(dfs, join_type="inner", on=("term",),
+                     num_partitions=num_partitions)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        raw = np.asarray([float(c) * logtab[int(d)]
+                          for c, d in zip(g["tf"], g["df"])])
+        g = g.assign(score=np.floor(raw * 1000000.0) / 1000000.0,
+                     _raw=raw)
+        g = g.sort_values(["_raw", "term"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        return g[[class_col, "term", "score"]]
+
+    return joined.groupby(class_col).map_groups(topk, batch_format="pandas")

@@ -276,3 +276,46 @@ def test_hybrid_rrf_single_pass_equals_two_pass(ray_session):
     one = hybrid_rrf_topk(rd.from_pandas(df), queries, k=5).to_pandas() \
         .sort_values(["query_id", "rank"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(one, two, check_dtype=False)
+
+
+def test_ctfidf_top_terms_per_class(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from collections import Counter
+
+    from open_thoughts_ray.ops.retrieval import ctfidf_top_terms_per_class
+
+    df = pd.DataFrame({
+        "source": ["s1", "s1", "s2", "s2"],
+        "text": ["apple apple shared", "apple shared",
+                 "banana banana shared", "banana shared shared"],
+    })
+    got = (ctfidf_top_terms_per_class(rd.from_pandas(df), "source", "text",
+                                      k=2).to_pandas()
+           .sort_values(["source", "score", "term"],
+                        ascending=[True, False, True])
+           .reset_index(drop=True))
+    # direct computation
+    classes = sorted(df.source.unique())
+    tf = Counter()
+    classes_per_term = {}
+    for s, t in zip(df.source, df.text):
+        for tok in t.split(" "):
+            tf[(s, tok)] += 1
+    for (s, tok) in tf:
+        classes_per_term.setdefault(tok, set()).add(s)
+    rows = []
+    for s in classes:
+        scored = sorted(
+            ((c * math.log(len(classes) / len(classes_per_term[tok])), tok)
+             for (cs, tok), c in tf.items() if cs == s),
+            key=lambda x: (-x[0], x[1]))[:2]
+        for sc, tok in scored:
+            rows.append((s, tok, math.floor(sc * 1e6) / 1e6))
+    exp = pd.DataFrame(rows, columns=["source", "term", "score"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # the class-exclusive term dominates its class
+    assert got[got.source == "s1"].iloc[0]["term"] == "apple"
+    assert got[got.source == "s2"].iloc[0]["term"] == "banana"
