@@ -789,6 +789,26 @@ def _q_bm25_topk(sf_dir: str):
     return bm25_topk(ds, _BM25_QUERIES, k=10)
 
 
+def _q_profile_documents(sf_dir: str):
+    """One-row dataset card (n_docs / tokens / chars / distinct tokens /
+    entropy) — entropy floor-quantized at 1e-6 like token_entropy."""
+    import math
+
+    from open_thoughts_ray.ops.textstats import corpus_profile
+
+    ds = _rp(sf_dir, "documents", ["text"])
+    p = corpus_profile(ds)
+    return pa.table({
+        "n_docs": pa.array([p["n_docs"]], pa.int64()),
+        "n_tokens": pa.array([p["n_tokens"]], pa.int64()),
+        "n_chars": pa.array([p["n_chars"]], pa.int64()),
+        "distinct_tokens": pa.array([p["distinct_tokens"]], pa.int64()),
+        "token_entropy": pa.array(
+            [math.floor(p["token_entropy"] * 1_000_000) / 1_000_000],
+            pa.float64()),
+    })
+
+
 def _q_ctfidf_per_source(sf_dir: str):
     """c-TF-IDF (BERTopic): top-5 terms most characteristic of each
     source — class term counts + class-df, fully shuffle-based."""
@@ -1104,6 +1124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "psi_events": _q_psi_events,
         "zscore_per_type_events": _q_zscore_per_type_events,
         "ctfidf_per_source_documents": _q_ctfidf_per_source,
+        "profile_documents": _q_profile_documents,
     }
 
 
@@ -1646,6 +1667,21 @@ def oracle_sql() -> dict[str, str]:
                   FROM l)
             SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS dedup_text
             FROM k WHERE rn = 1 GROUP BY doc_id
+        """,
+        "profile_documents": """
+            WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t
+                         FROM documents),
+            c AS (SELECT t, CAST(count(*) AS DOUBLE) AS n FROM tok GROUP BY t),
+            s AS (SELECT sum(n) AS tot,
+                         CAST(count(*) AS BIGINT) AS d FROM c)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+                   (SELECT CAST(count(*) AS BIGINT) FROM tok) AS n_tokens,
+                   (SELECT CAST(sum(length(text)) AS BIGINT) FROM documents)
+                     AS n_chars,
+                   s.d AS distinct_tokens,
+                   floor((SELECT -sum((n/tot) * ln(n/tot)) FROM c, s)
+                         * 1000000) / 1000000 AS token_entropy
+            FROM s
         """,
         "ctfidf_per_source_documents": """
             WITH tok AS (SELECT source, unnest(string_split(text, ' '))

@@ -145,3 +145,55 @@ def bpe_token_count_batch(batch: pa.Table, text_col: str = "text",
     n = np.asarray([len(_BPE_RE.findall(t)) if t else 0 for t in texts],
                    dtype=np.int64)
     return batch.append_column(out, pa.array(n, pa.int64()))
+
+
+def corpus_profile(ds, text_col: str = "text") -> dict:
+    """One-row dataset card: (n_docs, total_tokens, total_chars,
+    distinct_tokens, token_entropy) — the audit summary written next to
+    every published dataset.  One map_batches partial-sums pass for the
+    scalar counts plus the token groupby the entropy/distinct metrics
+    share; nothing row- or vocabulary-sized reaches the driver (entropy
+    via the two-Sum identity, distinct via a grouped count)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    from .consensus import _partial_token_counts
+
+    def scalar_partial(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        toks = sum(len((x or "").split(" ")) for x in texts)
+        chars = sum(len(x or "") for x in texts)
+        return pa.table({
+            "n_docs": pa.array([len(texts)], pa.int64()),
+            "n_tokens": pa.array([toks], pa.int64()),
+            "n_chars": pa.array([chars], pa.int64()),
+        })
+
+    s = ds.map_batches(scalar_partial, batch_format="pyarrow") \
+        .sum(["n_docs", "n_tokens", "n_chars"])
+    grouped = ds.map_batches(
+        _partial_token_counts, batch_format="pyarrow",
+        fn_kwargs={"text_col": text_col},
+    ).groupby("token").aggregate(Sum("c", alias_name="n")).materialize()
+
+    def ent_partial(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "s1": pa.array([float((n * np.log(n)).sum())], pa.float64()),
+            "t": pa.array([float(n.sum())], pa.float64()),
+            "d": pa.array([len(n)], pa.int64()),
+        })
+
+    e = grouped.map_batches(ent_partial, batch_format="pyarrow") \
+        .sum(["s1", "t", "d"])
+    tot = float(e["sum(t)"])
+    entropy = float(np.log(tot) - float(e["sum(s1)"]) / tot) if tot > 0 else 0.0
+    return {
+        "n_docs": int(s["sum(n_docs)"] or 0),
+        "n_tokens": int(s["sum(n_tokens)"] or 0),
+        "n_chars": int(s["sum(n_chars)"] or 0),
+        "distinct_tokens": int(e["sum(d)"] or 0),
+        "token_entropy": entropy,
+    }

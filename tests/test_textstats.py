@@ -49,3 +49,25 @@ def test_gopher_filter_drops_planted(ray_session):
     ids = set(out.doc_id)
     assert all(r["doc_id"] in ids for r in clean)
     assert 100 not in ids and 101 not in ids
+
+
+def test_corpus_profile(ray_session):
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from collections import Counter
+
+    from open_thoughts_ray.ops.textstats import corpus_profile
+
+    texts = ["a a b", "b c", "a"]
+    p = corpus_profile(rd.from_pandas(pd.DataFrame({"text": texts})))
+    assert p["n_docs"] == 3
+    assert p["n_tokens"] == 6
+    assert p["n_chars"] == sum(len(t) for t in texts)
+    assert p["distinct_tokens"] == 3
+    c = Counter(t for s in texts for t in s.split(" "))
+    tot = sum(c.values())
+    exp = -sum(v / tot * math.log(v / tot) for v in c.values())
+    assert abs(p["token_entropy"] - exp) < 1e-9
