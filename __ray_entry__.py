@@ -789,6 +789,15 @@ def _q_bm25_topk(sf_dir: str):
     return bm25_topk(ds, _BM25_QUERIES, k=10)
 
 
+def _q_funnel_events(sf_dir: str):
+    """Ordered view → click → purchase funnel: per-stage user counts
+    with strictly-increasing timestamps between stages."""
+    from open_thoughts_ray.ops.temporal import funnel_counts
+
+    ds = _rp(sf_dir, "events", ["user_id", "event_type", "ts"])
+    return funnel_counts(ds, ["view", "click", "purchase"])
+
+
 def _q_profile_documents(sf_dir: str):
     """One-row dataset card (n_docs / tokens / chars / distinct tokens /
     entropy) — entropy floor-quantized at 1e-6 like token_entropy."""
@@ -1125,6 +1134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_per_type_events": _q_zscore_per_type_events,
         "ctfidf_per_source_documents": _q_ctfidf_per_source,
         "profile_documents": _q_profile_documents,
+        "funnel_events": _q_funnel_events,
     }
 
 
@@ -1667,6 +1677,19 @@ def oracle_sql() -> dict[str, str]:
                   FROM l)
             SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS dedup_text
             FROM k WHERE rn = 1 GROUP BY doc_id
+        """,
+        "funnel_events": """
+            WITH t1 AS (SELECT user_id, min(ts) AS t FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+            t2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                   JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t
+                   WHERE e.event_type = 'click' GROUP BY e.user_id),
+            t3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                   JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t
+                   WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM t1) AS n_view,
+                   (SELECT CAST(count(*) AS BIGINT) FROM t2) AS n_click,
+                   (SELECT CAST(count(*) AS BIGINT) FROM t3) AS n_purchase
         """,
         "profile_documents": """
             WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t

@@ -233,3 +233,42 @@ def max_gap_per_key(events, key: str, ts_col: str):
     return events.select_columns([key, ts_col]).groupby(key).map_groups(
         per_key, batch_format="pandas"
     )
+
+
+def funnel_counts(ds, stages: list[str], user_col: str = "user_id",
+                  type_col: str = "event_type", ts_col: str = "ts"):
+    """Ordered funnel analysis: one row of per-stage user counts, where a
+    user completes stage i+1 only with an event STRICTLY after their
+    earliest completion of stage i (the product-analytics funnel).
+
+    One keyed shuffle of the thin (user, type, ts) projection; the
+    per-user kernel is vectorized mins (no sort), and each group emits
+    one 0/1 row per stage folded by a final Sum — output is
+    O(#stages)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    thin = ds.select_columns([user_col, type_col, ts_col])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        types = g[type_col].to_numpy(dtype=object)
+        ts = g[ts_col].to_numpy()
+        done = np.zeros(len(stages), dtype=np.int64)
+        cutoff = None
+        for i, stage in enumerate(stages):
+            sel = types == stage
+            if cutoff is not None:
+                sel = sel & (ts > cutoff)
+            if not sel.any():
+                break
+            cutoff = ts[sel].min()
+            done[i] = 1
+        return pd.DataFrame({f"n_{s}": [int(done[i])]
+                             for i, s in enumerate(stages)})
+
+    per = thin.groupby(user_col).map_groups(per_user, batch_format="pandas")
+    sums = per.sum([f"n_{s}" for s in stages])
+    return pa.table({f"n_{s}": pa.array([int(sums[f"sum(n_{s})"] or 0)],
+                                        pa.int64())
+                     for s in stages})

@@ -132,3 +132,34 @@ def test_rolling_sum_per_key(ray_session):
     ).to_pandas()
     got = out.set_index("eid")["r"].to_dict()
     assert got == {0: 1, 1: 11, 2: 111, 3: 1110, 4: 7}
+
+
+def test_funnel_counts(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.temporal import funnel_counts
+
+    ts = pd.to_datetime([
+        # user 1: full ordered funnel
+        "2024-01-01 00:00", "2024-01-01 01:00", "2024-01-01 02:00",
+        # user 2: purchase BEFORE view → only stage 1 counts
+        "2024-01-02 05:00", "2024-01-02 06:00",
+        # user 3: view+click, no purchase
+        "2024-01-03 00:00", "2024-01-03 00:30",
+        # user 4: click only → no stages
+        "2024-01-04 00:00",
+    ])
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2, 3, 3, 4],
+        "event_type": ["view", "click", "purchase",
+                       "purchase", "view",
+                       "view", "click",
+                       "click"],
+        "ts": ts,
+    })
+    out = funnel_counts(rd.from_pandas(df).repartition(3),
+                        ["view", "click", "purchase"])
+    assert out.column("n_view").to_pylist() == [3]
+    assert out.column("n_click").to_pylist() == [2]
+    assert out.column("n_purchase").to_pylist() == [1]
