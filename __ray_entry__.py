@@ -789,6 +789,24 @@ def _q_bm25_topk(sf_dir: str):
     return bm25_topk(ds, _BM25_QUERIES, k=10)
 
 
+def _q_delta_ingest(sf_dir: str):
+    """Incremental-ingest dedup: the doc_id%4==3 quarter is 'today's
+    crawl', deduped by 10-token-prefix fingerprint against the already-
+    ingested three quarters — one thin hash anti-join."""
+    import pyarrow.compute as pc
+
+    from open_thoughts_ray.ops.dedup import delta_ingest_dedup
+    from open_thoughts_ray.ops.relational import filter_expr
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    seen = filter_expr(ds, lambda t: pc.less(
+        pc.bit_wise_and(t.column("doc_id"), 3), 3))
+    new = filter_expr(ds, lambda t: pc.equal(
+        pc.bit_wise_and(t.column("doc_id"), 3), 3))
+    out = delta_ingest_dedup(new, seen, prefix_tokens=10)
+    return out.select_columns(["doc_id", "fp"])
+
+
 def _q_funnel_events(sf_dir: str):
     """Ordered view → click → purchase funnel: per-stage user counts
     with strictly-increasing timestamps between stages."""
@@ -1135,6 +1153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ctfidf_per_source_documents": _q_ctfidf_per_source,
         "profile_documents": _q_profile_documents,
         "funnel_events": _q_funnel_events,
+        "delta_ingest_documents": _q_delta_ingest,
     }
 
 
@@ -1677,6 +1696,15 @@ def oracle_sql() -> dict[str, str]:
                   FROM l)
             SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS dedup_text
             FROM k WHERE rn = 1 GROUP BY doc_id
+        """,
+        "delta_ingest_documents": """
+            WITH f AS (SELECT doc_id,
+                              md5(array_to_string(list_slice(
+                                string_split(text, ' '), 1, 10), ' ')) AS fp
+                       FROM documents)
+            SELECT doc_id, fp FROM f
+            WHERE doc_id % 4 = 3
+              AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 4 < 3)
         """,
         "funnel_events": """
             WITH t1 AS (SELECT user_id, min(ts) AS t FROM events

@@ -549,3 +549,46 @@ def near_dup_keep_best(ds, id_col: str = "image_id",
     drop_ds = joined.groupby("label").map_groups(emit_losers,
                                                  batch_format="pandas")
     return anti_join_ids(ds, id_col, drop_ds, num_partitions)
+
+
+def delta_ingest_dedup(new_ds, seen_ds, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       num_partitions: int | None = None,
+                       prefix_tokens: int | None = None):
+    """Incremental-ingest dedup: keep only NEW rows whose content
+    fingerprint (md5 of ``text_col``) does not already exist in the
+    ingested corpus — the day-N+1 crawl pattern (dedup the delta against
+    state, never re-scan history against itself).
+
+    Both sides reduce to thin fingerprint projections; the membership
+    test is one hash anti-join (pairverify.anti_join_ids), so the only
+    shuffle carries (fp, id) pairs and DISTINCT seen fingerprints —
+    nothing text-sized moves.  At 10^12 rows the seen side is a
+    pre-materialized fingerprint table updated per ingest batch.
+
+    ``prefix_tokens`` switches the fingerprint from the full text to the
+    first k tokens — the truncation-tolerant variant (a crawl re-fetch
+    that appends a footer still matches its prior version)."""
+    import hashlib
+
+    from .dedup_text import _auto_partitions
+    from .pairverify import anti_join_ids
+
+    num_partitions = _auto_partitions(num_partitions)
+
+    def add_fp(t: pa.Table) -> pa.Table:
+        def fp(x: str | None) -> str:
+            s = x or ""
+            if prefix_tokens is not None:
+                s = " ".join(s.split(" ")[:prefix_tokens])
+            return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+        fps = [fp(x) for x in t.column(text_col).to_pylist()]
+        return t.append_column("fp", pa.array(fps, pa.string()))
+
+    seen_fps = seen_ds.select_columns([text_col]).map_batches(
+        add_fp, batch_format="pyarrow",
+    ).map_batches(lambda t: pa.table({"id": t.column("fp")}),
+                  batch_format="pyarrow")
+    keyed = new_ds.map_batches(add_fp, batch_format="pyarrow")
+    return anti_join_ids(keyed, "fp", seen_fps, num_partitions)

@@ -292,3 +292,25 @@ def test_near_dup_keep_best_tie_breaks_min_id(ray_session):
     got = near_dup_keep_best(rd.from_pandas(df), bands=2, hamming_max=3,
                              num_partitions=4).to_pandas()
     assert got["image_id"].tolist() == ["z1"]
+
+
+def test_delta_ingest_dedup(ray_session):
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.dedup import delta_ingest_dedup
+
+    seen = pd.DataFrame({"doc_id": [0, 1],
+                         "text": ["alpha beta gamma", "delta epsilon"]})
+    new = pd.DataFrame({"doc_id": [10, 11, 12],
+                        "text": ["alpha beta gamma",      # exact re-crawl
+                                 "fresh unseen content",
+                                 "delta epsilon FOOTER"]})  # prefix match
+    # full-text fingerprint: only the exact copy drops
+    out = delta_ingest_dedup(rd.from_pandas(new), rd.from_pandas(seen),
+                             num_partitions=4).to_pandas()
+    assert sorted(out["doc_id"]) == [11, 12]
+    # 2-token-prefix fingerprint: the footer-appended re-fetch drops too
+    out2 = delta_ingest_dedup(rd.from_pandas(new), rd.from_pandas(seen),
+                              num_partitions=4,
+                              prefix_tokens=2).to_pandas()
+    assert sorted(out2["doc_id"]) == [11]
