@@ -200,6 +200,15 @@ def tfidf_top_terms(ds, id_col: str = "doc_id", text_col: str = "text",
     df_ds = token_df_table(ds, text_col).materialize()
     n_docs = ds.count()
     vocab_n = df_ds.count()
+    if n_docs == 0 or vocab_n == 0:
+        # empty groupby output is schema-less and would poison the join
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "term": pa.array([], pa.string()),
+            "score": pa.array([], pa.float64()),
+        }))
 
     def doc_tf(text: str | None) -> dict[str, int]:
         tf: dict[str, int] = {}
@@ -490,6 +499,14 @@ def ctfidf_top_terms_per_class(ds, class_col: str = "source",
           .groupby([class_col, "term"])
           .aggregate(Sum("c", alias_name="tf"))
           .repartition(num_partitions).materialize())
+    if tf.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            class_col: pa.array([], pa.string()),
+            "term": pa.array([], pa.string()),
+            "score": pa.array([], pa.float64()),
+        }))
     n_classes = tf.map_batches(
         lambda t: pa.table({class_col: t.column(class_col)}),
         batch_format="pyarrow").groupby(class_col).count().count()

@@ -319,3 +319,16 @@ def test_ctfidf_top_terms_per_class(ray_session):
     # the class-exclusive term dominates its class
     assert got[got.source == "s1"].iloc[0]["term"] == "apple"
     assert got[got.source == "s2"].iloc[0]["term"] == "banana"
+
+
+def test_tfidf_and_ctfidf_empty_input(ray_session):
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.retrieval import (ctfidf_top_terms_per_class,
+                                                 tfidf_top_terms)
+
+    empty = rd.from_pandas(pd.DataFrame({"doc_id": pd.Series([], dtype=int),
+                                         "source": pd.Series([], dtype=str),
+                                         "text": pd.Series([], dtype=str)}))
+    assert tfidf_top_terms(empty).count() == 0
+    assert ctfidf_top_terms_per_class(empty).count() == 0
