@@ -789,6 +789,18 @@ def _q_bm25_topk(sf_dir: str):
     return bm25_topk(ds, _BM25_QUERIES, k=10)
 
 
+def _q_components_documents(sf_dir: str):
+    """Connected components of the shares-a-prefix-or-suffix-fingerprint
+    graph, computed by the DISTRIBUTED label-propagation engine (the
+    10^12-row path) — the oracle replays connectivity with a recursive
+    transitive closure, so the component machinery itself is
+    hash-checked."""
+    from open_thoughts_ray.ops.dedup import fingerprint_components
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return fingerprint_components(ds, "doc_id", "text", 3, 3)
+
+
 def _q_delta_ingest(sf_dir: str):
     """Incremental-ingest dedup: the doc_id%4==3 quarter is 'today's
     crawl', deduped by 10-token-prefix fingerprint against the already-
@@ -1154,6 +1166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_documents": _q_profile_documents,
         "funnel_events": _q_funnel_events,
         "delta_ingest_documents": _q_delta_ingest,
+        "components_documents": _q_components_documents,
     }
 
 
@@ -1696,6 +1709,31 @@ def oracle_sql() -> dict[str, str]:
                   FROM l)
             SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS dedup_text
             FROM k WHERE rn = 1 GROUP BY doc_id
+        """,
+        "components_documents": """
+            WITH RECURSIVE t AS (SELECT doc_id,
+                                        string_split(text, ' ') AS tk
+                                 FROM documents),
+            g AS (SELECT DISTINCT doc_id, fp FROM (
+                    SELECT doc_id, md5(array_to_string(
+                             list_slice(tk, 1, 3), ' ')) AS fp FROM t
+                    UNION ALL
+                    SELECT doc_id, md5(array_to_string(
+                             list_slice(tk, greatest(len(tk)-2, 1),
+                                        len(tk)), ' ')) AS fp FROM t)),
+            e0 AS (SELECT doc_id AS a,
+                          lead(doc_id) OVER (PARTITION BY fp
+                                             ORDER BY doc_id) AS b
+                   FROM g),
+            e AS (SELECT a, b FROM e0 WHERE b IS NOT NULL
+                  UNION ALL
+                  SELECT b, a FROM e0 WHERE b IS NOT NULL),
+            reach(src, dst) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a)
+            SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS component
+            FROM reach GROUP BY src
         """,
         "delta_ingest_documents": """
             WITH f AS (SELECT doc_id,

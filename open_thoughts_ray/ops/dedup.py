@@ -28,6 +28,8 @@ The reference's dedup family re-expressed Ray-Data-first (SURVEY.md §2.8):
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -592,3 +594,84 @@ def delta_ingest_dedup(new_ds, seen_ds, text_col: str = "text",
                   batch_format="pyarrow")
     keyed = new_ds.map_batches(add_fp, batch_format="pyarrow")
     return anti_join_ids(keyed, "fp", seen_fps, num_partitions)
+
+
+def fingerprint_components(ds, id_col: str = "doc_id",
+                           text_col: str = "text", prefix_n: int = 3,
+                           suffix_n: int = 3,
+                           num_partitions: int | None = None):
+    """Connected components over the 'shares a prefix OR suffix
+    fingerprint' document graph — Dataset[(id, component)] with
+    component = min id, computed END-TO-END by the distributed
+    label-propagation machinery (the 10^12-row path), so the driver
+    gate hash-checks the component engine itself (the DuckDB oracle
+    replays connectivity with a recursive transitive closure — fine at
+    oracle scale, exponential nonsense at ours).
+
+    Docs sharing a fingerprint are chained (sorted consecutive pairs),
+    not all-paired — connectivity-equivalent with O(members) edges per
+    bucket.  Ids travel as ZERO-PADDED strings so the propagation's
+    lexicographic min equals numeric min."""
+    import hashlib
+
+    from .dedup_text import _auto_partitions
+
+    num_partitions = _auto_partitions(num_partitions)
+
+    def pad(v) -> str:
+        return f"{int(v):012d}"
+
+    def fp_rows(t: pa.Table) -> pa.Table:
+        ids, fps = [], []
+        for i, x in zip(t.column(id_col).to_pylist(),
+                        t.column(text_col).to_pylist()):
+            toks = (x or "").split(" ")
+            pre = hashlib.md5(" ".join(toks[:prefix_n]).encode()).hexdigest()
+            suf = hashlib.md5(" ".join(toks[-suffix_n:]).encode()).hexdigest()
+            for fp in {pre, suf}:  # dedup identical pre/suf
+                ids.append(pad(i))
+                fps.append(fp)
+        return pa.table({"fp": pa.array(fps, pa.string()),
+                         "id": pa.array(ids, pa.string())})
+
+    rows = ds.map_batches(fp_rows, batch_format="pyarrow").map_batches(
+        lambda t: t.append_column(
+            "part", pa.array(np.asarray(
+                [zlib.crc32(v.encode()) % num_partitions
+                 for v in t.column("fp").to_pylist()], np.int64),
+                pa.int64())),
+        batch_format="pyarrow",
+    )
+
+    def chain_pairs(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.string()),
+                          "b": pa.array([], pa.string())})
+        if len(g) < 2:
+            return empty
+        g = g.drop_duplicates(["fp", "id"]).sort_values(
+            ["fp", "id"], kind="mergesort")
+        fps = g["fp"].to_numpy(dtype=object)
+        ids = g["id"].to_numpy(dtype=object)
+        same = fps[1:] == fps[:-1]
+        if not same.any():
+            return empty
+        return pa.table({"a": pa.array(list(ids[:-1][same]), pa.string()),
+                         "b": pa.array(list(ids[1:][same]), pa.string())})
+
+    edges = rows.groupby("part").map_groups(chain_pairs,
+                                            batch_format="pandas")
+    nodes = ds.map_batches(
+        lambda t: pa.table({"id": pa.array(
+            [pad(v) for v in t.column(id_col).to_pylist()], pa.string())}),
+        batch_format="pyarrow",
+    )
+    labels = label_propagation(nodes, edges, num_partitions=num_partitions)
+    return labels.map_batches(
+        lambda t: pa.table({
+            id_col: pa.array([int(v) for v in t.column("id").to_pylist()],
+                             pa.int64()),
+            "component": pa.array(
+                [int(v) for v in t.column("label").to_pylist()], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )

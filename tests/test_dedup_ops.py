@@ -314,3 +314,24 @@ def test_delta_ingest_dedup(ray_session):
                               num_partitions=4,
                               prefix_tokens=2).to_pandas()
     assert sorted(out2["doc_id"]) == [11]
+
+
+def test_fingerprint_components_transitive_merge(ray_session):
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.dedup import fingerprint_components
+
+    # doc 0 and 1 share a PREFIX; doc 1 and 2 share a SUFFIX → one
+    # transitive component {0,1,2}; doc 3 isolated; numeric-min labels
+    # (doc 10 in the component checks zero-pad ordering vs '2')
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 10],
+        "text": ["p1 p2 p3 mid xa xb xc",
+                 "p1 p2 p3 other s1 s2 s3",
+                 "zz yy ww other s1 s2 s3",
+                 "totally different doc here entirely now",
+                 "p1 p2 p3 trailing words vary wildly"],
+    })
+    got = (fingerprint_components(rd.from_pandas(df), num_partitions=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got["component"].tolist() == [0, 0, 0, 3, 0]
