@@ -789,6 +789,34 @@ def _q_bm25_topk(sf_dir: str):
     return bm25_topk(ds, _BM25_QUERIES, k=10)
 
 
+def _q_pmi_bigrams(sf_dir: str):
+    """Top-20 collocations by PMI (pair count ≥ 5) — Church & Hanks
+    association mining; exact-integer ratios through one libm ln."""
+    from open_thoughts_ray.ops.consensus import pmi_top_bigrams
+
+    ds = _rp(sf_dir, "documents", ["text"])
+    return pmi_top_bigrams(ds, "text", k=20, min_count=5)
+
+
+def _q_ks_documents(sf_dir: str):
+    """Two-sample KS statistic on n_chars between the even/odd doc_id
+    halves — binning-free distribution-shift test; quantized at 1e-6."""
+    import math
+
+    import pyarrow.compute as pc
+
+    from open_thoughts_ray.ops.relational import filter_expr, ks_statistic
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "n_chars"])
+    even = filter_expr(ds, lambda t: pc.equal(
+        pc.bit_wise_and(t.column("doc_id"), 1), 0))
+    odd = filter_expr(ds, lambda t: pc.equal(
+        pc.bit_wise_and(t.column("doc_id"), 1), 1))
+    val = ks_statistic(even, odd, "n_chars")
+    return pa.table({"ks": pa.array(
+        [math.floor(val * 1_000_000) / 1_000_000], pa.float64())})
+
+
 def _q_components_documents(sf_dir: str):
     """Connected components of the shares-a-prefix-or-suffix-fingerprint
     graph, computed by the DISTRIBUTED label-propagation engine (the
@@ -1167,6 +1195,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_events": _q_funnel_events,
         "delta_ingest_documents": _q_delta_ingest,
         "components_documents": _q_components_documents,
+        "ks_documents": _q_ks_documents,
+        "pmi_bigrams_documents": _q_pmi_bigrams,
     }
 
 
@@ -1709,6 +1739,48 @@ def oracle_sql() -> dict[str, str]:
                   FROM l)
             SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS dedup_text
             FROM k WHERE rn = 1 GROUP BY doc_id
+        """,
+        "pmi_bigrams_documents": """
+            WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+            uni AS (SELECT unnest(tk) AS w FROM t),
+            cu AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+                   FROM uni GROUP BY w),
+            tt AS (SELECT CAST(sum(c) AS BIGINT) AS T FROM cu),
+            bg AS (SELECT tk[i] AS w1, tk[i+1] AS w2
+                   FROM t, UNNEST(generate_series(1, len(tk)-1)) AS u(i)),
+            cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+                   FROM bg GROUP BY w1, w2),
+            bb AS (SELECT CAST(sum(n) AS BIGINT) AS B FROM cb),
+            s AS (SELECT w1, w2, n AS pair_count,
+                         ln((CAST(n AS DOUBLE)/CAST(B AS DOUBLE))
+                            / ((CAST(a.c AS DOUBLE)/CAST(T AS DOUBLE))
+                               * (CAST(b.c AS DOUBLE)/CAST(T AS DOUBLE))))
+                           AS raw
+                  FROM cb JOIN cu a ON cb.w1 = a.w
+                          JOIN cu b ON cb.w2 = b.w, tt, bb
+                  WHERE n >= 5)
+            SELECT w1, w2, pair_count,
+                   floor(raw*1000000)/1000000 AS pmi
+            FROM s ORDER BY raw DESC, w1, w2 LIMIT 20
+        """,
+        "ks_documents": """
+            WITH fa AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS ca
+                        FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+            fb AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS cb
+                   FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+            vals AS (SELECT DISTINCT v FROM
+                       (SELECT v FROM fa UNION ALL SELECT v FROM fb)),
+            m AS (SELECT vals.v, coalesce(fa.ca, 0) AS ca,
+                         coalesce(fb.cb, 0) AS cb
+                  FROM vals LEFT JOIN fa USING (v) LEFT JOIN fb USING (v)),
+            c AS (SELECT v, sum(ca) OVER (ORDER BY v) AS cca,
+                         sum(cb) OVER (ORDER BY v) AS ccb FROM m),
+            s AS (SELECT (SELECT CAST(sum(ca) AS BIGINT) FROM m) AS na,
+                         (SELECT CAST(sum(cb) AS BIGINT) FROM m) AS nb)
+            SELECT floor(max(abs(CAST(cca AS DOUBLE)/CAST(na AS DOUBLE)
+                                 - CAST(ccb AS DOUBLE)/CAST(nb AS DOUBLE)))
+                   * 1000000) / 1000000 AS ks
+            FROM c, s
         """,
         "components_documents": """
             WITH RECURSIVE t AS (SELECT doc_id,

@@ -399,3 +399,109 @@ def distinct_ngram_ratio_approx(ds, text_col: str = "text", n: int = 2,
     hll.registers[agg["reg"].to_numpy()] = agg["rho"].to_numpy().astype(np.uint8)
     total = float(agg["t"].sum())
     return float(hll.estimate() / total) if total else 0.0
+
+
+def pmi_top_bigrams(ds, text_col: str = "text", k: int = 20,
+                    min_count: int = 5,
+                    max_driver_vocab: int = 2_000_000):
+    """Top-k collocations by pointwise mutual information:
+    PMI(x,y) = ln((c_xy/B) / ((c_x/T)·(c_y/T))) over adjacent token
+    pairs, restricted to bigrams with count ≥ ``min_count`` (the classic
+    Church & Hanks 1990 association measure — phrase mining for
+    tokenizer/vocab curation).
+
+    One grouped Sum builds the bigram table (shuffle carries (w1, w2,
+    count) partials pre-combined per batch), unigram totals ride the
+    same pass shape; small vocabs broadcast the unigram map, else two
+    materialized hash joins attach c_x/c_y.  Every PMI is a ratio of
+    exact integers through one libm ln — ranking ties break
+    (pmi desc, w1, w2) and match SQL bit-for-bit."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    def parts(batch: pa.Table) -> pa.Table:
+        uni: dict[str, int] = {}
+        big: dict[tuple, int] = {}
+        for t in batch.column(text_col).to_pylist():
+            toks = (t or "").split(" ")
+            for w in toks:
+                uni[w] = uni.get(w, 0) + 1
+            for i in range(len(toks) - 1):
+                key = (toks[i], toks[i + 1])
+                big[key] = big.get(key, 0) + 1
+        ub = list(uni.keys())
+        bb = list(big.keys())
+        return pa.table({
+            "w1": pa.array(ub + [x[0] for x in bb], pa.string()),
+            "w2": pa.array([""] * len(ub) + [x[1] for x in bb], pa.string()),
+            "is_big": pa.array([0] * len(ub) + [1] * len(bb), pa.int8()),
+            "c": pa.array([uni[w] for w in ub] + [big[x] for x in bb],
+                          pa.int64()),
+        })
+
+    grouped = (ds.map_batches(parts, batch_format="pyarrow")
+               .groupby(["is_big", "w1", "w2"])
+               .aggregate(Sum("c", alias_name="n")).materialize())
+    import pyarrow.compute as pc
+
+    uni_tbl = grouped.map_batches(
+        lambda t: t.filter(pc.equal(t.column("is_big"), 0)),
+        batch_format="pyarrow").select_columns(["w1", "n"]).to_pandas()
+    if len(uni_tbl) > max_driver_vocab:
+        raise ValueError("vocab exceeds max_driver_vocab; use the "
+                         "join-based attach for open-vocab corpora")
+    cx = dict(zip(uni_tbl["w1"], uni_tbl["n"].astype(int)))
+    T = sum(cx.values())
+    big_ds = grouped.map_batches(
+        lambda t: t.filter(pc.and_(pc.equal(t.column("is_big"), 1),
+                                   pc.greater_equal(t.column("n"),
+                                                    min_count))),
+        batch_format="pyarrow",
+    ).select_columns(["w1", "w2", "n"]).materialize()
+    B = int(grouped.map_batches(
+        lambda t: pa.table({"s": pa.array(
+            [pc.sum(t.filter(pc.equal(t.column("is_big"), 1))
+                    .column("n")).as_py() or 0], pa.int64())}),
+        batch_format="pyarrow").sum("s") or 0)
+    if B == 0 or big_ds.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()),
+            "pair_count": pa.array([], pa.int64()),
+            "pmi": pa.array([], pa.float64())}))
+    ref = ray.put(cx)
+
+    class Score:
+        def __init__(self):
+            self.cx = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            w1 = t.column("w1").to_pylist()
+            w2 = t.column("w2").to_pylist()
+            n = t.column("n").to_pylist()
+            pmis = []
+            for a, b, c in zip(w1, w2, n):
+                p_xy = float(c) / float(B)
+                px = float(self.cx[a]) / float(T)
+                py = float(self.cx[b]) / float(T)
+                pmis.append(math.log(p_xy / (px * py)))
+            return pa.table({
+                "w1": t.column("w1"), "w2": t.column("w2"),
+                "pair_count": t.column("n"),
+                "pmi": pa.array(pmis, pa.float64()),
+            })
+
+    scored = big_ds.map_batches(Score, batch_format="pyarrow",
+                                concurrency=(1, 4))
+    top = scored.sort(["pmi", "w1", "w2"],
+                      descending=[True, False, False]).limit(k)
+    return top.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("pmi"), "pmi",
+            pa.array(np.floor(
+                t.column("pmi").to_numpy(zero_copy_only=False) * 1e6) / 1e6,
+                pa.float64())),
+        batch_format="pyarrow",
+    )

@@ -407,6 +407,34 @@ def population_stability_index(ds_a, ds_b, value_col: str, lo: float,
     return total
 
 
+def ks_statistic(ds_a, ds_b, value_col: str) -> float:
+    """Two-sample Kolmogorov–Smirnov statistic sup|ECDF_a − ECDF_b| over
+    an integer-valued column — the distribution-shift test that
+    complements PSI (no binning choice).  Each side reduces to a
+    (value, count) frequency table via one grouped Sum (driver sees
+    O(#distinct values)); the sup runs over the merged sorted value set
+    with exact-integer cumulative counts, so each candidate |diff| is a
+    deterministic double and only comparisons (not sums) order the
+    result."""
+    def freq(ds):
+        f = ds.groupby(value_col).count().to_pandas()
+        return dict(zip(f[value_col], f["count()"].astype(int)))
+
+    fa, fb = freq(ds_a), freq(ds_b)
+    na, nb = sum(fa.values()), sum(fb.values())
+    if na == 0 or nb == 0:
+        return 0.0
+    best = 0.0
+    ca = cb = 0
+    for v in sorted(set(fa) | set(fb)):
+        ca += fa.get(v, 0)
+        cb += fb.get(v, 0)
+        d = abs(float(ca) / float(na) - float(cb) / float(nb))
+        if d > best:
+            best = d
+    return best
+
+
 def zscore_per_group(ds, group_col: str, value_col: str,
                      out_col: str | None = None, scale: int = 100):
     """Per-GROUP z-score standardization (normalize scores within each

@@ -566,3 +566,35 @@ def test_yaml_r3_ops(ray_session, tmp_path):
     ]}
     out3 = run_pipeline(doc3).to_pandas()
     assert len(out3) == 3 and set(out3.columns) == {"doc_id", "term", "score"}
+
+
+def test_ks_statistic_direct(ray_session):
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.relational import ks_statistic
+
+    a = pd.DataFrame({"v": [1, 1, 2, 3]})
+    b = pd.DataFrame({"v": [2, 3, 3, 4]})
+    got = ks_statistic(rd.from_pandas(a), rd.from_pandas(b), "v")
+    # ECDF_a: 1→.5, 2→.75, 3→1, 4→1 ; ECDF_b: 1→0, 2→.25, 3→.75, 4→1
+    assert got == pytest.approx(0.5, abs=1e-15)
+    same = ks_statistic(rd.from_pandas(a), rd.from_pandas(a), "v")
+    assert same == pytest.approx(0.0, abs=1e-15)
+
+
+def test_pmi_top_bigrams(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.consensus import pmi_top_bigrams
+
+    # "new york" always adjacent (strong collocation); filler varies
+    docs = ["new york a b", "new york c d", "new york e f",
+            "a c new york", "b d new york", "e c new york"]
+    out = pmi_top_bigrams(rd.from_pandas(pd.DataFrame({"text": docs})),
+                          k=3, min_count=3).to_pandas()
+    assert out.iloc[0][["w1", "w2"]].tolist() == ["new", "york"]
+    # direct PMI for (new, york): c_xy=6, B=18, c_new=c_york=6, T=24
+    exp = math.log((6 / 18) / ((6 / 24) * (6 / 24)))
+    assert out.iloc[0]["pmi"] == math.floor(exp * 1e6) / 1e6
