@@ -445,14 +445,11 @@ def pmi_top_bigrams(ds, text_col: str = "text", k: int = 20,
                .aggregate(Sum("c", alias_name="n")).materialize())
     import pyarrow.compute as pc
 
-    uni_tbl = grouped.map_batches(
+    uni_ds = grouped.map_batches(
         lambda t: t.filter(pc.equal(t.column("is_big"), 0)),
-        batch_format="pyarrow").select_columns(["w1", "n"]).to_pandas()
-    if len(uni_tbl) > max_driver_vocab:
-        raise ValueError("vocab exceeds max_driver_vocab; use the "
-                         "join-based attach for open-vocab corpora")
-    cx = dict(zip(uni_tbl["w1"], uni_tbl["n"].astype(int)))
-    T = sum(cx.values())
+        batch_format="pyarrow").select_columns(["w1", "n"]).materialize()
+    vocab_n = uni_ds.count()
+    T = int(uni_ds.sum("n") or 0)
     big_ds = grouped.map_batches(
         lambda t: t.filter(pc.and_(pc.equal(t.column("is_big"), 1),
                                    pc.greater_equal(t.column("n"),
@@ -471,30 +468,56 @@ def pmi_top_bigrams(ds, text_col: str = "text", k: int = 20,
             "w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()),
             "pair_count": pa.array([], pa.int64()),
             "pmi": pa.array([], pa.float64())}))
-    ref = ray.put(cx)
 
-    class Score:
-        def __init__(self):
-            self.cx = ray.get(ref)
+    def pmi_from(t: pa.Table, cx1, cx2) -> pa.Table:
+        pmis = []
+        for c, a_c, b_c in zip(t.column("n").to_pylist(), cx1, cx2):
+            p_xy = float(c) / float(B)
+            px = float(a_c) / float(T)
+            py = float(b_c) / float(T)
+            pmis.append(math.log(p_xy / (px * py)))
+        return pa.table({
+            "w1": t.column("w1"), "w2": t.column("w2"),
+            "pair_count": t.column("n"),
+            "pmi": pa.array(pmis, pa.float64()),
+        })
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            w1 = t.column("w1").to_pylist()
-            w2 = t.column("w2").to_pylist()
-            n = t.column("n").to_pylist()
-            pmis = []
-            for a, b, c in zip(w1, w2, n):
-                p_xy = float(c) / float(B)
-                px = float(self.cx[a]) / float(T)
-                py = float(self.cx[b]) / float(T)
-                pmis.append(math.log(p_xy / (px * py)))
-            return pa.table({
-                "w1": t.column("w1"), "w2": t.column("w2"),
-                "pair_count": t.column("n"),
-                "pmi": pa.array(pmis, pa.float64()),
-            })
+    if vocab_n <= max_driver_vocab:
+        uni_tbl = uni_ds.to_pandas()  # bounded: O(vocab)
+        cx = dict(zip(uni_tbl["w1"], uni_tbl["n"].astype(int)))
+        ref = ray.put(cx)
 
-    scored = big_ds.map_batches(Score, batch_format="pyarrow",
-                                concurrency=(1, 4))
+        class Score:
+            def __init__(self):
+                self.cx = ray.get(ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                w1 = t.column("w1").to_pylist()
+                w2 = t.column("w2").to_pylist()
+                return pmi_from(t, [self.cx[a] for a in w1],
+                                [self.cx[b] for b in w2])
+
+        scored = big_ds.map_batches(Score, batch_format="pyarrow",
+                                    concurrency=(1, 4))
+    else:
+        # open-vocab path: two hash joins attach c_x / c_y; materialize
+        # between them (two JoinOperators in one streaming graph
+        # deadlock aggregator reservations)
+        u1 = uni_ds.map_batches(
+            lambda t: pa.table({"w1": t.column("w1"), "cx1": t.column("n")}),
+            batch_format="pyarrow").repartition(8).materialize()
+        j1 = big_ds.repartition(8).join(
+            u1, join_type="inner", on=("w1",),
+            num_partitions=16).repartition(8).materialize()
+        u2 = uni_ds.map_batches(
+            lambda t: pa.table({"w2": t.column("w1"), "cx2": t.column("n")}),
+            batch_format="pyarrow").repartition(8).materialize()
+        j2 = j1.join(u2, join_type="inner", on=("w2",),
+                     num_partitions=16).materialize()
+        scored = j2.map_batches(
+            lambda t: pmi_from(t, t.column("cx1").to_pylist(),
+                               t.column("cx2").to_pylist()),
+            batch_format="pyarrow")
     top = scored.sort(["pmi", "w1", "w2"],
                       descending=[True, False, False]).limit(k)
     return top.map_batches(

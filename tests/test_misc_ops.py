@@ -598,3 +598,18 @@ def test_pmi_top_bigrams(ray_session):
     # direct PMI for (new, york): c_xy=6, B=18, c_new=c_york=6, T=24
     exp = math.log((6 / 18) / ((6 / 24) * (6 / 24)))
     assert out.iloc[0]["pmi"] == math.floor(exp * 1e6) / 1e6
+
+
+def test_pmi_join_path_equals_broadcast(ray_session):
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.consensus import pmi_top_bigrams
+
+    docs = ["new york a b", "new york c d", "new york e f",
+            "a c new york", "b d new york", "e c new york"]
+    ds = pd.DataFrame({"text": docs})
+    small = pmi_top_bigrams(rd.from_pandas(ds), k=5,
+                            min_count=2).to_pandas()
+    joined = pmi_top_bigrams(rd.from_pandas(ds), k=5, min_count=2,
+                             max_driver_vocab=0).to_pandas()
+    pd.testing.assert_frame_equal(small, joined, check_dtype=False)
