@@ -789,6 +789,34 @@ def _q_bm25_topk(sf_dir: str):
     return bm25_topk(ds, _BM25_QUERIES, k=10)
 
 
+def _q_normalize_text(sf_dir: str):
+    """CCNet-style canonical text form — vectorized Arrow regex kernels,
+    no per-row Python."""
+    from open_thoughts_ray.ops.columns import normalize_text_batch
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(normalize_text_batch,
+                          batch_format="pyarrow").select_columns(
+        ["doc_id", "norm_text"])
+
+
+def _q_component_sizes(sf_dir: str):
+    """Dup-cluster audit: histogram of fingerprint-component sizes —
+    components from the distributed label-propagation engine, then two
+    tiny grouped counts."""
+    from open_thoughts_ray.ops.dedup import fingerprint_components
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    comp = fingerprint_components(ds, "doc_id", "text", 3, 3)
+    sizes = comp.groupby("component").count().map_batches(
+        lambda t: pa.table({"size": t.column("count()")}),
+        batch_format="pyarrow")
+    return sizes.groupby("size").count().map_batches(
+        lambda t: pa.table({"size": t.column("size"),
+                            "n_components": t.column("count()")}),
+        batch_format="pyarrow")
+
+
 def _q_pmi_bigrams(sf_dir: str):
     """Top-20 collocations by PMI (pair count ≥ 5) — Church & Hanks
     association mining; exact-integer ratios through one libm ln."""
@@ -1197,6 +1225,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "components_documents": _q_components_documents,
         "ks_documents": _q_ks_documents,
         "pmi_bigrams_documents": _q_pmi_bigrams,
+        "normalize_text_documents": _q_normalize_text,
+        "component_sizes_documents": _q_component_sizes,
     }
 
 
@@ -1739,6 +1769,42 @@ def oracle_sql() -> dict[str, str]:
                   FROM l)
             SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS dedup_text
             FROM k WHERE rn = 1 GROUP BY doc_id
+        """,
+        "normalize_text_documents": """
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))
+                     AS norm_text
+            FROM documents
+        """,
+        "component_sizes_documents": """
+            WITH RECURSIVE t AS (SELECT doc_id,
+                                        string_split(text, ' ') AS tk
+                                 FROM documents),
+            g AS (SELECT DISTINCT doc_id, fp FROM (
+                    SELECT doc_id, md5(array_to_string(
+                             list_slice(tk, 1, 3), ' ')) AS fp FROM t
+                    UNION ALL
+                    SELECT doc_id, md5(array_to_string(
+                             list_slice(tk, greatest(len(tk)-2, 1),
+                                        len(tk)), ' ')) AS fp FROM t)),
+            e0 AS (SELECT doc_id AS a,
+                          lead(doc_id) OVER (PARTITION BY fp
+                                             ORDER BY doc_id) AS b
+                   FROM g),
+            e AS (SELECT a, b FROM e0 WHERE b IS NOT NULL
+                  UNION ALL
+                  SELECT b, a FROM e0 WHERE b IS NOT NULL),
+            reach(src, dst) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+            comp AS (SELECT src, min(dst) AS component
+                     FROM reach GROUP BY src),
+            sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS size
+                      FROM comp GROUP BY component)
+            SELECT size, CAST(count(*) AS BIGINT) AS n_components
+            FROM sizes GROUP BY size
         """,
         "pmi_bigrams_documents": """
             WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),

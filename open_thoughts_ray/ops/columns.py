@@ -131,3 +131,19 @@ def weighted_bernoulli_sample_batch(batch: pa.Table, id_col: str,
     if out is not None:
         return batch.append_column(out, pa.array(keep))
     return batch.filter(pa.array(keep))
+
+
+def normalize_text_batch(batch: pa.Table, text_col: str = "text",
+                         out: str = "norm_text") -> pa.Table:
+    """CCNet-style text normalization: lowercase, strip everything but
+    [a-z0-9 ], collapse whitespace runs, trim — the canonical form fed
+    to dedup/fingerprint stages so near-dups differing only in case or
+    punctuation collide.  Vectorized Arrow compute kernels end-to-end
+    (no Python per row); replayable in SQL as
+    trim(regexp_replace(regexp_replace(lower(t),'[^a-z0-9 ]',' ','g'),
+    ' +',' ','g'))."""
+    col = pc.utf8_lower(batch.column(text_col))
+    col = pc.replace_substring_regex(col, "[^a-z0-9 ]", " ")
+    col = pc.replace_substring_regex(col, " +", " ")
+    col = pc.utf8_trim(col, " ")
+    return batch.append_column(out, col)

@@ -72,3 +72,31 @@ def test_weighted_bernoulli_sample_deterministic(ray_session):
     ann = weighted_bernoulli_sample_batch(batch, "doc_id", "w", 1000.0,
                                           out="keep")
     assert ann.num_rows == 4
+
+
+def test_normalize_text_batch_vectorized(ray_session):
+    import pyarrow as pa
+
+    from open_thoughts_ray.ops.columns import normalize_text_batch
+
+    batch = pa.table({"text": ["  Hello, WORLD!!  ", "a--b  c", "", "123 .x"]})
+    out = normalize_text_batch(batch).column("norm_text").to_pylist()
+    assert out == ["hello world", "a b c", "", "123 x"]
+
+
+def test_partitioned_parquet_write_roundtrip(ray_session, tmp_path):
+    """Resumable-output surface: write partitioned by a key column, read
+    back a single partition with directory pruning."""
+    import pandas as pd
+    import ray.data as rd
+
+    df = pd.DataFrame({"doc_id": range(20),
+                       "lang": ["en", "de"] * 10,
+                       "n": range(20)})
+    out = str(tmp_path / "part_out")
+    rd.from_pandas(df).write_parquet(out, partition_cols=["lang"])
+    import os
+
+    assert sorted(os.listdir(out)) == ["lang=de", "lang=en"]
+    back = rd.read_parquet(out + "/lang=en").to_pandas()
+    assert len(back) == 10 and set(back["doc_id"]) == set(range(0, 20, 2))
