@@ -613,3 +613,37 @@ def test_pmi_join_path_equals_broadcast(ray_session):
     joined = pmi_top_bigrams(rd.from_pandas(ds), k=5, min_count=2,
                              max_driver_vocab=0).to_pandas()
     pd.testing.assert_frame_equal(small, joined, check_dtype=False)
+
+
+def test_example_crawl_cleanup_yaml(ray_session, tmp_path):
+    """examples/crawl_cleanup.yaml: the CCNet/C4-shaped text path —
+    boilerplate strip → intra-doc line dedup → normalize-free near-dup
+    collapse → hash split — over a synthetic crawl."""
+    import json as _json
+
+    import yaml
+
+    from open_thoughts_ray.yaml_pipeline import run_pipeline
+
+    boiler = "cookie notice accept all terms here"
+    rows = []
+    for i in range(12):
+        uniq = " ".join(f"w{i}x{j}" for j in range(12))
+        rows.append({"doc_id": i, "text": boiler + " " + uniq})
+    # near-copy of doc 0 (differs in one trailing token after cleanup)
+    rows.append({"doc_id": 50,
+                 "text": boiler + " " + " ".join(
+                     f"w0x{j}" for j in range(11)) + " zz"})
+    src = tmp_path / "crawl.jsonl"
+    with open(src, "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    doc = yaml.safe_load(
+        open("examples/crawl_cleanup.yaml").read().replace(
+            "{input_path}", str(src)))
+    out = run_pipeline(doc).to_pandas()
+    # boilerplate stripped everywhere, near-copy collapsed to doc 0
+    assert not out.text.str.contains("cookie").any()
+    assert 50 not in set(out.doc_id)
+    assert set(out.split) <= {"train", "val", "test"}
+    assert len(out) == 12
