@@ -789,6 +789,45 @@ def _q_bm25_topk(sf_dir: str):
     return bm25_topk(ds, _BM25_QUERIES, k=10)
 
 
+def _q_math_verify(sf_dir: str):
+    """Math answer verification (reference verify.py gate): rows are
+    deterministically augmented with doc_id-keyed solution/ground-truth
+    pairs so every extractor branch fires (boxed fraction-vs-decimal,
+    mismatch, no-box fallback, percent, thousands commas); the REAL
+    extractor runs on the Ray side and the oracle replays the
+    construction rules — any extractor misbehaviour hash-mismatches."""
+    from open_thoughts_ray.ops.math_answers import math_answer_verify
+
+    ds = _rp(sf_dir, "documents", ["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        preds, golds = [], []
+        for d in t.column("doc_id").to_pylist():
+            r = d % 5
+            if r == 0:
+                preds.append(f"thus \\boxed{{\\frac{{{d}}}{{2}}}}")
+                golds.append(f"ans \\boxed{{{d / 2:.1f}}}")
+            elif r == 1:
+                preds.append(f"so \\boxed{{{d}}}")
+                golds.append(f"\\boxed{{{d + 1}}}")
+            elif r == 2:
+                preds.append(f"the value is {d}.25")
+                golds.append(f"\\boxed{{{d}.25}}")
+            elif r == 3:
+                preds.append("\\boxed{50%}")
+                golds.append("\\boxed{0.5}")
+            else:
+                preds.append("\\boxed{1,234}")
+                golds.append("\\boxed{1234}")
+        return t.append_column("solution", pa.array(preds, pa.string())) \
+                .append_column("ground_truth", pa.array(golds, pa.string()))
+
+    ann = math_answer_verify(ds.map_batches(synth, batch_format="pyarrow"),
+                             "solution", "ground_truth")
+    return ann.select_columns(["doc_id", "extracted_answer",
+                               "extracted_gold", "verifier_label"])
+
+
 def _q_normalize_text(sf_dir: str):
     """CCNet-style canonical text form — vectorized Arrow regex kernels,
     no per-row Python."""
@@ -1226,6 +1265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_documents": _q_ks_documents,
         "pmi_bigrams_documents": _q_pmi_bigrams,
         "normalize_text_documents": _q_normalize_text,
+        "math_verify_documents": _q_math_verify,
         "component_sizes_documents": _q_component_sizes,
     }
 
@@ -1769,6 +1809,24 @@ def oracle_sql() -> dict[str, str]:
                   FROM l)
             SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS dedup_text
             FROM k WHERE rn = 1 GROUP BY doc_id
+        """,
+        "math_verify_documents": """
+            SELECT doc_id,
+                   CASE doc_id % 5
+                     WHEN 0 THEN '\\frac{' || CAST(doc_id AS VARCHAR)
+                                 || '}{2}'
+                     WHEN 1 THEN CAST(doc_id AS VARCHAR)
+                     WHEN 2 THEN CAST(doc_id AS VARCHAR) || '.25'
+                     WHEN 3 THEN '50%'
+                     ELSE '1,234' END AS extracted_answer,
+                   CASE doc_id % 5
+                     WHEN 0 THEN printf('%.1f', doc_id / 2.0)
+                     WHEN 1 THEN CAST(doc_id + 1 AS VARCHAR)
+                     WHEN 2 THEN CAST(doc_id AS VARCHAR) || '.25'
+                     WHEN 3 THEN '0.5'
+                     ELSE '1234' END AS extracted_gold,
+                   (doc_id % 5) != 1 AS verifier_label
+            FROM documents
         """,
         "normalize_text_documents": """
             SELECT doc_id,
