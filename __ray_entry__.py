@@ -789,6 +789,18 @@ def _q_bm25_topk(sf_dir: str):
     return bm25_topk(ds, _BM25_QUERIES, k=10)
 
 
+def _q_rerank_topk(sf_dir: str):
+    """Retrieve → fuse → rerank: the hybrid RRF top-10 candidates
+    re-scored by token-set F1 (deterministic cross-encoder stand-in),
+    top-5 per query."""
+    from open_thoughts_ray.ops.retrieval import (hybrid_rrf_topk,
+                                                 token_f1_rerank)
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    hyb = hybrid_rrf_topk(ds, _BM25_QUERIES, k=10).materialize()
+    return token_f1_rerank(ds, hyb, _BM25_QUERIES, k=5)
+
+
 def _q_math_verify(sf_dir: str):
     """Math answer verification (reference verify.py gate): rows are
     deterministically augmented with doc_id-keyed solution/ground-truth
@@ -1266,6 +1278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams_documents": _q_pmi_bigrams,
         "normalize_text_documents": _q_normalize_text,
         "math_verify_documents": _q_math_verify,
+        "rerank_topk_documents": _q_rerank_topk,
         "component_sizes_documents": _q_component_sizes,
     }
 
@@ -1749,6 +1762,45 @@ def _rrf_oracle() -> str:
         SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rrf_micro,
                CAST(rank AS BIGINT) AS rank
         FROM fr WHERE rank <= 10
+    """
+
+
+def _rerank_oracle() -> str:
+    """DuckDB mirror of _q_rerank_topk: the full hybrid-RRF oracle nests
+    as the candidate CTE; token-set F1 = (2·|q∩d|)/(|q|+|d|) over
+    distinct tokens, identical tie-breaks."""
+    vals = ", ".join(f"({qid}, '{t}')"
+                     for qid, ts in sorted(_BM25_QUERIES.items()) for t in ts)
+    return f"""
+        WITH hybrid AS ({_rrf_oracle()}),
+        cand AS (SELECT query_id, doc_id FROM hybrid),
+        toks3 AS (SELECT d.doc_id, unnest(string_split(d.text, ' ')) AS tok
+                  FROM documents d
+                  JOIN (SELECT DISTINCT doc_id FROM cand) c
+                    ON d.doc_id = c.doc_id),
+        terms3(query_id, tok) AS (VALUES {vals}),
+        qn AS (SELECT query_id, CAST(count(DISTINCT tok) AS BIGINT) AS q
+               FROM terms3 GROUP BY query_id),
+        dn AS (SELECT doc_id, CAST(count(DISTINCT tok) AS BIGINT) AS d
+               FROM toks3 GROUP BY doc_id),
+        ov AS (SELECT c.query_id, c.doc_id,
+                      CAST(count(DISTINCT x.tok) AS BIGINT) AS o
+               FROM cand c
+               JOIN toks3 x ON x.doc_id = c.doc_id
+               JOIN terms3 t ON t.query_id = c.query_id AND t.tok = x.tok
+               GROUP BY c.query_id, c.doc_id),
+        s AS (SELECT c.query_id, c.doc_id,
+                     (2.0 * coalesce(ov.o, 0)) / (qn.q + dn.d) AS f1
+              FROM cand c
+              JOIN qn USING (query_id) JOIN dn USING (doc_id)
+              LEFT JOIN ov ON ov.query_id = c.query_id
+                          AND ov.doc_id = c.doc_id),
+        r AS (SELECT query_id, doc_id, f1,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY f1 DESC, doc_id) AS rank
+              FROM s)
+        SELECT query_id, doc_id, f1, CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 5
     """
 
 
@@ -2801,6 +2853,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk_documents": _bm25_oracle(),
         "rrf_hybrid_topk_documents": _rrf_oracle(),
+        "rerank_topk_documents": _rerank_oracle(),
         "minhash_dedup_documents": _minhash_oracle(),
         "hash_split_documents": """
             SELECT doc_id,

@@ -366,7 +366,13 @@ def rrf_fuse(ranked_a, ranked_b, k: int = 10, k0: int = 60,
 
     u = ranked_a.map_batches(contrib, batch_format="pyarrow").union(
         ranked_b.map_batches(contrib, batch_format="pyarrow"))
-    fused = u.groupby(["query_id", "doc_id"]).aggregate(
+    from .dedup_text import _auto_partitions
+
+    nparts = _auto_partitions(None)
+    # explicit partition count: Ray's 200-partition hash-shuffle default
+    # is pure aggregator fixed cost on a ≤ 2·Q·k-row input
+    fused = u.groupby(["query_id", "doc_id"],
+                      num_partitions=nparts).aggregate(
         Sum("c", alias_name="rrf_micro"))
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
@@ -443,7 +449,10 @@ def hybrid_rrf_topk(ds, queries: dict[int, list[str]], k: int = 10,
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g[["ranker", "query_id", "doc_id", "rank"]]
 
-    both = cand.groupby(["ranker", "query_id"]).map_groups(
+    from .dedup_text import _auto_partitions
+
+    both = cand.groupby(["ranker", "query_id"],
+                        num_partitions=_auto_partitions(None)).map_groups(
         ranked, batch_format="pandas").materialize()
 
     def only(r: int):
@@ -531,3 +540,68 @@ def ctfidf_top_terms_per_class(ds, class_col: str = "source",
         return g[[class_col, "term", "score"]]
 
     return joined.groupby(class_col).map_groups(topk, batch_format="pandas")
+
+
+def token_f1_rerank(ds, candidates, queries: dict[int, list[str]],
+                    k: int = 5, id_col: str = "doc_id",
+                    text_col: str = "text"):
+    """Second-stage reranker over first-stage candidates (the
+    retrieve → fuse → RERANK stack): score = token-set F1 between the
+    query terms and the document's distinct tokens,
+    f1 = 2·|q∩d| / (|q| + |d|) — a deterministic stand-in for a
+    cross-encoder with the identical Ray shape (candidate-pruned doc
+    scan, per-row scoring, per-query top-k re-rank).
+
+    ``candidates``: Dataset[(query_id, doc_id, ...)] from bm25/hybrid —
+    O(Q·k) rows, collected to the driver (bounded by construction) to
+    drive a vectorized ``pc.is_in`` pruned scan of the corpus; scoring
+    runs distributed over the pruned docs.  Exact-integer ratios only —
+    bit-identical in SQL."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    cand = candidates.select_columns(["query_id", "doc_id"]).to_pandas()
+    if cand.empty:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "f1": pa.array([], pa.float64()),
+            "rank": pa.array([], pa.int64())}))
+    by_doc: dict[int, list[int]] = {}
+    for qid, did in zip(cand["query_id"], cand["doc_id"]):
+        by_doc.setdefault(int(did), []).append(int(qid))
+    qsets = {qid: set(ts) for qid, ts in queries.items()}
+    id_set = pa.array(list(by_doc), pa.int64())
+
+    def score(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t.column(id_col), value_set=id_set))
+        out_q, out_id, out_f = [], [], []
+        for did, txt in zip(t.column(id_col).to_pylist(),
+                            t.column(text_col).to_pylist()):
+            dset = set((txt or "").split(" "))
+            for qid in by_doc[int(did)]:
+                q = qsets[qid]
+                o = len(q & dset)
+                f1 = (2.0 * o) / (len(q) + len(dset))
+                out_q.append(qid)
+                out_id.append(int(did))
+                out_f.append(f1)
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "doc_id": pa.array(out_id, pa.int64()),
+            "f1": pa.array(out_f, pa.float64()),
+        })
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["f1", "doc_id"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "doc_id", "f1", "rank"]]
+
+    return scored.groupby("query_id").map_groups(topk,
+                                                 batch_format="pandas")
