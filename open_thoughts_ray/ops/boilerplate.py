@@ -89,7 +89,9 @@ def frequent_line_hashes(ds, text_col: str = "text",
         _partial_df_rows, batch_format="pyarrow",
         fn_kwargs={"text_col": text_col, "line_tokens": line_tokens},
     )
-    grouped = partial.groupby("lh").aggregate(Sum("c", alias_name="df"))
+    grouped = partial.groupby(
+        "lh", num_partitions=_auto_partitions(None)).aggregate(
+        Sum("c", alias_name="df"))
     lo = int(min_df)
     return grouped.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("df"), lo)),

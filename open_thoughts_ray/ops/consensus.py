@@ -281,7 +281,10 @@ def js_divergence(ds_a, ds_b, text_col: str = "text") -> float:
 
     both = ds_a.map_batches(tagged("a"), batch_format="pyarrow").union(
         ds_b.map_batches(tagged("b"), batch_format="pyarrow"))
-    grouped = both.groupby("token").aggregate(
+    from .dedup_text import _auto_partitions
+
+    grouped = both.groupby(
+        "token", num_partitions=_auto_partitions(None)).aggregate(
         Sum("ca", alias_name="a"), Sum("cb", alias_name="b")).materialize()
 
     def nlogn(batch: pa.Table) -> pa.Table:
@@ -440,8 +443,11 @@ def pmi_top_bigrams(ds, text_col: str = "text", k: int = 20,
                           pa.int64()),
         })
 
+    from .dedup_text import _auto_partitions
+
     grouped = (ds.map_batches(parts, batch_format="pyarrow")
-               .groupby(["is_big", "w1", "w2"])
+               .groupby(["is_big", "w1", "w2"],
+                        num_partitions=_auto_partitions(None))
                .aggregate(Sum("c", alias_name="n")).materialize())
     import pyarrow.compute as pc
 

@@ -468,7 +468,7 @@ def zscore_per_group(ds, group_col: str, value_col: str,
 
     stats = (ds.select_columns([group_col, value_col])
              .map_batches(partial, batch_format="pyarrow")
-             .groupby(group_col)
+             .groupby(group_col, num_partitions=8)
              .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
                         Sum("ss", alias_name="ss"))
              .to_pandas())  # O(#groups)

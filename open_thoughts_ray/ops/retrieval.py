@@ -169,8 +169,11 @@ def token_df_table(ds, text_col: str = "text"):
         return pa.table({"term": pa.array(list(counts.keys()), pa.string()),
                          "c": pa.array(list(counts.values()), pa.int64())})
 
+    from .dedup_text import _auto_partitions
+
     return ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("term").aggregate(Sum("c", alias_name="df"))
+        .groupby("term", num_partitions=_auto_partitions(None)) \
+        .aggregate(Sum("c", alias_name="df"))
 
 
 def tfidf_top_terms(ds, id_col: str = "doc_id", text_col: str = "text",
@@ -505,7 +508,7 @@ def ctfidf_top_terms_per_class(ds, class_col: str = "source",
 
     tf = (ds.select_columns([class_col, text_col])
           .map_batches(partial, batch_format="pyarrow")
-          .groupby([class_col, "term"])
+          .groupby([class_col, "term"], num_partitions=num_partitions)
           .aggregate(Sum("c", alias_name="tf"))
           .repartition(num_partitions).materialize())
     if tf.count() == 0:
@@ -523,7 +526,8 @@ def ctfidf_top_terms_per_class(ds, class_col: str = "source",
         lambda t: pa.table({"term": t.column("term"),
                             "one": pa.array([1] * t.num_rows, pa.int64())}),
         batch_format="pyarrow",
-    ).groupby("term").aggregate(Sum("one", alias_name="df")) \
+    ).groupby("term", num_partitions=num_partitions) \
+        .aggregate(Sum("one", alias_name="df")) \
         .repartition(num_partitions).materialize()
     logtab = {d: math.log(float(n_classes) / float(d))
               for d in range(1, n_classes + 1)}
