@@ -789,6 +789,35 @@ def _q_bm25_topk(sf_dir: str):
     return bm25_topk(ds, _BM25_QUERIES, k=10)
 
 
+def _q_retrieval_eval(sf_dir: str):
+    """Retrieval eval: recall@10 and MRR of the raw term-count ranker
+    against BM25-as-gold — the evaluate leg of the retrieval stack;
+    metrics floor-quantized at 1e-6."""
+    import math
+
+    from open_thoughts_ray.ops.retrieval import (bm25_topk, ranking_eval,
+                                                 termcount_topk)
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    gold = bm25_topk(ds, _BM25_QUERIES, k=10).materialize()
+    sys = termcount_topk(ds, _BM25_QUERIES, k=10).materialize()
+    t = ranking_eval(sys, gold, k=10)
+
+    # HALF-UP rounding, not floor: the metrics are small-denominator
+    # rationals (exact 0.4 here vs the SQL float sum 0.3999…97), and a
+    # floor straddles that boundary; denominators ≤ 30 can never land on
+    # a 1e-6 midpoint, so half-up is unambiguous on both sides
+    def q(v: float) -> float:
+        return math.floor(v * 1_000_000 + 0.5) / 1_000_000
+
+    return pa.table({
+        "n_queries": t.column("n_queries"),
+        "recall_at_k": pa.array([q(t.column("recall_at_k")[0].as_py())],
+                                pa.float64()),
+        "mrr": pa.array([q(t.column("mrr")[0].as_py())], pa.float64()),
+    })
+
+
 def _q_rerank_topk(sf_dir: str):
     """Retrieve → fuse → rerank: the hybrid RRF top-10 candidates
     re-scored by token-set F1 (deterministic cross-encoder stand-in),
@@ -1279,6 +1308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text_documents": _q_normalize_text,
         "math_verify_documents": _q_math_verify,
         "rerank_topk_documents": _q_rerank_topk,
+        "retrieval_eval_documents": _q_retrieval_eval,
         "component_sizes_documents": _q_component_sizes,
     }
 
@@ -1801,6 +1831,47 @@ def _rerank_oracle() -> str:
               FROM s)
         SELECT query_id, doc_id, f1, CAST(rank AS BIGINT) AS rank
         FROM r WHERE rank <= 5
+    """
+
+
+def _retrieval_eval_oracle() -> str:
+    """DuckDB mirror of _q_retrieval_eval: recall@10 + MRR of the
+    term-count ranking against the BM25 oracle as gold."""
+    vals = ", ".join(f"({qid}, '{t}')"
+                     for qid, ts in sorted(_BM25_QUERIES.items()) for t in ts)
+    return f"""
+        WITH bm AS ({_bm25_oracle()}),
+        toks4 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+        terms4(query_id, tok) AS (VALUES {vals}),
+        tsc AS (SELECT t.query_id, x.doc_id, count(*) AS tcount
+                FROM toks4 x JOIN terms4 t USING (tok)
+                GROUP BY t.query_id, x.doc_id),
+        trk AS (SELECT query_id, doc_id,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY tcount DESC, doc_id) AS rank
+                FROM tsc),
+        sys AS (SELECT query_id, doc_id, rank FROM trk WHERE rank <= 10),
+        gold_n AS (SELECT query_id, CAST(count(*) AS BIGINT) AS gn
+                   FROM bm GROUP BY query_id),
+        hits AS (SELECT s.query_id, s.rank FROM sys s
+                 JOIN bm g ON g.query_id = s.query_id
+                          AND g.doc_id = s.doc_id),
+        ha AS (SELECT query_id, CAST(count(*) AS BIGINT) AS hc,
+                      min(rank) AS fr
+               FROM hits GROUP BY query_id),
+        per AS (SELECT g.query_id,
+                       CAST(coalesce(ha.hc, 0) AS DOUBLE)
+                         / CAST(g.gn AS DOUBLE) AS rec,
+                       CASE WHEN ha.fr IS NULL THEN 0.0
+                            ELSE 1.0/ha.fr END AS rr
+                FROM gold_n g LEFT JOIN ha USING (query_id)),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS nq FROM gold_n)
+        SELECT n.nq AS n_queries,
+               floor((sum(rec)/n.nq) * 1000000 + 0.5)/1000000
+                 AS recall_at_k,
+               floor((sum(rr)/n.nq) * 1000000 + 0.5)/1000000 AS mrr
+        FROM per, n GROUP BY n.nq
     """
 
 
@@ -2854,6 +2925,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_documents": _bm25_oracle(),
         "rrf_hybrid_topk_documents": _rrf_oracle(),
         "rerank_topk_documents": _rerank_oracle(),
+        "retrieval_eval_documents": _retrieval_eval_oracle(),
         "minhash_dedup_documents": _minhash_oracle(),
         "hash_split_documents": """
             SELECT doc_id,

@@ -609,3 +609,45 @@ def token_f1_rerank(ds, candidates, queries: dict[int, list[str]],
 
     return scored.groupby("query_id").map_groups(topk,
                                                  batch_format="pandas")
+
+
+def ranking_eval(sys_ds, gold_ds, k: int = 10):
+    """Retrieval evaluation: recall@k and MRR of a system ranking
+    against a gold ranking (both Dataset[(query_id, doc_id, ..., rank)]).
+    Both inputs are top-k tables — O(Q·k) rows by construction — so the
+    driver computes the exact rational metrics from two bounded
+    collects; emit one row (n_queries, recall_at_k, mrr).
+
+    recall@k = mean over queries of |sys∩gold|/|gold|;
+    MRR = mean over queries of 1/rank(first sys hit in gold), 0 when no
+    hit.  Pure ratios of small exact integers — the caller quantizes
+    (SQL replays sum in unspecified order)."""
+    from fractions import Fraction
+
+    sys_df = sys_ds.select_columns(["query_id", "doc_id", "rank"]).to_pandas()
+    gold_df = gold_ds.select_columns(["query_id", "doc_id"]).to_pandas()
+    gold: dict[int, set] = {}
+    for qid, did in zip(gold_df["query_id"], gold_df["doc_id"]):
+        gold.setdefault(int(qid), set()).add(int(did))
+    sys_by_q: dict[int, list] = {}
+    for qid, did, r in zip(sys_df["query_id"], sys_df["doc_id"],
+                           sys_df["rank"]):
+        if r <= k:
+            sys_by_q.setdefault(int(qid), []).append((int(r), int(did)))
+    qids = sorted(gold)
+    rec = Fraction(0)
+    mrr = Fraction(0)
+    for qid in qids:
+        g = gold[qid]
+        ranked = sorted(sys_by_q.get(qid, []))
+        hits = [did for _, did in ranked if did in g]
+        rec += Fraction(len(set(hits)), len(g))
+        first = next((r for r, did in ranked if did in g), None)
+        mrr += Fraction(1, first) if first else Fraction(0)
+    n = len(qids)
+    return pa.table({
+        "n_queries": pa.array([n], pa.int64()),
+        "recall_at_k": pa.array([float(rec / n) if n else 0.0],
+                                pa.float64()),
+        "mrr": pa.array([float(mrr / n) if n else 0.0], pa.float64()),
+    })

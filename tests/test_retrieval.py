@@ -332,3 +332,20 @@ def test_tfidf_and_ctfidf_empty_input(ray_session):
                                          "text": pd.Series([], dtype=str)}))
     assert tfidf_top_terms(empty).count() == 0
     assert ctfidf_top_terms_per_class(empty).count() == 0
+
+
+def test_ranking_eval_metrics(ray_session):
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.retrieval import ranking_eval
+
+    gold = pd.DataFrame({"query_id": [0, 0, 1, 1],
+                         "doc_id": [10, 11, 20, 21]})
+    # q0: first hit at rank 2, 1 of 2 recalled; q1: no hits
+    sys = pd.DataFrame({"query_id": [0, 0, 1],
+                        "doc_id": [99, 10, 98],
+                        "rank": [1, 2, 1]})
+    t = ranking_eval(rd.from_pandas(sys), rd.from_pandas(gold), k=10)
+    assert t.column("n_queries")[0].as_py() == 2
+    assert t.column("recall_at_k")[0].as_py() == 0.25   # (1/2 + 0)/2
+    assert t.column("mrr")[0].as_py() == 0.25           # (1/2 + 0)/2
