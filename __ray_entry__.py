@@ -789,6 +789,38 @@ def _q_bm25_topk(sf_dir: str):
     return bm25_topk(ds, _BM25_QUERIES, k=10)
 
 
+def _q_snapshot_diff(sf_dir: str):
+    """Corpus snapshot diff: OLD = doc_id%10 < 9, NEW = doc_id%10 > 0
+    with text marked '[edited]' when doc_id%7 == 0 — all four classes
+    (added/removed/changed/unchanged) fire; one full-outer fingerprint
+    join, int-partial counts."""
+    import pyarrow.compute as pc
+
+    from open_thoughts_ray.ops.dedup import snapshot_diff
+    from open_thoughts_ray.ops.relational import filter_expr
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    import numpy as np
+
+    def mod(t, m):
+        return pa.array(
+            t.column("doc_id").to_numpy(zero_copy_only=False) % m,
+            pa.int64())
+
+    old = filter_expr(ds, lambda t: pc.less(mod(t, 10), 9))
+    new = filter_expr(ds, lambda t: pc.greater(mod(t, 10), 0))
+
+    def edit(t: pa.Table) -> pa.Table:
+        mask = pc.equal(mod(t, 7), 0)
+        edited = pc.binary_join_element_wise(
+            t.column("text"), pa.array(["[edited]"] * t.num_rows), " ")
+        out = pc.if_else(mask, edited, t.column("text"))
+        return pa.table({"doc_id": t.column("doc_id"), "text": out})
+
+    return snapshot_diff(old, new.map_batches(edit,
+                                              batch_format="pyarrow"))
+
+
 def _q_retrieval_eval(sf_dir: str):
     """Retrieval eval: recall@10 and MRR of the raw term-count ranker
     against BM25-as-gold — the evaluate leg of the retrieval stack;
@@ -1309,6 +1341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "math_verify_documents": _q_math_verify,
         "rerank_topk_documents": _q_rerank_topk,
         "retrieval_eval_documents": _q_retrieval_eval,
+        "snapshot_diff_documents": _q_snapshot_diff,
         "component_sizes_documents": _q_component_sizes,
     }
 
@@ -1932,6 +1965,27 @@ def oracle_sql() -> dict[str, str]:
                   FROM l)
             SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS dedup_text
             FROM k WHERE rn = 1 GROUP BY doc_id
+        """,
+        "snapshot_diff_documents": """
+            WITH old AS (SELECT doc_id, md5(text) AS fp FROM documents
+                         WHERE doc_id % 10 < 9),
+            new AS (SELECT doc_id,
+                           md5(CASE WHEN doc_id % 7 = 0
+                                    THEN text || ' ' || '[edited]'
+                                    ELSE text END) AS fp
+                    FROM documents WHERE doc_id % 10 > 0),
+            j AS (SELECT o.fp AS fo, n.fp AS fn
+                  FROM old o FULL OUTER JOIN new n USING (doc_id))
+            SELECT CAST(sum(CASE WHEN fo IS NULL AND fn IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+                   CAST(sum(CASE WHEN fo IS NOT NULL AND fn IS NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                   CAST(sum(CASE WHEN fo IS NOT NULL AND fn IS NOT NULL
+                                  AND fo != fn
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+                   CAST(sum(CASE WHEN fo = fn THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_unchanged
+            FROM j
         """,
         "math_verify_documents": """
             SELECT doc_id,

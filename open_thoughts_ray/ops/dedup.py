@@ -675,3 +675,67 @@ def fingerprint_components(ds, id_col: str = "doc_id",
         }),
         batch_format="pyarrow",
     )
+
+
+def snapshot_diff(old_ds, new_ds, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  num_partitions: int | None = None):
+    """Corpus snapshot diff — the audit every iterative curation loop
+    runs between pipeline versions: one row of (n_added, n_removed,
+    n_changed, n_unchanged).  Both sides reduce to (id, md5(text))
+    fingerprints; ONE full-outer hash join classifies every id; counts
+    fold as int partials.  Nothing text-sized shuffles and nothing
+    row-sized reaches the driver."""
+    import hashlib
+
+    from .dedup_text import _auto_partitions
+
+    num_partitions = _auto_partitions(num_partitions)
+
+    def fp(tag: str):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column(id_col)
+            if ids.type != pa.string():
+                ids = ids.cast(pa.string())
+            fps = [hashlib.md5((x or "").encode()).hexdigest()
+                   for x in t.column(text_col).to_pylist()]
+            return pa.table({"id": ids,
+                             f"fp_{tag}": pa.array(fps, pa.string())})
+
+        return f
+
+    old_fp = old_ds.map_batches(fp("old"), batch_format="pyarrow") \
+        .repartition(num_partitions).materialize()
+    new_fp = new_ds.map_batches(fp("new"), batch_format="pyarrow") \
+        .repartition(num_partitions).materialize()
+    joined = old_fp.join(new_fp, join_type="full_outer", on=("id",),
+                         num_partitions=num_partitions)
+
+    def classify(t: pa.Table) -> pa.Table:
+        o = t.column("fp_old")
+        n = t.column("fp_new")
+        o_null = pc.is_null(o)
+        n_null = pc.is_null(n)
+        added = pc.and_(o_null, pc.invert(n_null))
+        removed = pc.and_(pc.invert(o_null), n_null)
+        both = pc.and_(pc.invert(o_null), pc.invert(n_null))
+        same = pc.and_(both, pc.equal(o, n))
+        changed = pc.and_(both, pc.invert(pc.fill_null(pc.equal(o, n),
+                                                       False)))
+
+        def c(m):
+            return int(pc.sum(m.cast(pa.int64())).as_py() or 0)
+
+        return pa.table({
+            "n_added": pa.array([c(added)], pa.int64()),
+            "n_removed": pa.array([c(removed)], pa.int64()),
+            "n_changed": pa.array([c(changed)], pa.int64()),
+            "n_unchanged": pa.array([c(pc.fill_null(same, False))],
+                                    pa.int64()),
+        })
+
+    sums = joined.map_batches(classify, batch_format="pyarrow") \
+        .sum(["n_added", "n_removed", "n_changed", "n_unchanged"])
+    return pa.table({k: pa.array([int(sums[f"sum({k})"] or 0)], pa.int64())
+                     for k in ("n_added", "n_removed", "n_changed",
+                               "n_unchanged")})

@@ -335,3 +335,20 @@ def test_fingerprint_components_transitive_merge(ray_session):
     got = (fingerprint_components(rd.from_pandas(df), num_partitions=4)
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert got["component"].tolist() == [0, 0, 0, 3, 0]
+
+
+def test_snapshot_diff_classes(ray_session):
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.dedup import snapshot_diff
+
+    old = pd.DataFrame({"doc_id": [1, 2, 3],
+                        "text": ["same one", "will change", "gets removed"]})
+    new = pd.DataFrame({"doc_id": [1, 2, 4],
+                        "text": ["same one", "has changed", "brand new"]})
+    t = snapshot_diff(rd.from_pandas(old), rd.from_pandas(new),
+                      num_partitions=4)
+    assert t.column("n_added").to_pylist() == [1]
+    assert t.column("n_removed").to_pylist() == [1]
+    assert t.column("n_changed").to_pylist() == [1]
+    assert t.column("n_unchanged").to_pylist() == [1]
