@@ -236,38 +236,58 @@ def max_gap_per_key(events, key: str, ts_col: str):
 
 
 def funnel_counts(ds, stages: list[str], user_col: str = "user_id",
-                  type_col: str = "event_type", ts_col: str = "ts"):
+                  type_col: str = "event_type", ts_col: str = "ts",
+                  num_partitions: int | None = None):
     """Ordered funnel analysis: one row of per-stage user counts, where a
     user completes stage i+1 only with an event STRICTLY after their
     earliest completion of stage i (the product-analytics funnel).
 
-    One keyed shuffle of the thin (user, type, ts) projection; the
-    per-user kernel is vectorized mins (no sort), and each group emits
-    one 0/1 row per stage folded by a final Sum — output is
-    O(#stages)."""
+    PARTITION-level plan (the exact_dedup trick): one ``user % P`` keyed
+    shuffle of the thin (user, type, ts) projection, then each partition
+    sorts once and walks user SEGMENTS with vectorized per-stage mins —
+    P pandas dispatches total, never one per user (a per-user
+    ``groupby(user).map_groups`` pays millions of group dispatches at
+    crawl scale).  Each partition emits one int row of stage counts
+    folded by a final Sum — output O(#stages)."""
     import numpy as np
     import pandas as pd
     import pyarrow as pa
 
-    thin = ds.select_columns([user_col, type_col, ts_col])
+    from .dedup_text import _auto_partitions
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+    num_partitions = _auto_partitions(num_partitions)
+    thin = ds.select_columns([user_col, type_col, ts_col]).map_batches(
+        lambda t: t.append_column(
+            "_part",
+            pa.array(t.column(user_col).to_numpy(zero_copy_only=False)
+                     % num_partitions, pa.int64())),
+        batch_format="pyarrow",
+    )
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col], kind="mergesort")
+        users = g[user_col].to_numpy()
         types = g[type_col].to_numpy(dtype=object)
         ts = g[ts_col].to_numpy()
+        bounds = np.flatnonzero(np.concatenate(
+            [[True], users[1:] != users[:-1], [True]]))
         done = np.zeros(len(stages), dtype=np.int64)
-        cutoff = None
-        for i, stage in enumerate(stages):
-            sel = types == stage
-            if cutoff is not None:
-                sel = sel & (ts > cutoff)
-            if not sel.any():
-                break
-            cutoff = ts[sel].min()
-            done[i] = 1
-        return pd.DataFrame({f"n_{s}": [int(done[i])]
-                             for i, s in enumerate(stages)})
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            ut, uts = types[s:e], ts[s:e]
+            cutoff = None
+            for i, stage in enumerate(stages):
+                sel = ut == stage
+                if cutoff is not None:
+                    sel = sel & (uts > cutoff)
+                if not sel.any():
+                    break
+                cutoff = uts[sel].min()
+                done[i] += 1
+        return pd.DataFrame({f"n_{st}": [int(done[i])]
+                             for i, st in enumerate(stages)})
 
-    per = thin.groupby(user_col).map_groups(per_user, batch_format="pandas")
+    per = thin.groupby("_part").map_groups(per_partition,
+                                           batch_format="pandas")
     sums = per.sum([f"n_{s}" for s in stages])
     return pa.table({f"n_{s}": pa.array([int(sums[f"sum(n_{s})"] or 0)],
                                         pa.int64())
