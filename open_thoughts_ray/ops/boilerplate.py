@@ -229,15 +229,35 @@ def remove_boilerplate_lines(ds, id_col: str = "doc_id",
     )
     joiner = _joiner(line_tokens)
 
-    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("pos", kind="mergesort")
-        return pd.DataFrame({
-            id_col: [g[id_col].iloc[0]],
-            out_col: [joiner.join(g["line"].tolist())],
-        })
+    def add_doc_part(t: pa.Table) -> pa.Table:
+        col = t.column(id_col)
+        if pa.types.is_integer(col.type):
+            part = col.to_numpy(zero_copy_only=False) % num_partitions
+        else:
+            import zlib
 
-    rebuilt = kept.groupby(id_col).map_groups(reassemble,
-                                              batch_format="pandas")
+            part = np.asarray([zlib.crc32(str(v).encode()) % num_partitions
+                               for v in col.to_pylist()], np.int64)
+        return t.append_column("_part", pa.array(part.astype(np.int64),
+                                                 pa.int64()))
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        # PARTITION-level: one dispatch per partition, docs walked as
+        # sorted segments (a per-doc map_groups pays one pandas dispatch
+        # per document at crawl scale)
+        g = g.sort_values([id_col, "pos"], kind="mergesort")
+        ids = g[id_col].to_numpy()
+        lines = g["line"].to_numpy(dtype=object)
+        bounds = np.flatnonzero(np.concatenate(
+            [[True], ids[1:] != ids[:-1], [True]]))
+        out_ids, out_txt = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            out_ids.append(ids[s])
+            out_txt.append(joiner.join(lines[s:e]))
+        return pd.DataFrame({id_col: out_ids, out_col: out_txt})
+
+    rebuilt = kept.map_batches(add_doc_part, batch_format="pyarrow") \
+        .groupby("_part").map_groups(reassemble, batch_format="pandas")
     spine = ds.select_columns([id_col])
     joined = spine.join(rebuilt, join_type="left_outer", on=(id_col,),
                         num_partitions=num_partitions)

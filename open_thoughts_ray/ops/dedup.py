@@ -545,11 +545,25 @@ def near_dup_keep_best(ds, id_col: str = "image_id",
                          num_partitions=num_partitions).materialize()
 
     def emit_losers(g: pd.DataFrame) -> pd.DataFrame:
-        drop = losers_from(g)
-        return pd.DataFrame({"id": sorted(drop)})
+        # PARTITION-level: one dispatch per partition, not per
+        # component — sort (label, q desc, id) once, winners are the
+        # first row of each label segment, everything else drops
+        g = g.sort_values(["label", "q", "id"],
+                          ascending=[True, False, True], kind="mergesort")
+        lbl = g["label"].to_numpy(dtype=object)
+        first = np.concatenate([[True], lbl[1:] != lbl[:-1]])
+        return pd.DataFrame({"id": g["id"].to_numpy(dtype=object)[~first]})
 
-    drop_ds = joined.groupby("label").map_groups(emit_losers,
-                                                 batch_format="pandas")
+    keyed_part = joined.map_batches(
+        lambda t: t.append_column(
+            "_part", pa.array(np.asarray(
+                [zlib.crc32(str(v).encode()) % num_partitions
+                 for v in t.column("label").to_pylist()], np.int64),
+                pa.int64())),
+        batch_format="pyarrow",
+    )
+    drop_ds = keyed_part.groupby("_part").map_groups(emit_losers,
+                                                     batch_format="pandas")
     return anti_join_ids(ds, id_col, drop_ds, num_partitions)
 
 

@@ -280,6 +280,8 @@ def tfidf_top_terms(ds, id_col: str = "doc_id", text_col: str = "text",
                        on=("term",), num_partitions=num_partitions)
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
+        # PARTITION-level (one dispatch per partition, not per doc):
+        # sort by (doc, score desc, term) once, then grouped head-k.
         # math.log (libm), not np.log (SIMD): DuckDB's ln() is libm, and
         # the two can differ in the last ulp — which would flip ranking
         # ties vs the broadcast path / SQL oracle
@@ -289,11 +291,20 @@ def tfidf_top_terms(ds, id_col: str = "doc_id", text_col: str = "text",
         ])
         g = g.assign(score=np.floor(s * 1000000.0) / 1000000.0,
                      _raw=s)
-        g = g.sort_values(["_raw", "term"], ascending=[False, True],
-                          kind="mergesort").head(k)
+        g = g.sort_values([id_col, "_raw", "term"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        g = g.groupby(id_col, sort=False).head(k)
         return g[[id_col, "term", "score"]]
 
-    return joined.groupby(id_col).map_groups(topk, batch_format="pandas")
+    keyed = joined.map_batches(
+        lambda t: t.append_column(
+            "_part",
+            pa.array(t.column(id_col).to_numpy(zero_copy_only=False)
+                     % num_partitions, pa.int64())),
+        batch_format="pyarrow",
+    )
+    return keyed.groupby("_part").map_groups(topk, batch_format="pandas")
 
 
 def termcount_topk(ds, queries: dict[int, list[str]], k: int = 10,
