@@ -546,15 +546,28 @@ def ctfidf_top_terms_per_class(ds, class_col: str = "source",
                      num_partitions=num_partitions)
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
+        # PARTITION-level: one dispatch per partition even when classes
+        # number in the 100k's (cluster-level c-TF-IDF)
         raw = np.asarray([float(c) * logtab[int(d)]
                           for c, d in zip(g["tf"], g["df"])])
         g = g.assign(score=np.floor(raw * 1000000.0) / 1000000.0,
                      _raw=raw)
-        g = g.sort_values(["_raw", "term"], ascending=[False, True],
-                          kind="mergesort").head(k)
+        g = g.sort_values([class_col, "_raw", "term"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.groupby(class_col, sort=False).head(k)
         return g[[class_col, "term", "score"]]
 
-    return joined.groupby(class_col).map_groups(topk, batch_format="pandas")
+    import zlib as _zlib
+
+    keyed = joined.map_batches(
+        lambda t: t.append_column(
+            "_part", pa.array(np.asarray(
+                [_zlib.crc32(str(v).encode()) % num_partitions
+                 for v in t.column(class_col).to_pylist()], np.int64),
+                pa.int64())),
+        batch_format="pyarrow",
+    )
+    return keyed.groupby("_part").map_groups(topk, batch_format="pandas")
 
 
 def token_f1_rerank(ds, candidates, queries: dict[int, list[str]],
