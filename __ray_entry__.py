@@ -789,6 +789,54 @@ def _q_bm25_topk(sf_dir: str):
     return bm25_topk(ds, _BM25_QUERIES, k=10)
 
 
+def _q_source_scorecard(sf_dir: str):
+    """Per-slice audit scorecard: docs, exact mean length (one integer
+    division), distinct langs per source — per-batch int partials, one
+    grouped Sum + one distinct groupby."""
+    from ray.data.aggregate import Sum
+
+    from open_thoughts_ray.ops.relational import grouped_nunique
+
+    ds = _rp(sf_dir, "documents", ["source", "lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.select(["source", "n_chars"]).to_pandas()
+        g = df.groupby("source", sort=False)["n_chars"].agg(["count", "sum"])
+        return pa.table({
+            "source": pa.array(g.index.tolist(), pa.string()),
+            "n_docs": pa.array(g["count"].astype("int64").tolist(),
+                               pa.int64()),
+            "sum_chars": pa.array(g["sum"].astype("int64").tolist(),
+                                  pa.int64()),
+        })
+
+    stats = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("source", num_partitions=8)
+             .aggregate(Sum("n_docs", alias_name="n_docs"),
+                        Sum("sum_chars", alias_name="sum_chars")))
+    langs = grouped_nunique(ds.select_columns(["source", "lang"]),
+                            "source", "lang", out_col="n_langs")
+    joined = stats.repartition(8).join(langs.repartition(8),
+                                       join_type="inner", on=("source",),
+                                       num_partitions=8)
+
+    def finish(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = t.column("n_docs").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t.column("sum_chars").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "source": t.column("source"),
+            "n_docs": t.column("n_docs"),
+            "mean_chars": pa.array(s / n, pa.float64()),
+            "n_langs": t.column("n_langs"),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_snapshot_diff(sf_dir: str):
     """Corpus snapshot diff: OLD = doc_id%10 < 9, NEW = doc_id%10 > 0
     with text marked '[edited]' when doc_id%7 == 0 — all four classes
@@ -1342,6 +1390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rerank_topk_documents": _q_rerank_topk,
         "retrieval_eval_documents": _q_retrieval_eval,
         "snapshot_diff_documents": _q_snapshot_diff,
+        "source_scorecard_documents": _q_source_scorecard,
         "component_sizes_documents": _q_component_sizes,
     }
 
@@ -1965,6 +2014,14 @@ def oracle_sql() -> dict[str, str]:
                   FROM l)
             SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS dedup_text
             FROM k WHERE rn = 1 GROUP BY doc_id
+        """,
+        "source_scorecard_documents": """
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS mean_chars,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM documents GROUP BY source
         """,
         "snapshot_diff_documents": """
             WITH old AS (SELECT doc_id, md5(text) AS fp FROM documents
