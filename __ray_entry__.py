@@ -789,6 +789,26 @@ def _q_bm25_topk(sf_dir: str):
     return bm25_topk(ds, _BM25_QUERIES, k=10)
 
 
+def _q_lang_consistency(sf_dir: str):
+    """Keep docs whose lang matches their source's MAJORITY lang
+    (cross-doc consistency filter): one majority groupby, broadcast
+    {source: majority} map, vectorized filter."""
+    from open_thoughts_ray.ops.consensus import majority_vote
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "source", "lang"])
+    maj = majority_vote(ds.select_columns(["source", "lang"]),
+                        "source", "lang").to_pandas()  # O(#sources)
+    winners = dict(zip(maj["source"], maj["majority_lang"]))
+
+    def f(t: pa.Table) -> pa.Table:
+        keep = [winners.get(s) == l
+                for s, l in zip(t.column("source").to_pylist(),
+                                t.column("lang").to_pylist())]
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def _q_source_scorecard(sf_dir: str):
     """Per-slice audit scorecard: docs, exact mean length (one integer
     division), distinct langs per source — per-batch int partials, one
@@ -1391,6 +1411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retrieval_eval_documents": _q_retrieval_eval,
         "snapshot_diff_documents": _q_snapshot_diff,
         "source_scorecard_documents": _q_source_scorecard,
+        "lang_consistency_documents": _q_lang_consistency,
         "component_sizes_documents": _q_component_sizes,
     }
 
@@ -2014,6 +2035,15 @@ def oracle_sql() -> dict[str, str]:
                   FROM l)
             SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS dedup_text
             FROM k WHERE rn = 1 GROUP BY doc_id
+        """,
+        "lang_consistency_documents": """
+            WITH m AS (SELECT source, lang,
+                              row_number() OVER (PARTITION BY source
+                                ORDER BY count(*) DESC, lang) AS rn
+                       FROM documents GROUP BY source, lang)
+            SELECT d.doc_id, d.source, d.lang
+            FROM documents d
+            JOIN m ON m.source = d.source AND m.lang = d.lang AND m.rn = 1
         """,
         "source_scorecard_documents": """
             SELECT source,
