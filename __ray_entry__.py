@@ -789,6 +789,37 @@ def _q_bm25_topk(sf_dir: str):
     return bm25_topk(ds, _BM25_QUERIES, k=10)
 
 
+def _q_rule_funnel(sf_dir: str):
+    """Quality-rule funnel: cumulative pass counts over the three Gopher
+    repetition thresholds — per-batch int partials, one Sum; the audit
+    view that tells you WHICH rule does the cutting."""
+    from open_thoughts_ray.ops.textstats import gopher_repetition_batch
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        g = gopher_repetition_batch(t)
+        dl = g.column("dup_line_frac").to_numpy(zero_copy_only=False)
+        tb = g.column("top_bigram_frac").to_numpy(zero_copy_only=False)
+        dt = g.column("dup_trigram_frac").to_numpy(zero_copy_only=False)
+        p1 = dl <= 0.30
+        p2 = p1 & (tb <= 0.20)
+        p3 = p2 & (dt <= 0.30)
+        return pa.table({
+            "n_total": pa.array([t.num_rows], pa.int64()),
+            "n_pass1": pa.array([int(p1.sum())], pa.int64()),
+            "n_pass2": pa.array([int(p2.sum())], pa.int64()),
+            "n_pass3": pa.array([int(p3.sum())], pa.int64()),
+        })
+
+    sums = ds.map_batches(partial, batch_format="pyarrow").sum(
+        ["n_total", "n_pass1", "n_pass2", "n_pass3"])
+    return pa.table({k: pa.array([int(sums[f"sum({k})"] or 0)], pa.int64())
+                     for k in ("n_total", "n_pass1", "n_pass2", "n_pass3")})
+
+
 def _q_lang_consistency(sf_dir: str):
     """Keep docs whose lang matches their source's MAJORITY lang
     (cross-doc consistency filter): one majority groupby, broadcast
@@ -1412,6 +1443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff_documents": _q_snapshot_diff,
         "source_scorecard_documents": _q_source_scorecard,
         "lang_consistency_documents": _q_lang_consistency,
+        "rule_funnel_documents": _q_rule_funnel,
         "component_sizes_documents": _q_component_sizes,
     }
 
@@ -2009,6 +2041,28 @@ def _scrub_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_base()
+    # quality-rule funnel: cumulative pass counts over the Gopher
+    # thresholds — the oracle NESTS the per-doc gopher oracle so the two
+    # queries can never drift apart
+    d["rule_funnel_documents"] = f'''
+        WITH g AS ({d["gopher_repetition_documents"]})
+        SELECT CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN dup_line_frac <= 0.30
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_pass1,
+               CAST(sum(CASE WHEN dup_line_frac <= 0.30
+                              AND top_bigram_frac <= 0.20
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_pass2,
+               CAST(sum(CASE WHEN dup_line_frac <= 0.30
+                              AND top_bigram_frac <= 0.20
+                              AND dup_trigram_frac <= 0.30
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_pass3
+        FROM g
+    '''
+    return d
+
+
+def _oracle_sql_base() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
