@@ -197,3 +197,45 @@ def corpus_profile(ds, text_col: str = "text") -> dict:
         "distinct_tokens": int(e["sum(d)"] or 0),
         "token_entropy": entropy,
     }
+
+
+def compression_ratio_batch(batch: pa.Table, text_col: str = "text",
+                            out: str = "zlib_ratio",
+                            level: int = 6) -> pa.Table:
+    """zlib-compressed bytes / raw bytes per document — the classic
+    low-entropy detector (template spam and keyword stuffing compress
+    far below prose; near-random strings sit near 1.0).  RefinedWeb-era
+    pipelines gate on exactly this signal.  Empty docs → 1.0.  Pure
+    map_batches; zlib level pinned so the score is deterministic across
+    runs and machines."""
+    import zlib as _z
+
+    import numpy as np
+    import pyarrow as pa_
+
+    vals = []
+    for t in batch.column(text_col).to_pylist():
+        b = (t or "").encode("utf-8")
+        if not b:
+            vals.append(1.0)
+            continue
+        vals.append(len(_z.compress(b, level)) / len(b))
+    return batch.append_column(out, pa_.array(np.asarray(vals, np.float64),
+                                              pa_.float64()))
+
+
+def compression_ratio_filter(ds, text_col: str = "text",
+                             min_ratio: float = 0.25,
+                             max_ratio: float = 1.1):
+    """Drop documents whose zlib ratio falls outside [min, max] — below
+    the floor means pathological repetition, above the ceiling means
+    binary junk mislabelled as text."""
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        t = compression_ratio_batch(t, text_col)
+        keep = pc.and_(pc.greater_equal(t.column("zlib_ratio"), min_ratio),
+                       pc.less_equal(t.column("zlib_ratio"), max_ratio))
+        return t.filter(keep).drop_columns(["zlib_ratio"])
+
+    return ds.map_batches(f, batch_format="pyarrow")

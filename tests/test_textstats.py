@@ -71,3 +71,29 @@ def test_corpus_profile(ray_session):
     tot = sum(c.values())
     exp = -sum(v / tot * math.log(v / tot) for v in c.values())
     assert abs(p["token_entropy"] - exp) < 1e-9
+
+
+def test_compression_ratio_signal(ray_session):
+    import pyarrow as pa
+
+    from open_thoughts_ray.ops.textstats import (compression_ratio_batch,
+                                                 compression_ratio_filter)
+
+    batch = pa.table({"text": ["spam " * 500,                  # repetitive
+                               "the quick brown fox jumps over the lazy dog "
+                               "while reading diverse literature quietly",
+                               ""]})
+    out = compression_ratio_batch(batch)
+    r = out.column("zlib_ratio").to_pylist()
+    assert r[0] < 0.05          # pure repetition compresses away
+    assert r[1] > 0.5           # prose does not
+    assert r[2] == 1.0          # empty sentinel
+
+    import pandas as pd
+    import ray.data as rd
+
+    df = pd.DataFrame({"doc_id": [0, 1],
+                       "text": ["spam " * 500, "normal prose with variety"]})
+    kept = compression_ratio_filter(rd.from_pandas(df), min_ratio=0.25,
+                                    max_ratio=1.5).to_pandas()
+    assert kept["doc_id"].tolist() == [1]
