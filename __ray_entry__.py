@@ -789,6 +789,17 @@ def _q_bm25_topk(sf_dir: str):
     return bm25_topk(ds, _BM25_QUERIES, k=10)
 
 
+def _q_curriculum_interleave(sf_dir: str):
+    """Weighted round-robin mixture order: src0/src1 upweighted 2×,
+    everything else 1× — mix_key = rank_within_source / weight."""
+    from open_thoughts_ray.ops.packing import curriculum_interleave
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "source"])
+    out = curriculum_interleave(ds, "source", "doc_id",
+                                weights={"src0": 2.0, "src1": 2.0})
+    return out.select_columns(["doc_id", "source", "mix_key"])
+
+
 def _q_rule_funnel(sf_dir: str):
     """Quality-rule funnel: cumulative pass counts over the three Gopher
     repetition thresholds — per-batch int partials, one Sum; the audit
@@ -1444,6 +1455,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_scorecard_documents": _q_source_scorecard,
         "lang_consistency_documents": _q_lang_consistency,
         "rule_funnel_documents": _q_rule_funnel,
+        "curriculum_interleave_documents": _q_curriculum_interleave,
+        "curriculum_interleave_documents": _q_curriculum_interleave,
         "component_sizes_documents": _q_component_sizes,
     }
 
@@ -2089,6 +2102,14 @@ def _oracle_sql_base() -> dict[str, str]:
                   FROM l)
             SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS dedup_text
             FROM k WHERE rn = 1 GROUP BY doc_id
+        """,
+        "curriculum_interleave_documents": """
+            SELECT doc_id, source,
+                   CAST(row_number() OVER (PARTITION BY source
+                                           ORDER BY doc_id) AS DOUBLE)
+                   / (CASE WHEN source IN ('src0', 'src1')
+                           THEN 2.0 ELSE 1.0 END) AS mix_key
+            FROM documents
         """,
         "lang_consistency_documents": """
             WITH m AS (SELECT source, lang,

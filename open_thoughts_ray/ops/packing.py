@@ -150,3 +150,31 @@ def chunk_tokens(ds, chunk_size: int = 32, stride: int = 24,
         })
 
     return ds.map_batches(fanout, batch_format="pyarrow")
+
+
+def curriculum_interleave(ds, group_col: str, id_col: str,
+                          weights: dict, default_weight: float = 1.0,
+                          out_col: str = "mix_key"):
+    """Weighted round-robin mixture ordering (curriculum interleave):
+    every row gets ``mix_key = rank_within_group / weight(group)`` —
+    sorting by it emits sources proportionally to their weights (a
+    weight-2 source appears twice as often per unit of key space), the
+    deterministic replacement for "shuffle the concatenated mixture".
+
+    One keyed shuffle assigns within-group ranks (groups = mixture
+    sources, small cardinality by construction); the key arithmetic is
+    one exact-integer division per row — hash-identical to SQL
+    ``row_number() OVER (PARTITION BY g ORDER BY id) / w``."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort")
+        w = float(weights.get(g[group_col].iloc[0], default_weight))
+        r = np.arange(1, len(g) + 1, dtype=np.float64)
+        g = g.copy()
+        g[out_col] = r / w
+        return g
+
+    return ds.groupby(group_col).map_groups(rank, batch_format="pandas")

@@ -59,3 +59,25 @@ def test_pack_sequences_matches_reference(ray_session):
     # pack ids are non-decreasing along the order and start at 0
     assert out["pack_id"].iloc[0] == 0
     assert (np.diff(out["pack_id"].to_numpy()) >= 0).all()
+
+
+def test_curriculum_interleave_proportions(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.packing import curriculum_interleave
+
+    df = pd.DataFrame({
+        "doc_id": range(12),
+        "source": (["a"] * 6) + (["b"] * 6),
+    })
+    out = (curriculum_interleave(rd.from_pandas(df), "source", "doc_id",
+                                 weights={"a": 2.0})
+           .to_pandas().sort_values(["mix_key", "doc_id"])
+           .reset_index(drop=True))
+    # in any prefix of the mix order, 'a' appears ~2x as often as 'b'
+    first6 = out.head(6)["source"].tolist()
+    assert first6.count("a") == 4 and first6.count("b") == 2
+    # keys are rank/weight exactly
+    a_rows = out[out.source == "a"].sort_values("doc_id")
+    assert a_rows["mix_key"].tolist() == [(i + 1) / 2.0 for i in range(6)]
