@@ -221,6 +221,32 @@ def run_pipeline(doc: dict, output_id: str | None = None):
                 text_col=cfg.get("text_column", "text"),
                 ratio_threshold=float(cfg.get("ratio_threshold", 90.0)),
             )
+        elif typ == "bm25_topk":
+            from .ops.retrieval import bm25_topk
+
+            out = bm25_topk(
+                ins[0], {int(k): v for k, v in cfg["queries"].items()},
+                k=int(cfg.get("k", 10)),
+                id_col=cfg.get("id_column", "doc_id"),
+                text_col=cfg.get("text_column", "text"))
+        elif typ == "hybrid_rrf_topk":
+            from .ops.retrieval import hybrid_rrf_topk
+
+            out = hybrid_rrf_topk(
+                ins[0], {int(k): v for k, v in cfg["queries"].items()},
+                k=int(cfg.get("k", 10)),
+                id_col=cfg.get("id_column", "doc_id"),
+                text_col=cfg.get("text_column", "text"))
+        elif typ == "rerank_token_f1":
+            from .ops.retrieval import token_f1_rerank
+
+            # inputs: [corpus, candidates]
+            out = token_f1_rerank(
+                ins[0], ins[1],
+                {int(k): v for k, v in cfg["queries"].items()},
+                k=int(cfg.get("k", 5)),
+                id_col=cfg.get("id_column", "doc_id"),
+                text_col=cfg.get("text_column", "text"))
         elif typ == "boilerplate_removal":
             from .ops.boilerplate import remove_boilerplate_lines
 

@@ -647,3 +647,32 @@ def test_example_crawl_cleanup_yaml(ray_session, tmp_path):
     assert 50 not in set(out.doc_id)
     assert set(out.split) <= {"train", "val", "test"}
     assert len(out) == 12
+
+
+def test_yaml_retrieval_stack(ray_session, tmp_path):
+    """YAML surface for the retrieval family: hybrid RRF candidates
+    feeding a rerank op via explicit DAG inputs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from open_thoughts_ray.yaml_pipeline import run_pipeline
+
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["hash join engines", "hash hash join join hash",
+                 "sort merge only", "nothing here"],
+    }), path)
+    doc = {"operators": [
+        {"id": "src", "config": {"type": "parquet_source", "path": path}},
+        {"id": "hyb", "config": {"type": "hybrid_rrf_topk", "k": 3,
+                                 "queries": {0: ["hash", "join"]}}},
+        {"id": "rerank", "input_ids": ["src", "hyb"],
+         "config": {"type": "rerank_token_f1", "k": 2,
+                    "queries": {0: ["hash", "join"]}}},
+    ]}
+    out = run_pipeline(doc).to_pandas().sort_values("rank")
+    assert len(out) == 2
+    # doc 1's distinct tokens are exactly the query set -> F1 = 1.0
+    assert out.iloc[0]["doc_id"] == 1
+    assert out.iloc[0]["f1"] == 1.0
