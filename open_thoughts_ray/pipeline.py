@@ -76,6 +76,13 @@ class PipelineOptions:
     # read-block sizing (~2 blocks per CPU keeps tasks coarse enough that
     # per-task overhead stays <5% while still feeding every core)
     num_cpus: int = 8
+    # OPT-IN metadata-only geometry pre-gate (DataComp min-side/aspect
+    # rule) applied BEFORE decode so rejected rows never pay the decode
+    # cost; off by default — the reference labels assume every row is
+    # scored, and the oracle-parity gates depend on that
+    geometry_gate: bool = False
+    geometry_min_side: int = 16
+    geometry_max_aspect: float = 4.0
 
     @classmethod
     def for_cluster(cls, num_cpus: int, **overrides) -> "PipelineOptions":
@@ -383,6 +390,14 @@ def quality_filter_dataset(ds, opts: PipelineOptions | None = None, model_refs=N
     """
     opts = opts or PipelineOptions()
     model_refs = model_refs or broadcast_models()
+    if opts.geometry_gate:
+        from .ops.multimodal import geometry_gate_batch
+
+        ds = ds.map_batches(
+            geometry_gate_batch, batch_format="pyarrow",
+            fn_kwargs=dict(min_side=opts.geometry_min_side,
+                           max_aspect=opts.geometry_max_aspect,
+                           mode="filter"))
     scored = score_stage(ds, model_refs, opts).materialize()
     return dedup_stage(scored, opts, force_distributed=force_distributed)
 

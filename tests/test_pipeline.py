@@ -75,3 +75,25 @@ def test_distributed_labeling_identical(decisions, ray_session, images_table):
     assert (dist.keep.values == decisions.keep.values).all()
     assert (dist.drop_reason.values == decisions.drop_reason.values).all()
     assert (dist.dup_group.values == decisions.dup_group.values).all()
+
+
+def test_geometry_gate_option_prunes_before_decode(ray_session, images_table):
+    """Opt-in geometry pre-gate: tiny/extreme-aspect rows vanish from the
+    decisions; default (off) keeps reference parity."""
+    import ray.data as rd
+
+    from open_thoughts_ray.io import lance_table
+    from open_thoughts_ray.pipeline import (PipelineOptions,
+                                            quality_filter_dataset)
+
+    ds = lance_table.read_dataset(images_table).limit(300)
+    base = quality_filter_dataset(
+        ds, PipelineOptions.for_cluster(4)).to_pandas()
+    gated = quality_filter_dataset(
+        lance_table.read_dataset(images_table).limit(300),
+        PipelineOptions.for_cluster(4, geometry_gate=True,
+                                    geometry_min_side=40)).to_pandas()
+    # the gate can only shrink the decision set (fixture thumbs are
+    # 16-64 px, so min_side=40 must drop some)
+    assert len(gated) < len(base)
+    assert set(gated.image_id) <= set(base.image_id)
