@@ -159,15 +159,20 @@ def uniform_sample_fixed(ds, n: int, seed: int = 42):
 
 def stratified_first_k(ds, group_col, k: int, order_col: str):
     """_B2_Dedup/utils.py:5-50 stratified sample, made deterministic:
-    per group take the k smallest by ``order_col``."""
+    per group take the k smallest by ``order_col``.  Per-batch
+    pre-reduce (each batch keeps its own k smallest per key, C-level
+    pandas) then ONE ``hash(key) % P`` shuffle and one partition-level
+    grouped head — no per-key dispatch (ops/segment.py plan)."""
+    from .segment import partitioned_groups
+
     cols = [group_col] if isinstance(group_col, str) else list(group_col)
 
     def head(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(order_col, kind="mergesort").head(k)
+        return g.sort_values(cols + [order_col], kind="mergesort").groupby(
+            cols, sort=False).head(k)
 
-    return ds.groupby(cols[0] if len(cols) == 1 else cols).map_groups(
-        head, batch_format="pandas"
-    )
+    partial = ds.map_batches(head, batch_format="pandas")
+    return partitioned_groups(partial, cols[0], head)
 
 
 def top_n_per_group(ds, group_col: str, order_cols: list[str], n: int = 1,
@@ -175,8 +180,11 @@ def top_n_per_group(ds, group_col: str, order_cols: list[str], n: int = 1,
     """Top-n rows per group by the ``order_cols`` tuple — SQL
     ``row_number() OVER (PARTITION BY g ORDER BY ...) <= n``.  Each
     batch pre-reduces to its own top-n per key (vectorized pandas
-    sort + grouped head), so the keyed shuffle carries at most
-    n × #batches × #keys rows, never the input."""
+    sort + grouped head), so the ONE ``hash(key) % P`` shuffle carries
+    at most n × #batches × #keys rows, never the input; the final
+    grouped head runs once per PARTITION, not per key."""
+    from .segment import partitioned_groups
+
     asc = not descending
 
     def batch_best(df: pd.DataFrame) -> pd.DataFrame:
@@ -185,8 +193,7 @@ def top_n_per_group(ds, group_col: str, order_cols: list[str], n: int = 1,
             group_col, sort=False).head(n)
 
     partial = ds.map_batches(batch_best, batch_format="pandas")
-    return partial.groupby(group_col).map_groups(
-        batch_best, batch_format="pandas")
+    return partitioned_groups(partial, group_col, batch_best)
 
 
 def argmax_per_group(ds, group_col: str, order_cols: list[str],
@@ -202,20 +209,12 @@ def grouped_median(ds, group_col: str, value_col: str,
                    out_col: str | None = None):
     """Exact per-group median (DuckDB ``median()`` semantics: mean of
     the two middle values for even counts).  Median is not a mergeable
-    aggregate, so the group's values must co-locate — one keyed shuffle
-    carrying only (group, value)."""
+    aggregate, so the group's values must co-locate — ONE
+    ``hash(key) % P`` shuffle carrying only (group, value); each
+    partition folds every key with a single C-level pandas
+    ``groupby().median()`` (no per-key dispatch)."""
     out_col = out_col or f"median_{value_col}"
-
-    def med(g: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        return pd.DataFrame({
-            group_col: [g[group_col].iloc[0]],
-            out_col: [float(np.median(g[value_col].to_numpy()))],
-        })
-
-    return ds.select_columns([group_col, value_col]).groupby(
-        group_col).map_groups(med, batch_format="pandas")
+    return grouped_quantile(ds, group_col, value_col, 0.5, out_col=out_col)
 
 
 def pearson_corr(ds, x_col: str, y_col: str) -> float:
@@ -755,21 +754,23 @@ def grouped_quantile(ds, group_col: str, value_col: str, q: float,
                      out_col: str | None = None):
     """Exact per-group quantile with linear interpolation (DuckDB
     ``quantile_cont`` / numpy ``method='linear'`` semantics).  Like
-    grouped_median this is non-mergeable: one keyed shuffle carrying
-    (group, value) only."""
+    grouped_median this is non-mergeable: ONE ``hash(key) % P`` shuffle
+    carrying (group, value) only; one C-level pandas
+    ``groupby().quantile()`` per partition covers every key (no per-key
+    dispatch — ops/segment.py plan)."""
+    from .segment import partitioned_groups
+
     out_col = out_col or f"q{int(q * 100)}_{value_col}"
 
-    def quant(g: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(group_col, sort=False)[value_col]
+               .quantile(q, interpolation="linear").reset_index())
+        out.columns = [group_col, out_col]
+        out[out_col] = out[out_col].astype("float64")
+        return out
 
-        return pd.DataFrame({
-            group_col: [g[group_col].iloc[0]],
-            out_col: [float(np.quantile(g[value_col].to_numpy(), q,
-                                        method="linear"))],
-        })
-
-    return ds.select_columns([group_col, value_col]).groupby(
-        group_col).map_groups(quant, batch_format="pandas")
+    return partitioned_groups(ds, group_col, per_partition,
+                              cols=[group_col, value_col])
 
 
 def grouped_nunique(ds, group_col: str, value_col: str,
@@ -793,20 +794,33 @@ def grouped_ntile(ds, group_col: str, order_cols: list[str], n: int,
     """SQL ``NTILE(n) OVER (PARTITION BY g ORDER BY ...)``: rows of each
     group split into ``n`` ordered tiles, the first ``m % n`` tiles one
     row larger (DuckDB/ANSI semantics).  ``order_cols`` must define a
-    total order within each group for a deterministic result.  One keyed
-    shuffle of the selected columns; vectorized tile assignment."""
+    total order within each group for a deterministic result.  ONE
+    ``hash(key) % P`` shuffle; each partition sorts once by
+    (group, order) and assigns every key's tiles with one closed-form
+    numpy expression over segment-relative positions — no per-key
+    dispatch (ops/segment.py plan)."""
+    from .segment import partitioned_groups, segment_bounds
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_cols, kind="mergesort")
-        m = len(g)
-        q, r = divmod(m, n)
-        sizes = np.fromiter((q + 1 if i < r else q for i in range(n)),
-                            dtype="int64", count=n)
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col] + order_cols, kind="mergesort")
+        keys = g[group_col].to_numpy()
+        ln = len(keys)
         g = g.copy()
-        g[out_col] = np.repeat(np.arange(1, n + 1, dtype="int64"), sizes)[:m]
+        if ln == 0:
+            g[out_col] = np.zeros(0, dtype="int64")
+            return g
+        bounds = segment_bounds(keys)
+        counts = np.diff(bounds)
+        pos = np.arange(ln) - np.repeat(bounds[:-1], counts)  # rank in group
+        m = np.repeat(counts, counts)                          # group size
+        q, r = m // n, m % n
+        thresh = r * (q + 1)            # rows covered by the larger tiles
+        qsafe = np.maximum(q, 1)        # q=0 ⇒ all rows are below thresh
+        g[out_col] = np.where(pos < thresh, pos // (q + 1),
+                              r + (pos - thresh) // qsafe) + 1
         return g
 
-    return ds.groupby(group_col).map_groups(per_group, batch_format="pandas")
+    return partitioned_groups(ds, group_col, per_partition)
 
 
 def grouped_string_agg(ds, group_col: str, value_col: str, sep: str,
@@ -814,20 +828,35 @@ def grouped_string_agg(ds, group_col: str, value_col: str, sep: str,
                        distinct_sorted: bool = True):
     """Order-sensitive concatenation per group (SQL ``string_agg(DISTINCT
     v, sep ORDER BY v)``): deterministic because values are de-duplicated
-    and sorted before joining.  One keyed shuffle of (group, value)."""
+    and sorted before joining.  ONE ``hash(key) % P`` shuffle of
+    (group, value); each partition sorts once, drops duplicate pairs
+    vectorized, and joins each key's segment (string concat is inherently
+    per-group work, but there is no per-key pandas/Ray dispatch —
+    ops/segment.py plan)."""
+    from .segment import partitioned_groups, segment_bounds
+
     out_col = out_col or f"agg_{value_col}"
 
-    def cat(g: pd.DataFrame) -> pd.DataFrame:
-        vals = g[value_col].tolist()
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g[value_col] = g[value_col].astype(str)
+        g = g.sort_values([group_col, value_col], kind="mergesort")
         if distinct_sorted:
-            vals = sorted(set(vals))
+            g = g.drop_duplicates([group_col, value_col])
+        keys = g[group_col].to_numpy()
+        vals = g[value_col].to_numpy(dtype=object)
+        if len(keys) == 0:
+            return pd.DataFrame({group_col: [], out_col: []}).astype(
+                {group_col: keys.dtype, out_col: "object"})
+        bounds = segment_bounds(keys)
         return pd.DataFrame({
-            group_col: [g[group_col].iloc[0]],
-            out_col: [sep.join(str(v) for v in vals)],
+            group_col: keys[bounds[:-1]],
+            out_col: [sep.join(vals[s:e])
+                      for s, e in zip(bounds[:-1], bounds[1:])],
         })
 
-    return ds.select_columns([group_col, value_col]).groupby(
-        group_col).map_groups(cat, batch_format="pandas")
+    return partitioned_groups(ds, group_col, per_partition,
+                              cols=[group_col, value_col])
 
 
 # ------------------------------------------------------------- aggregates
