@@ -1456,7 +1456,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_consistency_documents": _q_lang_consistency,
         "rule_funnel_documents": _q_rule_funnel,
         "curriculum_interleave_documents": _q_curriculum_interleave,
-        "curriculum_interleave_documents": _q_curriculum_interleave,
         "component_sizes_documents": _q_component_sizes,
     }
 

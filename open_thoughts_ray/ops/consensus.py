@@ -263,7 +263,18 @@ def js_divergence(ds_a, ds_b, text_col: str = "text") -> float:
     c = B·a + A·b over 2AB (a/A + b/B = c/(AB); m = c/(2AB)), so every
     per-token double matches an ANSI-SQL replay bit-for-bit and only
     the summation ORDER differs — final values are quantized by the
-    caller like token_entropy."""
+    caller like token_entropy.
+
+    EXACTNESS BOUND (ADVICE r3): the per-token product c = B·a + A·b is
+    an exact float64 integer only while it stays below 2^53 — i.e.
+    while max(a)·B + max(b)·A < 9.007e15, which holds up to roughly
+    ~6.7e7-token corpora per side at Zipfian skew (max count ≈ 0.07·N).
+    A and B themselves are folded as exact int64 Sums (not float
+    accumulators).  Beyond the 2^53 bound the value degrades gracefully
+    to standard float64 accuracy (~1e-16 relative per term, far below
+    the caller's 1e-6 quantization) but the bit-for-bit SQL-parity
+    claim no longer applies — at 1e12-token scale treat the result as a
+    float metric, not a hash-stable one."""
     from ray.data.aggregate import Sum
 
     def tagged(side: str):
@@ -288,17 +299,20 @@ def js_divergence(ds_a, ds_b, text_col: str = "text") -> float:
         Sum("ca", alias_name="a"), Sum("cb", alias_name="b")).materialize()
 
     def nlogn(batch: pa.Table) -> pa.Table:
-        a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.float64)
-        b = batch.column("b").to_numpy(zero_copy_only=False).astype(np.float64)
+        ai = batch.column("a").to_numpy(zero_copy_only=False)
+        bi = batch.column("b").to_numpy(zero_copy_only=False)
+        a, b = ai.astype(np.float64), bi.astype(np.float64)
         sa = float((a[a > 0] * np.log(a[a > 0])).sum())
         sb = float((b[b > 0] * np.log(b[b > 0])).sum())
+        # totals stay int64 so A and B are EXACT (the float path lost
+        # integer exactness past 2^53-token corpora — ADVICE r3)
         return pa.table({"sa": pa.array([sa]), "sb": pa.array([sb]),
-                         "ta": pa.array([float(a.sum())]),
-                         "tb": pa.array([float(b.sum())])})
+                         "ta": pa.array([int(ai.sum())], pa.int64()),
+                         "tb": pa.array([int(bi.sum())], pa.int64())})
 
     s = grouped.map_batches(nlogn, batch_format="pyarrow") \
         .sum(["sa", "sb", "ta", "tb"])
-    A, B = float(s["sum(ta)"]), float(s["sum(tb)"])
+    A, B = int(s["sum(ta)"]), int(s["sum(tb)"])
     if A <= 0 or B <= 0:
         return 0.0
     SA, SB = float(s["sum(sa)"]), float(s["sum(sb)"])
@@ -306,7 +320,9 @@ def js_divergence(ds_a, ds_b, text_col: str = "text") -> float:
     def clogc(batch: pa.Table) -> pa.Table:
         a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.float64)
         b = batch.column("b").to_numpy(zero_copy_only=False).astype(np.float64)
-        c = B * a + A * b  # exact integers below 2^53; a+b ≥ 1 ⇒ c > 0
+        # exact float64 integers while B·a + A·b < 2^53 (bound in the
+        # docstring); a+b ≥ 1 ⇒ c > 0
+        c = B * a + A * b
         return pa.table({"sc": pa.array([float((c * np.log(c)).sum())])})
 
     SC = float(grouped.map_batches(clogc, batch_format="pyarrow").sum("sc"))

@@ -65,8 +65,6 @@ def split_quarantine(ds, predicate, quarantine_dir: str,
     a driver collect.  Single pass over the input."""
     import uuid
 
-    os.makedirs(quarantine_dir, exist_ok=True)
-
     def route(t: pa.Table) -> pa.Table:
         mask = predicate(t)
         if not isinstance(mask, (pa.Array, pa.ChunkedArray)):
@@ -76,6 +74,10 @@ def split_quarantine(ds, predicate, quarantine_dir: str,
         if bad.num_rows:
             import pyarrow.parquet as pq
 
+            # created inside the task, not on the driver: on a multi-node
+            # cluster the worker's filesystem is a different machine —
+            # point quarantine_dir at shared storage for a complete trail
+            os.makedirs(quarantine_dir, exist_ok=True)
             bad = bad.append_column(
                 reason_col, pa.array([reason] * bad.num_rows, pa.string()))
             # uuid file names: concurrent tasks never collide, reruns

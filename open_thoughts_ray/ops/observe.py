@@ -36,8 +36,11 @@ def _get_counter_actor(name: str = "otr_stage_counters"):
         def reset(self) -> None:
             self.counts = {}
 
-    return _Counters.options(name=name, get_if_exists=True,
-                             lifetime="detached").remote()
+    # job-scoped (NOT detached): the actor dies with the driver job, so
+    # pipelines sharing a long-lived cluster never read another run's
+    # stale deltas and the process cannot leak (ADVICE r3).  Within one
+    # job, call counters_reset() between pipelines sharing a name.
+    return _Counters.options(name=name, get_if_exists=True).remote()
 
 
 def counted(ds, stage: str, masks: dict | None = None,

@@ -297,11 +297,12 @@ def tfidf_top_terms(ds, id_col: str = "doc_id", text_col: str = "text",
         g = g.groupby(id_col, sort=False).head(k)
         return g[[id_col, "term", "score"]]
 
+    from .segment import add_part
+
+    # int-or-crc32 partition key (ADVICE r3: a plain `% P` threw on
+    # string doc ids, surfacing only when vocab > max_driver_vocab)
     keyed = joined.map_batches(
-        lambda t: t.append_column(
-            "_part",
-            pa.array(t.column(id_col).to_numpy(zero_copy_only=False)
-                     % num_partitions, pa.int64())),
+        lambda t: add_part(t, id_col, num_partitions),
         batch_format="pyarrow",
     )
     return keyed.groupby("_part").map_groups(topk, batch_format="pandas")
