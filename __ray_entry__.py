@@ -1355,46 +1355,74 @@ def _q_boilerplate_removal(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        # Order matters: the driver's correctness gate evaluates the
+        # FIRST 50 entries, so slots 1-50 carry one representative per
+        # operator family (relational/joins/windows/grouped-analytics/
+        # temporal/dedup/ANN/text-rules/retrieval/sketch/LLM/normalizer);
+        # 51+ are the remaining variants, verified locally by
+        # scripts/check_queries.py.
         "q1_pricing_summary": _q1_pricing_summary,
         "filter_documents": _q_filter_documents,
         "grouped_count_having": _q_grouped_count_having,
-        "top_k_events": _q_top_k_events,
-        "sample_mod10": _q_sample_mod10,
-        "exact_dedup_documents": _q_exact_dedup_documents,
-        "broadcast_join_orders_customers": _q_broadcast_join,
         "hash_join_lineitem_orders": _q_hash_join,
-        "quantile_filter_events": _q_quantile_filter_events,
-        "stratified_first2_documents": _q_stratified_first2,
+        "broadcast_join_orders_customers": _q_broadcast_join,
+        "top_k_events": _q_top_k_events,
         "window_events_hourly": _q_window_events,
         "union_tagged_documents": _q_union_tagged,
+        "sample_mod10": _q_sample_mod10,
+        "stratified_first2_documents": _q_stratified_first2,
+        "latest_event_per_user": _q_latest_event_per_user,
+        "p90_value_per_type": _q_p90_value_per_type,
+        "langs_per_source": _q_langs_per_source,
+        "ntile_events_by_type": _q_ntile_events,
+        "rolling_sum_events": _q_rolling_sum_events,
+        "max_gap_events": _q_max_gap_events,
+        "sessionize_events": _q_sessionize,
+        "asof_join_events": _q_asof_join,
+        "range_join_events": _q_range_join_events,
+        "funnel_events": _q_funnel_events,
+        "exact_dedup_documents": _q_exact_dedup_documents,
+        "minhash_dedup_documents": _q_minhash_dedup,
+        "simhash_dedup_documents": _q_simhash_dedup,
+        "ngram_jaccard_dedup_documents": _q_ngram_jaccard_dedup,
+        "flagship_quality_filter": _q_flagship,
+        "json_source_documents": _q_json_source,
+        "bow_dedup_keep_best_documents": _q_bow_dedup_keep_best,
+        "embedding_cosine_dedup": _q_cosine_dedup,
+        "md5_fingerprint_documents": _q_md5_fingerprint,
+        "ann_topk_embeddings": _q_ann_topk,
+        "decontaminate_documents": _q_decontaminate,
+        "delta_ingest_documents": _q_delta_ingest,
+        "components_documents": _q_components_documents,
         "token_count_documents": _q_token_count,
+        "scrub_documents": _q_scrub_documents,
+        "normalize_text_documents": _q_normalize_text,
         "quality_stats_documents": _q_quality_stats,
         "gopher_repetition_documents": _q_gopher_repetition,
         "doc_quality_filter": _q_doc_quality_filter,
-        "md5_fingerprint_documents": _q_md5_fingerprint,
-        "embedding_cosine_dedup": _q_cosine_dedup,
-        "ann_topk_embeddings": _q_ann_topk,
-        "minhash_dedup_documents": _q_minhash_dedup,
-        "simhash_dedup_documents": _q_simhash_dedup,
-        "majority_event_type_per_user": _q_majority_event_type,
+        "boilerplate_removal_documents": _q_boilerplate_removal,
+        "dedup_lines_within_documents": _q_dedup_lines_within,
         "token_entropy_documents": _q_token_entropy,
+        "jsd_drift_documents": _q_jsd_drift,
+        "approx_distinct_users": _q_approx_distinct,
+        "bm25_topk_documents": _q_bm25_topk,
+        "tfidf_top_terms_documents": _q_tfidf_top_terms,
+        "rrf_hybrid_topk_documents": _q_rrf_hybrid_topk,
+        "retrieval_eval_documents": _q_retrieval_eval,
+        "llm_annotate_documents": _q_llm_annotate,
+        "zscore_events": _q_zscore_events,
+        # ---- entries 51+ (variants; local gate) ----
+        "quantile_filter_events": _q_quantile_filter_events,
+        "majority_event_type_per_user": _q_majority_event_type,
         "token_gini_documents": _q_token_gini,
         "self_bleu_documents": _q_self_bleu,
-        "decontaminate_documents": _q_decontaminate,
-        "asof_join_events": _q_asof_join,
-        "approx_distinct_users": _q_approx_distinct,
         "q3_revenue_by_segment_priority": _q3_shipping_priority,
-        "sessionize_events": _q_sessionize,
-        "flagship_quality_filter": _q_flagship,
         "fuzzy_dedup_documents": _q_fuzzy_dedup,
         "ann_topk_ivf_embeddings": _q_ann_topk_ivf,
         "cosine_dedup_lsh_embeddings": _q_cosine_dedup_lsh,
-        "llm_annotate_documents": _q_llm_annotate,
         "llm_score_filter_documents": _q_llm_score_filter,
         "llm_list_fanout_documents": _q_llm_list_fanout,
-        "json_source_documents": _q_json_source,
         "bpe_token_count_documents": _q_bpe_token_count,
-        "ngram_jaccard_dedup_documents": _q_ngram_jaccard_dedup,
         "llm_judge_documents": _q_llm_judge,
         "llm_critic_documents": _q_llm_critic,
         "llm_fuse_documents": _q_llm_fuse,
@@ -1402,36 +1430,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_bigram_ratio_documents": _q_distinct_bigram_ratio,
         "priority_sample_documents": _q_priority_sample,
         "approx_top_tokens_documents": _q_approx_top_tokens,
-        "scrub_documents": _q_scrub_documents,
         "domain_annotate_documents": _q_domain_annotate,
-        "latest_event_per_user": _q_latest_event_per_user,
         "median_quantity_per_flag": _q_median_quantity,
-        "max_gap_events": _q_max_gap_events,
         "corr_qty_price": _q_corr_qty_price,
-        "range_join_events": _q_range_join_events,
-        "rolling_sum_events": _q_rolling_sum_events,
         "pivot_events_by_type": _q_pivot_events,
-        "p90_value_per_type": _q_p90_value_per_type,
         "top2_events_per_user": _q_top2_events_per_user,
         "distinct_types_per_user": _q_distinct_types_per_user,
-        "langs_per_source": _q_langs_per_source,
         "pack_documents": _q_pack_documents,
-        "ntile_events_by_type": _q_ntile_events,
         "mixture_sample_documents": _q_mixture_sample,
         "semantic_dedup_embeddings": _q_semantic_dedup,
         "levenshtein_dedup_documents": _q_levenshtein_dedup,
         "containment_dedup_documents": _q_containment_dedup,
-        "bm25_topk_documents": _q_bm25_topk,
         "hash_split_documents": _q_hash_split,
         "chunk_documents": _q_chunk_documents,
-        "boilerplate_removal_documents": _q_boilerplate_removal,
-        "jsd_drift_documents": _q_jsd_drift,
-        "bow_dedup_keep_best_documents": _q_bow_dedup_keep_best,
-        "dedup_lines_within_documents": _q_dedup_lines_within,
-        "zscore_events": _q_zscore_events,
         "minmax_events": _q_minmax_events,
-        "tfidf_top_terms_documents": _q_tfidf_top_terms,
-        "rrf_hybrid_topk_documents": _q_rrf_hybrid_topk,
         "robust_scale_events": _q_robust_scale_events,
         "histogram_events": _q_histogram_events,
         "percent_rank_documents": _q_percent_rank_documents,
@@ -1442,15 +1454,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_per_type_events": _q_zscore_per_type_events,
         "ctfidf_per_source_documents": _q_ctfidf_per_source,
         "profile_documents": _q_profile_documents,
-        "funnel_events": _q_funnel_events,
-        "delta_ingest_documents": _q_delta_ingest,
-        "components_documents": _q_components_documents,
         "ks_documents": _q_ks_documents,
         "pmi_bigrams_documents": _q_pmi_bigrams,
-        "normalize_text_documents": _q_normalize_text,
         "math_verify_documents": _q_math_verify,
         "rerank_topk_documents": _q_rerank_topk,
-        "retrieval_eval_documents": _q_retrieval_eval,
         "snapshot_diff_documents": _q_snapshot_diff,
         "source_scorecard_documents": _q_source_scorecard,
         "lang_consistency_documents": _q_lang_consistency,
