@@ -60,11 +60,34 @@ def _cmd_yaml(args) -> dict:
         # flow-style braces elsewhere in the document)
         key, val = kv.split("=", 1)
         text = text.replace("{" + key + "}", val)
-    ds = run_pipeline(yaml.safe_load(text), args.output_id)
+    doc = yaml.safe_load(text)
+    report = None
+    if args.cache_dir:
+        from .dagcache import run_pipeline_cached
+
+        ds, report = run_pipeline_cached(
+            doc, args.cache_dir, args.output_id,
+            registry_dir=args.registry)
+    else:
+        ds = run_pipeline(doc, args.output_id)
+    out: dict = {"rows": ds.count()}
+    if report is not None:
+        out["cache"] = report
     if args.out:
         ds.write_parquet(args.out)
-        return {"out": args.out, "rows": ds.count()}
-    return {"rows": ds.count()}
+        out["out"] = args.out
+    return out
+
+
+def _cmd_runs(args) -> dict:
+    from .registry import RunRegistry
+
+    reg = RunRegistry(args.registry)
+    table = reg.stage_table()
+    if len(table):
+        print(table.to_string(index=False), file=sys.stderr)
+    return {"registry": reg.path, "n_runs": len(reg.runs()),
+            "n_stage_rows": int(len(table))}
 
 
 def main(argv: list[str] | None = None) -> dict:
@@ -86,7 +109,19 @@ def main(argv: list[str] | None = None) -> dict:
                    help="operator id to emit (default: last)")
     y.add_argument("--format", nargs="*", default=[], metavar="KEY=VALUE",
                    help="str.format substitutions applied to the YAML text")
+    y.add_argument("--cache-dir", default=None,
+                   help="per-operator content-addressed cache dir "
+                        "(resumable reruns skip unchanged operators)")
+    y.add_argument("--registry", default=None,
+                   help="run-metadata registry dir (records per-operator "
+                        "fingerprint/rows/wall time; see the runs command)")
     y.set_defaults(fn=_cmd_yaml)
+
+    r = sub.add_parser("runs", help="list recorded runs (per-operator "
+                                    "fingerprint, cache status, rows, wall s)")
+    r.add_argument("--registry", default=None,
+                   help="registry dir (default $OTR_REGISTRY_DIR or /tmp/otr_runs)")
+    r.set_defaults(fn=_cmd_runs)
 
     args = p.parse_args(argv)
     owns = _ensure_ray()

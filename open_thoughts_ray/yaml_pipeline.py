@@ -100,19 +100,20 @@ def _remote_args(cfg: dict) -> dict:
     return out
 
 
-def run_pipeline(doc: dict, output_id: str | None = None):
-    """Execute a parsed YAML doc → the output Dataset (lazy)."""
+def execute_op(typ: str, cfg: dict, ins: list):
+    """Run ONE operator: type + config + input Datasets → output Dataset.
+    Shared by the streaming runner (run_pipeline) and the cached runner
+    (dagcache.run_pipeline_cached)."""
     import ray.data as rd
 
     from .ops import relational as R
 
-    ops = parse_pipeline(doc)
-    results: dict[str, object] = {}
-    for op in ops:
-        cfg = dict(op.config)
-        typ = cfg.pop("type")
-        ins = [results[i] for i in op.input_ids]
-        if typ == "parquet_source":
+    if True:
+        if typ == "identity":
+            # pass-through seam used by load_preexisting expansion: keeps
+            # the including op's id addressable without rewiring consumers
+            out = ins[0]
+        elif typ == "parquet_source":
             out = rd.read_parquet(cfg["path"], columns=cfg.get("columns"))
             if cfg.get("limit"):
                 out = out.limit(int(cfg["limit"]))
@@ -299,12 +300,80 @@ def run_pipeline(doc: dict, output_id: str | None = None):
             out = YAML_OP_REGISTRY[typ](ins, cfg)
         else:
             raise ValueError(f"unknown operator type {typ!r}")
-        results[op.id] = out
+        return out
+
+
+def run_pipeline(doc: dict, output_id: str | None = None):
+    """Execute a parsed YAML doc → the output Dataset (lazy, streaming;
+    for resumable per-operator caching use dagcache.run_pipeline_cached)."""
+    doc = expand_includes(doc)
+    ops = parse_pipeline(doc)
+    results: dict[str, object] = {}
+    for op in ops:
+        cfg = dict(op.config)
+        typ = cfg.pop("type")
+        results[op.id] = execute_op(typ, cfg, [results[i] for i in op.input_ids])
     return results[output_id or ops[-1].id]
 
 
+def expand_includes(doc: dict, base_dir: str = ".") -> dict:
+    """Splice ``load_preexisting`` ops: each ``{type: load_preexisting,
+    path: other.yaml, output_id?}`` inlines the referenced strategy file
+    as a namespaced sub-DAG and becomes an ``identity`` op reading the
+    sub-DAG's output — the reference's sub-DAG composition with id
+    rewiring and shared-sub-DAG dedup
+    (dcft/data_strategies/synthetic_data_manager.py:1228-1307).  Two
+    includes of byte-identical files share ONE sub-DAG (content-hash
+    namespace), like the reference's duplicate-subtree elision."""
+    import copy
+    import hashlib
+    import os
+
+    import yaml
+
+    out_ops: list[dict] = []
+    spliced: dict[str, str] = {}  # content hash -> namespaced output id
+    for raw in doc["operators"]:
+        cfg = raw.get("config", {})
+        if cfg.get("type") != "load_preexisting":
+            out_ops.append(copy.deepcopy(raw))
+            continue
+        path = os.path.join(base_dir, cfg["path"])
+        with open(path) as f:
+            text = f.read()
+        h = hashlib.md5(text.encode()).hexdigest()[:10]
+        ns = f"_sub_{h}"
+        if h not in spliced:
+            sub = expand_includes(yaml.safe_load(text),
+                                  base_dir=os.path.dirname(path))
+            # resolve the sub-DAG's default chaining HERE (relative to
+            # its own op order), then namespace every id
+            prev = None
+            for sop in sub["operators"]:
+                sop = copy.deepcopy(sop)
+                scfg = sop["config"]
+                is_source = scfg["type"].endswith("_source")
+                inputs = sop.get("input_ids")
+                if inputs is None:
+                    inputs = [] if is_source or prev is None else [prev]
+                prev = sop["id"]
+                sop["input_ids"] = [f"{ns}/{i}" for i in inputs]
+                sop["id"] = f"{ns}/{sop['id']}"
+                out_ops.append(sop)
+            sub_out = cfg.get("output_id") or sub["operators"][-1]["id"]
+            spliced[h] = f"{ns}/{sub_out}"
+        out_ops.append({"id": raw["id"],
+                        "input_ids": [spliced[h]],
+                        "config": {"type": "identity"}})
+    return dict(doc, operators=out_ops)
+
+
 def run_pipeline_file(path: str, output_id: str | None = None):
+    import os
+
     import yaml
 
     with open(path) as f:
-        return run_pipeline(yaml.safe_load(f), output_id)
+        doc = yaml.safe_load(f)
+    return run_pipeline(expand_includes(doc, base_dir=os.path.dirname(path)),
+                        output_id)
