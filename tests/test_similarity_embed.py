@@ -184,3 +184,33 @@ def test_ann_topk_ivf_recall(ray_session):
         hits += len(exact & approx)
         total += 10
     assert hits / total >= 0.9, hits / total
+
+
+def test_cosine_dedup_earlier_autoroutes_to_lsh(ray_session, caplog):
+    """VERDICT r3 #6: above max_exact_rows the exact O(N^2) scan must
+    route to the banded-LSH path instead of silently going quadratic."""
+    import logging
+
+    import ray.data as rd
+
+    rng = np.random.default_rng(9)
+    n, dim = 200, 32
+    m = rng.standard_normal((n, dim)).astype(np.float32)
+    for i in range(20):  # near-identical dups the LSH path must catch
+        m[100 + i] = m[i] + rng.standard_normal(dim).astype(np.float32) * 0.01
+    df = pd.DataFrame({"vec_id": range(n),
+                       "embedding": [v.tolist() for v in m]})
+    with caplog.at_level(logging.WARNING,
+                         logger="open_thoughts_ray.ops.similarity"):
+        out = cosine_dedup_earlier(rd.from_pandas(df), threshold=0.95,
+                                   max_exact_rows=50).to_pandas()
+    assert any("routing to cosine_dedup_lsh" in r.message for r in caplog.records)
+    assert set(out.vec_id) == _brute_force_survivors(m, 0.95)
+    # and max_exact_rows=None forces the exact path (no warning)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING,
+                         logger="open_thoughts_ray.ops.similarity"):
+        out2 = cosine_dedup_earlier(rd.from_pandas(df), threshold=0.95,
+                                    max_exact_rows=None).to_pandas()
+    assert not any("routing" in r.message for r in caplog.records)
+    assert set(out2.vec_id) == set(out.vec_id)
