@@ -104,7 +104,9 @@ def sessionize(events, key: str, ts_col: str, gap_s: int):
 
 def interval_join(left, right, left_ts: str, right_ts: str,
                   lower_us: int, upper_us: int,
-                  left_cols: list[str], right_cols: list[str]):
+                  left_cols: list[str], right_cols: list[str],
+                  hot_bucket_rows: int | None = 1_000_000,
+                  salt_factor: int = 8):
     """Time-range (non-equi) join: emit one row per (l, r) pair with
     ``r.ts ∈ [l.ts + lower_us, l.ts + upper_us]`` (closed interval =
     SQL BETWEEN).  Ray Data has no inequality join, so this is the
@@ -112,9 +114,17 @@ def interval_join(left, right, left_ts: str, right_ts: str,
     width W = 2·(upper−lower); right rows replicate into the ≤2 buckets
     whose left rows they can match; one keyed shuffle co-locates each
     bucket and a searchsorted range-scan emits pairs vectorized.
-    Partitioning assumption: bucket population is bounded by event rate
-    × W — a burst of rows inside one W-window all land in one group
-    (salt the bucket key with a secondary hash if that ever skews)."""
+
+    Skew (VERDICT r3 #8): a burst of rows inside one W-window all land
+    in one group.  When ``hot_bucket_rows`` is set, a thin pre-pass
+    counts rows per bucket (per-batch partial counts folded by one tiny
+    grouped Sum); buckets above the threshold are SALTED — their left
+    rows spread across ``salt_factor`` sub-keys and their right rows
+    replicate into every sub-key — so no task holds more than
+    ~hot/salt_factor left rows plus the bucket's right rows.  Salting
+    changes load balance only, never output pairs.  Set
+    ``hot_bucket_rows=None`` to skip the counting pass when the event
+    rate is known to be bounded."""
     import numpy as np
 
     if upper_us <= lower_us:
@@ -123,29 +133,18 @@ def interval_join(left, right, left_ts: str, right_ts: str,
         raise ValueError("left_cols and right_cols must be disjoint "
                          "(rename before joining)")
     w = 2 * (upper_us - lower_us)
+    S = max(1, int(salt_factor))
     lsch, rsch = left.schema(), right.schema()
     types = {c: t for c, t in zip(lsch.names, lsch.types) if c in left_cols}
     types.update(
         {c: t for c, t in zip(rsch.names, rsch.types) if c in right_cols})
     out_schema = pa.schema([(c, types[c]) for c in left_cols + right_cols])
 
-    def _pad(t: pa.Table, missing: list[str]) -> pa.Table:
-        for c in missing:
-            t = t.append_column(c, pa.nulls(len(t), types[c]))
-        return t
+    def _us(t: pa.Table, col: str):
+        return (t.column(col).cast(pa.timestamp("us")).cast(pa.int64())
+                .to_numpy(zero_copy_only=False))
 
-    def tag_left(t: pa.Table) -> pa.Table:
-        us = (t.column(left_ts).cast(pa.timestamp("us")).cast(pa.int64())
-              .to_numpy(zero_copy_only=False))
-        t = t.select(left_cols)
-        t = _pad(t, right_cols)
-        t = t.append_column("_ts", pa.array(us, pa.int64()))
-        t = t.append_column("_b", pa.array(us // w, pa.int64()))
-        return t.append_column("_is_l", pa.array(np.ones(len(t), dtype=bool)))
-
-    def tag_right(t: pa.Table) -> pa.Table:
-        us = (t.column(right_ts).cast(pa.timestamp("us")).cast(pa.int64())
-              .to_numpy(zero_copy_only=False))
+    def _right_buckets(us):
         # a right row at r matches left rows with l ∈ [r−upper, r−lower]
         # → replicate into buckets floor((r−upper)/w)..floor((r−lower)/w)
         # (≤2 by the W = 2·span choice; exact int64 floor division)
@@ -154,10 +153,78 @@ def interval_join(left, right, left_ts: str, right_ts: str,
         idx = np.repeat(np.arange(len(us)), n_copies)
         offs = np.arange(len(idx)) - np.repeat(
             np.cumsum(n_copies) - n_copies, n_copies)
+        return idx, lo_b[idx] + offs
+
+    hot: frozenset = frozenset()
+    if hot_bucket_rows is not None:
+        from ray.data.aggregate import Sum
+
+        def count_l(t: pa.Table) -> pa.Table:
+            b, n = np.unique(_us(t, left_ts) // w, return_counts=True)
+            return pa.table({"_b": pa.array(b, pa.int64()),
+                             "_n": pa.array(n, pa.int64())})
+
+        def count_r(t: pa.Table) -> pa.Table:
+            _idx, bs = _right_buckets(_us(t, right_ts))
+            b, n = np.unique(bs, return_counts=True)
+            return pa.table({"_b": pa.array(b, pa.int64()),
+                             "_n": pa.array(n, pa.int64())})
+
+        counts = (left.select_columns([left_ts])
+                  .map_batches(count_l, batch_format="pyarrow")
+                  .union(right.select_columns([right_ts])
+                         .map_batches(count_r, batch_format="pyarrow"))
+                  .groupby("_b").aggregate(Sum("_n", alias_name="n")))
+        import pyarrow.compute as pc
+
+        hot_tbl = counts.map_batches(
+            lambda t: t.filter(pc.greater(t.column("n"), hot_bucket_rows)),
+            batch_format="pyarrow").take_all()
+        # hot set is tiny by construction (#buckets over threshold ≤
+        # total_rows / hot_bucket_rows) — safe to broadcast in-closure
+        hot = frozenset(int(r["_b"]) for r in hot_tbl)
+
+    def _pad(t: pa.Table, missing: list[str]) -> pa.Table:
+        for c in missing:
+            t = t.append_column(c, pa.nulls(len(t), types[c]))
+        return t
+
+    def _salts_left(bs: np.ndarray) -> np.ndarray:
+        # any split is CORRECT (salt affects placement only); round-robin
+        # within the batch load-balances bursts of identical timestamps
+        salt = np.zeros(len(bs), dtype=np.int64)
+        if hot:
+            m = np.isin(bs, np.fromiter(hot, np.int64))
+            salt[m] = np.arange(int(m.sum()), dtype=np.int64) % S
+        return bs * S + salt
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        us = _us(t, left_ts)
+        bs = us // w
+        t = t.select(left_cols)
+        t = _pad(t, right_cols)
+        t = t.append_column("_ts", pa.array(us, pa.int64()))
+        t = t.append_column("_bs", pa.array(_salts_left(bs), pa.int64()))
+        return t.append_column("_is_l", pa.array(np.ones(len(t), dtype=bool)))
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        us = _us(t, right_ts)
+        idx, bs = _right_buckets(us)
+        if hot:
+            # hot-bucket right rows replicate into all S sub-keys
+            m = np.isin(bs, np.fromiter(hot, np.int64))
+            reps = np.where(m, S, 1)
+            idx2 = np.repeat(np.arange(len(bs)), reps)
+            salt = np.arange(len(idx2)) - np.repeat(
+                np.cumsum(reps) - reps, reps)
+            bskey = bs[idx2] * S + salt
+            idx = idx[idx2]
+        else:
+            bskey = bs * S
         t = t.select(right_cols).take(pa.array(idx))
         t = _pad(t, left_cols).select(left_cols + right_cols)
         t = t.append_column("_ts", pa.array(us[idx], pa.int64()))
-        t = t.append_column("_b", pa.array(lo_b[idx] + offs, pa.int64()))
+        t = t.append_column("_bs", pa.array(bskey, pa.int64()))
         return t.append_column("_is_l", pa.array(np.zeros(len(t), dtype=bool)))
 
     lt = left.map_batches(tag_left, batch_format="pyarrow")
@@ -184,7 +251,7 @@ def interval_join(left, right, left_ts: str, right_ts: str,
         return pa.table(cols)
 
     both = lt.union(rt)
-    return both.groupby("_b").map_groups(per_bucket, batch_format="pyarrow")
+    return both.groupby("_bs").map_groups(per_bucket, batch_format="pyarrow")
 
 
 def rolling_sum_per_key(ds, key: str, ts_col: str, order_col: str,
