@@ -1422,6 +1422,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_dedup_lsh_embeddings": _q_cosine_dedup_lsh,
         "llm_score_filter_documents": _q_llm_score_filter,
         "llm_list_fanout_documents": _q_llm_list_fanout,
+        "llm_generate_ideas_documents": _q_llm_generate,
+        "llm_test_cases_documents": _q_llm_test_cases,
+        "llm_alpaca_documents": _q_llm_alpaca,
         "bpe_token_count_documents": _q_bpe_token_count,
         "llm_judge_documents": _q_llm_judge,
         "llm_critic_documents": _q_llm_critic,
@@ -1749,6 +1752,81 @@ def _q_llm_fuse(sf_dir: str):
         concurrency=4, batch_size=512,
     )
     return out.select_columns(["doc_id", "fused"])
+
+
+def _q_llm_generate(sf_dir: str):
+    """GeneratorMap (generator_map.py:4-26): structured list response
+    kept as ONE row — joined to a comma string here so the hash compare
+    runs on plain columns."""
+    from open_thoughts_ray.llm import completions
+    from open_thoughts_ray.ops import relational as R
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    ds = R.sample_by_hash(ds, "doc_id", keep_every=25, residue=1)
+    out = completions(
+        ds, "generator",
+        {"user_message": "Ideas: {{text}}", "output_column": "ideas",
+         "num_items": 3},
+        concurrency=2, batch_size=512,
+    )
+
+    def join_list(t: pa.Table) -> pa.Table:
+        joined = [",".join(v) for v in t.column("ideas").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "ideas": pa.array(joined, pa.string())})
+
+    return out.map_batches(join_list, batch_format="pyarrow")
+
+
+def _q_llm_test_cases(sf_dir: str):
+    """TestCaseMap (test_case_map.py:1-70): parallel test_inputs /
+    test_outputs lists, flattened to one row per case for the gate."""
+    from open_thoughts_ray.llm import completions
+    from open_thoughts_ray.ops import relational as R
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    ds = R.sample_by_hash(ds, "doc_id", keep_every=25, residue=2)
+    out = completions(
+        ds, "test_case",
+        {"input_prompt_column": "text", "num_cases": 2},
+        concurrency=2, batch_size=512,
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, cs, tis, tos = [], [], [], []
+        for d, ins, outs in zip(t.column("doc_id").to_pylist(),
+                                t.column("test_inputs").to_pylist(),
+                                t.column("test_outputs").to_pylist()):
+            for i, (a, b) in enumerate(zip(ins, outs)):
+                ids.append(d)
+                cs.append(i)
+                tis.append(a)
+                tos.append(b)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "case_idx": pa.array(cs, pa.int64()),
+                         "test_input": pa.array(tis, pa.string()),
+                         "test_output": pa.array(tos, pa.string())})
+
+    return out.map_batches(explode, batch_format="pyarrow")
+
+
+def _q_llm_alpaca(sf_dir: str):
+    """AlpacaMap (alpaca_map.py:19-109): numbered-block self-instruct
+    parse with quality heuristics, fanning each completion into
+    num_generated instruction rows."""
+    from open_thoughts_ray.llm import completions
+    from open_thoughts_ray.ops import relational as R
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    ds = R.sample_by_hash(ds, "doc_id", keep_every=25, residue=3)
+    out = completions(
+        ds, "alpaca",
+        {"alpaca_prompt_column": "text", "num_seed_instructions": 3,
+         "num_generated": 2},
+        concurrency=2, batch_size=512,
+    )
+    return out.select_columns(["doc_id", "instruction", "instr_input",
+                               "output"])
 
 
 def _q_bpe_token_count(sf_dir: str):
@@ -2864,6 +2942,46 @@ def _oracle_sql_base() -> dict[str, str]:
                        || '#' || CAST(t.i AS VARCHAR)) AS idea
             FROM documents d CROSS JOIN range(3) t(i)
             WHERE d.doc_id % 25 = 0
+        """,
+        "llm_generate_ideas_documents": """
+            SELECT doc_id,
+                   array_to_string(list_transform(range(0, 3), i ->
+                       md5('user' || chr(10) || 'Ideas: ' || text
+                           || '#' || CAST(i AS VARCHAR))), ',') AS ideas
+            FROM documents
+            WHERE doc_id % 25 = 1
+        """,
+        "llm_test_cases_documents": """
+            WITH c AS (
+                SELECT doc_id,
+                       'system' || chr(10)
+                       || 'You generate test cases for programming '
+                       || 'problems: reply with equally sized lists of '
+                       || 'stdin inputs and expected outputs, one string '
+                       || 'each; use a comma between multiple values and '
+                       || 'an empty string when the program reads nothing.'
+                       || chr(10) || 'user' || chr(10)
+                       || 'Write test cases for this problem:'
+                       || chr(10) || chr(10) || text AS canon
+                FROM documents WHERE doc_id % 25 = 2
+            )
+            SELECT doc_id, t.i AS case_idx,
+                   md5(canon || '#in#' || CAST(t.i AS VARCHAR)) AS test_input,
+                   md5(canon || '#out#' || CAST(t.i AS VARCHAR)) AS test_output
+            FROM c CROSS JOIN range(2) t(i)
+        """,
+        "llm_alpaca_documents": """
+            WITH c AS (
+                SELECT doc_id, 'user' || chr(10) || text AS canon
+                FROM documents WHERE doc_id % 25 = 3
+            )
+            SELECT doc_id,
+                   'Summarize topic '
+                   || md5(canon || '#inst#' || CAST(t.i AS VARCHAR))
+                   || ' briefly.' AS instruction,
+                   '' AS instr_input,
+                   md5(canon || '#out#' || CAST(t.i AS VARCHAR)) AS output
+            FROM c CROSS JOIN range(1, 3) t(i)
         """,
         "json_source_documents": """
             SELECT doc_id, lang FROM documents ORDER BY doc_id LIMIT 200

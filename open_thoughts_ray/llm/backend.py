@@ -69,6 +69,32 @@ class MockLLMBackend:
         if response_format.startswith("list:"):
             n = int(response_format.split(":", 1)[1])
             return [_md5(canonical + "#" + str(i)) for i in range(n)]
+        if response_format.startswith("testcases:"):
+            # structured {test_inputs, test_outputs} (test_case_map.py
+            # TestCases shape): parallel md5 lists, SQL-reproducible
+            n = int(response_format.split(":", 1)[1])
+            return {
+                "test_inputs": [_md5(canonical + "#in#" + str(i))
+                                for i in range(n)],
+                "test_outputs": [_md5(canonical + "#out#" + str(i))
+                                 for i in range(n)],
+            }
+        if response_format.startswith("alpaca:"):
+            # a self-instruct-style numbered completion the AlpacaMap
+            # regex parser consumes: n "{idx}. Instruction/Input/Output:"
+            # blocks joined by ###, content derived from md5 so DuckDB
+            # replays the parsed rows bit-for-bit
+            n, k = (int(x) for x in response_format.split(":")[1:3])
+            blocks = []
+            for i in range(1, n + 1):
+                idx = k + i
+                inst = _md5(canonical + "#inst#" + str(i))
+                outp = _md5(canonical + "#out#" + str(i))
+                lead = "" if i == 1 else f"{idx}. Instruction:"
+                blocks.append(
+                    f"{lead}\nSummarize topic {inst} briefly.\n"
+                    f"{idx}. Input:\n<noinput>\n{idx}. Output:\n{outp}\n")
+            return "###".join(blocks)
         if response_format == "ranking":
             # candidates are numbered "[k] ..." in the prompt; emit a
             # deterministic permutation of 1..n seeded by the prompt hash

@@ -307,3 +307,139 @@ class FuserMap(CompletionsMap):
 for _n, _c in (("ranker", RankerMap), ("critic", CriticMap),
                ("fuser", FuserMap)):
     register_map(_n, _c)
+
+
+class GeneratorMap(ListMap):
+    """ListMap variant that keeps the structured list response as ONE
+    row with a list<string> column instead of fanning out
+    (generator_map.py:4-26: "turned into one single row in the
+    dataset")."""
+
+    def parse(self, row: dict, response) -> dict:
+        return {**row, self.output_column: list(response)}
+
+    def output_fields(self) -> dict[str, str]:
+        return {self.output_column: "list<string>"}
+
+
+class TestCaseMap(CompletionsMap):
+    """Structured test-case generation for coding problems
+    (test_case_map.py:1-70: system prompt + problem → parallel
+    test_inputs / test_outputs string lists attached to the row)."""
+
+    SYSTEM_PROMPT = (
+        "You generate test cases for programming problems: reply with "
+        "equally sized lists of stdin inputs and expected outputs, one "
+        "string each; use a comma between multiple values and an empty "
+        "string when the program reads nothing.")
+
+    def __init__(self, config: dict):
+        self.prompt_column = config["input_prompt_column"]
+        self.inputs_column = config.get("output_test_inputs_column",
+                                        "test_inputs")
+        self.outputs_column = config.get("output_test_outputs_column",
+                                         "test_outputs")
+        self.num_cases = int(config.get("num_cases", 3))
+        self.response_format = f"testcases:{self.num_cases}"
+
+    def prompt(self, row: dict) -> list[dict]:
+        return [
+            {"role": "system", "content": self.SYSTEM_PROMPT},
+            {"role": "user",
+             "content": "Write test cases for this problem:\n\n"
+                        f"{row[self.prompt_column]}"},
+        ]
+
+    def parse(self, row: dict, response) -> dict:
+        ins = list(response["test_inputs"])
+        outs = list(response["test_outputs"])
+        if len(ins) != len(outs):
+            raise ValueError("test_inputs and test_outputs must be "
+                             f"parallel: {len(ins)} vs {len(outs)}")
+        return {**row, self.inputs_column: ins, self.outputs_column: outs}
+
+    def output_fields(self) -> dict[str, str]:
+        return {self.inputs_column: "list<string>",
+                self.outputs_column: "list<string>"}
+
+
+class AlpacaMap(CompletionsMap):
+    """Self-instruct instruction generation (alpaca_map.py:19-109): the
+    completion continues a numbered few-shot prompt with
+    ``{idx}. Instruction: / Input: / Output:`` blocks separated by
+    ``###``; parse splits the blocks, normalizes ``<noinput>``, and
+    applies the quality heuristics (length bounds, modality-word
+    blacklist, punctuation/ascii lead) before emitting one row per
+    surviving instruction."""
+
+    #: modality/task words a text-only model cannot satisfy
+    #: (alpaca_map.py:71-92 heuristics)
+    BLACKLIST = ("image", "images", "graph", "graphs", "picture",
+                 "pictures", "file", "files", "map", "maps", "draw",
+                 "plot", "go to", "video", "audio", "music",
+                 "flowchart", "diagram")
+
+    def __init__(self, config: dict):
+        self.prompt_column = config["alpaca_prompt_column"]
+        self.instruction_column = config.get("output_instruction_column",
+                                             "instruction")
+        self.input_column = config.get("output_input_column", "instr_input")
+        self.output_column = config.get("output_output_column", "output")
+        self.num_seed = int(config.get("num_seed_instructions", 3))
+        self.num_generated = int(config.get("num_generated", 2))
+        self.response_format = f"alpaca:{self.num_generated}:{self.num_seed}"
+        self._block_re = None  # compiled lazily per worker
+
+    def prompt(self, row: dict) -> list[dict]:
+        return [{"role": "user", "content": row[self.prompt_column]}]
+
+    def _keep(self, inst: str) -> bool:
+        import re
+        import string
+
+        words = inst.split()
+        if len(words) <= 3 or len(words) > 150:
+            return False
+        low = inst.lower()
+        if any(re.search(rf"\b{re.escape(w)}\b", low)
+               for w in self.BLACKLIST):
+            return False
+        if inst.startswith("Write a program"):
+            return False
+        if not inst or inst[0] in string.punctuation or not inst[0].isascii():
+            return False
+        return True
+
+    def parse(self, row: dict, response) -> list[dict]:
+        import re
+
+        text = f"{self.num_seed + 1}. Instruction:" + response
+        out_rows = []
+        for offset, block in enumerate(text.split("###")):
+            idx = self.num_seed + 1 + offset
+            parts = re.split(
+                rf"{idx}\.\s+(Instruction|Input|Output):", block)
+            if len(parts) != 7:
+                continue
+            inst = parts[2].strip()
+            inp = parts[4].strip()
+            if inp.lower() == "<noinput>":
+                inp = ""
+            outp = parts[6].strip()
+            if not self._keep(inst):
+                continue
+            out_rows.append({**row,
+                             self.instruction_column: inst,
+                             self.input_column: inp,
+                             self.output_column: outp})
+        return out_rows
+
+    def output_fields(self) -> dict[str, str]:
+        return {self.instruction_column: "string",
+                self.input_column: "string",
+                self.output_column: "string"}
+
+
+for _n, _c in (("generator", GeneratorMap), ("test_case", TestCaseMap),
+               ("alpaca", AlpacaMap)):
+    register_map(_n, _c)

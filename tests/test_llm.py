@@ -456,3 +456,85 @@ def test_response_cache_key_isolates_backend_and_format(tmp_path):
     assert k1 != c1.key("user\nhellp", None)          # prompt
     c1.put(k1, {"a": 1})
     assert c1.get(k1) == {"a": 1}
+
+
+def test_generator_map_single_row_list():
+    m = build_map("generator", {"user_message": "Ideas: {{text}}",
+                                "output_column": "ideas", "num_items": 3})
+    row = {"doc_id": 1, "text": "t"}
+    resp = MockLLMBackend().complete(m.prompt(row), m.response_format)
+    out = m.parse(row, resp)
+    assert isinstance(out, dict)  # ONE row (not a fan-out)
+    c = canonical_prompt(m.prompt(row))
+    assert out["ideas"] == [md5(c + "#" + str(i)) for i in range(3)]
+
+
+def test_test_case_map_parallel_lists():
+    m = build_map("test_case", {"input_prompt_column": "problem",
+                                "num_cases": 2})
+    row = {"problem": "sum two ints"}
+    resp = MockLLMBackend().complete(m.prompt(row), m.response_format)
+    out = m.parse(row, resp)
+    c = canonical_prompt(m.prompt(row))
+    assert out["test_inputs"] == [md5(c + "#in#0"), md5(c + "#in#1")]
+    assert out["test_outputs"] == [md5(c + "#out#0"), md5(c + "#out#1")]
+    with pytest.raises(ValueError):
+        m.parse(row, {"test_inputs": ["a"], "test_outputs": []})
+
+
+def test_alpaca_map_parses_mock_blocks():
+    m = build_map("alpaca", {"alpaca_prompt_column": "p",
+                             "num_seed_instructions": 3,
+                             "num_generated": 2})
+    row = {"p": "seed prompt"}
+    resp = MockLLMBackend().complete(m.prompt(row), m.response_format)
+    rows = m.parse(row, resp)
+    assert len(rows) == 2
+    c = canonical_prompt(m.prompt(row))
+    assert rows[0]["instruction"] == \
+        f"Summarize topic {md5(c + '#inst#1')} briefly."
+    assert rows[0]["instr_input"] == ""          # <noinput> normalized
+    assert rows[0]["output"] == md5(c + "#out#1")
+    assert rows[1]["output"] == md5(c + "#out#2")
+
+
+def test_alpaca_map_heuristics():
+    """The quality filters (alpaca_map.py:65-101 semantics) on
+    handcrafted completions: short, blacklisted, program-lead,
+    punctuation-lead and malformed blocks are all dropped."""
+    m = build_map("alpaca", {"alpaca_prompt_column": "p",
+                             "num_seed_instructions": 0,
+                             "num_generated": 1})
+    row = {"p": "x"}
+
+    def block(inst, idx=1, inp="<noinput>", outp="o"):
+        return (f"\n{inst}\n{idx}. Input:\n{inp}\n{idx}. Output:\n{outp}\n")
+
+    good = m.parse(row, block("Explain the rules of chess clearly."))
+    assert len(good) == 1
+    assert m.parse(row, block("Too short."))[0:1] == []          # ≤3 words
+    assert m.parse(row, block("Draw a picture of a cat now.")) == []
+    assert m.parse(row, block("Write a program that sorts numbers.")) == []
+    assert m.parse(row, block("?Explain the rules of chess twice.")) == []
+    assert m.parse(row, "garbled no blocks here") == []
+    # real input is preserved (only the <noinput> sentinel is blanked)
+    kept = m.parse(row, block("Translate the following text to French.",
+                              inp="hello world"))
+    assert kept[0]["instr_input"] == "hello world"
+
+
+def test_alpaca_generator_testcase_dataset_e2e(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({"doc_id": [1, 2],
+                       "problem": ["add two numbers", "reverse a string"]})
+    out = completions(rd.from_pandas(df), "test_case",
+                      {"input_prompt_column": "problem", "num_cases": 2},
+                      concurrency=1, batch_size=8).to_pandas()
+    assert len(out) == 2
+    assert all(len(v) == 2 for v in out.test_inputs)
+    fan = completions(rd.from_pandas(df), "alpaca",
+                      {"alpaca_prompt_column": "problem",
+                       "num_seed_instructions": 1, "num_generated": 3},
+                      concurrency=1, batch_size=8).to_pandas()
+    assert len(fan) == 6  # 2 rows × 3 generated instructions
