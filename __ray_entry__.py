@@ -1425,6 +1425,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llm_generate_ideas_documents": _q_llm_generate,
         "llm_test_cases_documents": _q_llm_test_cases,
         "llm_alpaca_documents": _q_llm_alpaca,
+        "llm_unnatural_documents": _q_llm_unnatural,
+        "llm_seed_task_documents": _q_llm_seed_task,
+        "llm_open_gpt_documents": _q_llm_open_gpt,
         "bpe_token_count_documents": _q_bpe_token_count,
         "llm_judge_documents": _q_llm_judge,
         "llm_critic_documents": _q_llm_critic,
@@ -1578,10 +1581,12 @@ def _q_priority_sample(sf_dir: str):
     """Deterministic distributed uniform sample WITHOUT a seeded global
     shuffle: keep the n rows with the smallest md5(doc_id) priority —
     order-independent, partition-independent, and SQL-reproducible
-    (hash-priority / bottom-k sampling; each worker contributes partial
-    top-n candidates through the range-partitioned sort, no full
-    random_shuffle pass)."""
+    (hash-priority / bottom-k sampling; each batch pre-reduces to its
+    own 20 smallest, so only ≤ 20 × #batches candidate rows leave the
+    scan — no global sort, no random_shuffle pass)."""
     import hashlib
+
+    from open_thoughts_ray.ops import relational as R
 
     ds = _rp(sf_dir, "documents", ["doc_id", "lang"])
 
@@ -1590,7 +1595,8 @@ def _q_priority_sample(sf_dir: str):
                for v in t.column("doc_id").to_pylist()]
         return t.append_column("pri", pa.array(pri, pa.string()))
 
-    return ds.map_batches(add_pri, batch_format="pyarrow").sort("pri").limit(20)
+    return R.bottom_k_by(
+        ds.map_batches(add_pri, batch_format="pyarrow"), ["pri"], 20)
 
 
 def _q_approx_top_tokens(sf_dir: str):
@@ -1826,6 +1832,66 @@ def _q_llm_alpaca(sf_dir: str):
         concurrency=2, batch_size=512,
     )
     return out.select_columns(["doc_id", "instruction", "instr_input",
+                               "output"])
+
+
+def _q_llm_unnatural(sf_dir: str):
+    """UnnaturalInstructionsMap (unnatural_instructions_map.py:16-57):
+    structured {instruction, input, constraints} appended per row."""
+    from open_thoughts_ray.llm import completions
+    from open_thoughts_ray.ops import relational as R
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    ds = R.sample_by_hash(ds, "doc_id", keep_every=25, residue=4)
+    out = completions(
+        ds, "unnatural_instructions",
+        {"user_message": "Create a task from: {{text}}"},
+        concurrency=2, batch_size=512,
+    )
+    return out.select_columns(["doc_id", "instruction", "instr_input",
+                               "constraints"])
+
+
+def _q_llm_seed_task(sf_dir: str):
+    """AlpacaSeedTaskMap (alpaca_seed_task_map.py:14-44): each seed row
+    fans into its generated variant PLUS the original — 2× rows out."""
+    from open_thoughts_ray.llm import completions
+    from open_thoughts_ray.ops import relational as R
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text", "lang"])
+    ds = R.sample_by_hash(ds, "doc_id", keep_every=25, residue=5)
+
+    def seed_cols(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "instruction": t.column("text"),
+            "input": pa.array([""] * t.num_rows, pa.string()),
+            "output": t.column("lang"),
+        })
+
+    out = completions(
+        ds.map_batches(seed_cols, batch_format="pyarrow"),
+        "alpaca_seed_task",
+        {"user_message": "Vary: {{instruction}}"},
+        concurrency=2, batch_size=512,
+    )
+    return out.select_columns(["doc_id", "instruction", "input", "output"])
+
+
+def _q_llm_open_gpt(sf_dir: str):
+    """OpenGPTMap (open_gpt_map.py:17-65): structured task-list response
+    fanned into one row per {task, instruction, input, output} item."""
+    from open_thoughts_ray.llm import completions
+    from open_thoughts_ray.ops import relational as R
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    ds = R.sample_by_hash(ds, "doc_id", keep_every=25, residue=6)
+    out = completions(
+        ds, "open_gpt",
+        {"user_message": "Make tasks from: {{text}}", "num_tasks": 2},
+        concurrency=2, batch_size=512,
+    )
+    return out.select_columns(["doc_id", "task", "instruction", "input",
                                "output"])
 
 
@@ -2982,6 +3048,53 @@ def _oracle_sql_base() -> dict[str, str]:
                    '' AS instr_input,
                    md5(canon || '#out#' || CAST(t.i AS VARCHAR)) AS output
             FROM c CROSS JOIN range(1, 3) t(i)
+        """,
+        "llm_unnatural_documents": """
+            WITH c AS (
+                SELECT doc_id,
+                       'user' || chr(10) || 'Create a task from: ' || text
+                           AS canon
+                FROM documents WHERE doc_id % 25 = 4
+            )
+            SELECT doc_id,
+                   md5(canon || '#field#instruction') AS instruction,
+                   md5(canon || '#field#input') AS instr_input,
+                   md5(canon || '#field#constraints') AS constraints
+            FROM c
+        """,
+        "llm_open_gpt_documents": """
+            WITH c AS (
+                SELECT doc_id,
+                       'user' || chr(10) || 'Make tasks from: ' || text
+                           AS canon
+                FROM documents WHERE doc_id % 25 = 6
+            )
+            SELECT doc_id,
+                   md5(canon || '#task' || CAST(t.i AS VARCHAR)
+                       || '#task') AS task,
+                   md5(canon || '#task' || CAST(t.i AS VARCHAR)
+                       || '#instruction') AS instruction,
+                   md5(canon || '#task' || CAST(t.i AS VARCHAR)
+                       || '#input') AS input,
+                   md5(canon || '#task' || CAST(t.i AS VARCHAR)
+                       || '#output') AS output
+            FROM c CROSS JOIN range(2) t(i)
+        """,
+        "llm_seed_task_documents": """
+            WITH c AS (
+                SELECT doc_id, text, lang,
+                       'user' || chr(10) || 'Vary: ' || text AS canon
+                FROM documents WHERE doc_id % 25 = 5
+            )
+            SELECT doc_id,
+                   md5(canon || '#field#instruction') AS instruction,
+                   md5(canon || '#field#input') AS input,
+                   md5(canon || '#field#output') AS output
+            FROM c
+            UNION ALL
+            SELECT doc_id, text AS instruction, '' AS input,
+                   lang AS output
+            FROM c
         """,
         "json_source_documents": """
             SELECT doc_id, lang FROM documents ORDER BY doc_id LIMIT 200

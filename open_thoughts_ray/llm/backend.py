@@ -69,6 +69,19 @@ class MockLLMBackend:
         if response_format.startswith("list:"):
             n = int(response_format.split(":", 1)[1])
             return [_md5(canonical + "#" + str(i)) for i in range(n)]
+        if response_format.startswith("fields:"):
+            # structured named string fields (unnatural_instructions_map
+            # / alpaca_seed_task_map response models): one md5 per field
+            names = response_format.split(":", 1)[1].split(",")
+            return {f: _md5(canonical + "#field#" + f) for f in names}
+        if response_format.startswith("tasklist:"):
+            # list of structured {task, instruction, input, output}
+            # items (open_gpt_map.py response model)
+            n = int(response_format.split(":", 1)[1])
+            return {"tasks": [
+                {f: _md5(canonical + "#task" + str(i) + "#" + f)
+                 for f in ("task", "instruction", "input", "output")}
+                for i in range(n)]}
         if response_format.startswith("testcases:"):
             # structured {test_inputs, test_outputs} (test_case_map.py
             # TestCases shape): parallel md5 lists, SQL-reproducible

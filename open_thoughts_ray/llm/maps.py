@@ -443,3 +443,89 @@ class AlpacaMap(CompletionsMap):
 for _n, _c in (("generator", GeneratorMap), ("test_case", TestCaseMap),
                ("alpaca", AlpacaMap)):
     register_map(_n, _c)
+
+
+class UnnaturalInstructionsMap(ChatMap):
+    """Structured {instruction, input, constraints} triple appended to
+    the row (unnatural_instructions_map.py:16-57: Pydantic response with
+    three coerced-to-str fields)."""
+
+    def __init__(self, config: dict):
+        cfg = dict(config)
+        self.instruction_column = cfg.pop("output_instruction_column",
+                                          "instruction")
+        self.input_column = cfg.pop("output_input_column", "instr_input")
+        self.constraints_column = cfg.pop("output_constraints_column",
+                                          "constraints")
+        cfg.setdefault("output_column", "_unused")
+        super().__init__(cfg)
+        self.response_format = "fields:instruction,input,constraints"
+
+    def parse(self, row: dict, response) -> dict:
+        return {**row,
+                self.instruction_column: str(response["instruction"]),
+                self.input_column: str(response["input"]),
+                self.constraints_column: str(response["constraints"])}
+
+    def output_fields(self) -> dict[str, str]:
+        return {self.instruction_column: "string",
+                self.input_column: "string",
+                self.constraints_column: "string"}
+
+
+class AlpacaSeedTaskMap(ChatMap):
+    """Seed-task variant generation (alpaca_seed_task_map.py:14-44):
+    the structured {instruction, input, output} response becomes a NEW
+    row and the original seed row is kept alongside it — a 2× fan-out.
+    The input rows must already carry the three columns (the reference
+    applies this to the alpaca seed-task table, which does)."""
+
+    def __init__(self, config: dict):
+        cfg = dict(config)
+        cfg.setdefault("output_column", "_unused")
+        super().__init__(cfg)
+        self.response_format = "fields:instruction,input,output"
+
+    def parse(self, row: dict, response) -> list[dict]:
+        variant = {**row,
+                   "instruction": str(response["instruction"]),
+                   "input": str(response["input"]),
+                   "output": str(response["output"])}
+        return [variant, dict(row)]
+
+    def output_fields(self) -> dict[str, str]:
+        return {"instruction": "string", "input": "string",
+                "output": "string"}
+
+
+for _n, _c in (("unnatural_instructions", UnnaturalInstructionsMap),
+               ("alpaca_seed_task", AlpacaSeedTaskMap)):
+    register_map(_n, _c)
+
+
+class OpenGPTMap(ChatMap):
+    """Structured task LIST fan-out (open_gpt_map.py:17-65): the
+    response is a list of {task, instruction, input, output} items, one
+    output row per item."""
+
+    def __init__(self, config: dict):
+        cfg = dict(config)
+        self.num_tasks = int(cfg.pop("num_tasks", 2))
+        cfg.setdefault("output_column", "_unused")
+        super().__init__(cfg)
+        self.response_format = f"tasklist:{self.num_tasks}"
+
+    def parse(self, row: dict, response) -> list[dict]:
+        return [{**row,
+                 "task": str(t["task"]),
+                 "instruction": str(t["instruction"]),
+                 "input": str(t["input"]),
+                 "output": str(t["output"])}
+                for t in response["tasks"]]
+
+    def output_fields(self) -> dict[str, str]:
+        return {"task": "string", "instruction": "string",
+                "input": "string", "output": "string"}
+
+
+register_map("open_gpt", OpenGPTMap)

@@ -157,6 +157,22 @@ def uniform_sample_fixed(ds, n: int, seed: int = 42):
     return ds.random_shuffle(seed=seed).limit(n)
 
 
+def bottom_k_by(ds, order_cols: list[str], k: int):
+    """Global k smallest rows by the ``order_cols`` tuple WITHOUT a full
+    range-partitioned sort: every batch pre-reduces to its own k
+    smallest (the global bottom-k is a subset of the per-batch
+    bottom-k's), then the ≤ k × #batches candidate set coalesces into
+    one block for the final sort+head — the bottom-k aggregate VERDICT
+    r3 flagged ``sort().limit()`` for."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(order_cols, kind="mergesort").head(k)
+
+    return ds.map_batches(partial, batch_format="pandas") \
+        .repartition(1).map_batches(partial, batch_format="pandas",
+                                    batch_size=None)
+
+
 def stratified_first_k(ds, group_col, k: int, order_col: str):
     """_B2_Dedup/utils.py:5-50 stratified sample, made deterministic:
     per group take the k smallest by ``order_col``.  Per-batch

@@ -538,3 +538,37 @@ def test_alpaca_generator_testcase_dataset_e2e(ray_session):
                        "num_seed_instructions": 1, "num_generated": 3},
                       concurrency=1, batch_size=8).to_pandas()
     assert len(fan) == 6  # 2 rows × 3 generated instructions
+
+
+def test_unnatural_instructions_map():
+    m = build_map("unnatural_instructions",
+                  {"user_message": "Create: {{text}}"})
+    row = {"doc_id": 1, "text": "t"}
+    resp = MockLLMBackend().complete(m.prompt(row), m.response_format)
+    out = m.parse(row, resp)
+    c = canonical_prompt(m.prompt(row))
+    assert out["instruction"] == md5(c + "#field#instruction")
+    assert out["constraints"] == md5(c + "#field#constraints")
+
+
+def test_alpaca_seed_task_map_keeps_original():
+    m = build_map("alpaca_seed_task", {"user_message": "Vary: {{instruction}}"})
+    row = {"doc_id": 1, "instruction": "seed", "input": "", "output": "o"}
+    resp = MockLLMBackend().complete(m.prompt(row), m.response_format)
+    rows = m.parse(row, resp)
+    assert len(rows) == 2
+    c = canonical_prompt(m.prompt(row))
+    assert rows[0]["instruction"] == md5(c + "#field#instruction")
+    assert rows[1] == row  # original kept verbatim
+
+
+def test_open_gpt_map_task_fanout():
+    m = build_map("open_gpt", {"user_message": "Make: {{text}}",
+                               "num_tasks": 2})
+    row = {"doc_id": 1, "text": "t"}
+    resp = MockLLMBackend().complete(m.prompt(row), m.response_format)
+    rows = m.parse(row, resp)
+    assert len(rows) == 2
+    c = canonical_prompt(m.prompt(row))
+    assert rows[0]["task"] == md5(c + "#task0#task")
+    assert rows[1]["instruction"] == md5(c + "#task1#instruction")
