@@ -49,6 +49,11 @@ QUERY_SUBSET = [
     "boilerplate_removal_documents",
     "tfidf_top_terms_documents",
     "rrf_hybrid_topk_documents",
+    # r4: grouped-analytics family after the partition-level
+    # segment-walk rewrite (one pandas dispatch per partition, not per
+    # key — VERDICT r3 #1)
+    "sessionize_events",
+    "asof_join_events",
 ]
 
 
