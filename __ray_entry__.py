@@ -1428,6 +1428,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llm_unnatural_documents": _q_llm_unnatural,
         "llm_seed_task_documents": _q_llm_seed_task,
         "llm_open_gpt_documents": _q_llm_open_gpt,
+        "llm_difficulty_documents": _q_llm_difficulty,
+        "llm_reasoner_documents": _q_llm_reasoner,
         "bpe_token_count_documents": _q_bpe_token_count,
         "llm_judge_documents": _q_llm_judge,
         "llm_critic_documents": _q_llm_critic,
@@ -1893,6 +1895,37 @@ def _q_llm_open_gpt(sf_dir: str):
     )
     return out.select_columns(["doc_id", "task", "instruction", "input",
                                "output"])
+
+
+def _q_llm_difficulty(sf_dir: str):
+    """DifficultyMap (SkyT1/sky_t1_math_difficulty.py:52-100 shape):
+    rubric-graded int difficulty + reasoning per row."""
+    from open_thoughts_ray.llm import completions
+    from open_thoughts_ray.ops import relational as R
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    ds = R.sample_by_hash(ds, "doc_id", keep_every=25, residue=7)
+    out = completions(
+        ds, "difficulty",
+        {"problem_column": "text", "criteria": "std"},
+        concurrency=2, batch_size=512,
+    )
+    return out.select_columns(["doc_id", "difficulty"])
+
+
+def _q_llm_reasoner(sf_dir: str):
+    """ReasonerMap (DeepSeekR1/deepseek_reasoner.py:21-50 shape):
+    reasoning + solution column pair per row."""
+    from open_thoughts_ray.llm import completions
+    from open_thoughts_ray.ops import relational as R
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    ds = R.sample_by_hash(ds, "doc_id", keep_every=25, residue=8)
+    out = completions(
+        ds, "reasoner", {"input_problem_column": "text"},
+        concurrency=2, batch_size=512,
+    )
+    return out.select_columns(["doc_id", "reasoning", "solution"])
 
 
 def _q_bpe_token_count(sf_dir: str):
@@ -3079,6 +3112,31 @@ def _oracle_sql_base() -> dict[str, str]:
                    md5(canon || '#task' || CAST(t.i AS VARCHAR)
                        || '#output') AS output
             FROM c CROSS JOIN range(2) t(i)
+        """,
+        "llm_difficulty_documents": """
+            WITH c AS (
+                SELECT doc_id,
+                       md5('user' || chr(10)
+                           || 'Grade the difficulty from 1-10 using this '
+                           || 'standard: std' || chr(10)
+                           || 'Problem: ' || text) AS h
+                FROM documents WHERE doc_id % 25 = 7
+            )
+            SELECT doc_id,
+                   CAST(1 + (ascii(substr(h,1,1))*256
+                             + ascii(substr(h,2,1))) % 10 AS BIGINT)
+                       AS difficulty
+            FROM c
+        """,
+        "llm_reasoner_documents": """
+            WITH c AS (
+                SELECT doc_id, 'user' || chr(10) || text AS canon
+                FROM documents WHERE doc_id % 25 = 8
+            )
+            SELECT doc_id,
+                   md5(canon || '#field#reasoning') AS reasoning,
+                   md5(canon || '#field#content') AS solution
+            FROM c
         """,
         "llm_seed_task_documents": """
             WITH c AS (

@@ -150,6 +150,7 @@ def run_flagship(table_dir: str, out_dir: str, opts, chunk_fragments: int = 16):
     paths = lance_table.fragment_paths(table_dir)
     chunks = _chunks(paths, chunk_fragments)
     skipped = 0
+    skipped_ids: set[str] = set()
     for chunk_id, chunk_paths in chunks:
         final_chunk_dir = os.path.join(scored_dir, chunk_id)
         frag_hash = _fragments_fingerprint(chunk_paths)
@@ -162,6 +163,7 @@ def run_flagship(table_dir: str, out_dir: str, opts, chunk_fragments: int = 16):
                 and rec.get("frag_hash") == frag_hash
                 and os.path.isdir(final_chunk_dir)):
             skipped += 1
+            skipped_ids.add(chunk_id)
             continue
         staging = final_chunk_dir + ".staging"
         if os.path.isdir(staging):
@@ -220,6 +222,22 @@ def run_flagship(table_dir: str, out_dir: str, opts, chunk_fragments: int = 16):
     metrics["chunks_skipped_on_resume"] = skipped
     with open(os.path.join(out_dir, "metrics.json"), "w") as f:
         json.dump(metrics, f, indent=2)
+    # optional run-registry record (the Postgres-catalog analogue): one
+    # stage row per chunk with its cache status + rows, keyed by the
+    # same content-addressed config hash the manifest uses
+    registry_dir = os.environ.get("OTR_REGISTRY_DIR")
+    if registry_dir:
+        from .registry import RunRegistry
+
+        final_done = manifest.done()
+        RunRegistry(registry_dir).record(
+            "flagship",
+            [{"op_id": cid, "type": "score_chunk",
+              "fingerprint": cfg_hash,
+              "status": "hit" if cid in skipped_ids else "computed",
+              "rows": final_done.get(cid, {}).get("rows")}
+             for cid, _ in chunks],
+            meta={"table_dir": table_dir, "out_dir": out_dir, **metrics})
     return decisions_dir, metrics
 
 

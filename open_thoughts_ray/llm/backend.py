@@ -69,6 +69,10 @@ class MockLLMBackend:
         if response_format.startswith("list:"):
             n = int(response_format.split(":", 1)[1])
             return [_md5(canonical + "#" + str(i)) for i in range(n)]
+        if response_format == "difficulty":
+            # rubric-graded int in [1, 10] (SkyT1 difficulty shape)
+            return {"difficulty": 1 + (ord(h[0]) * 256 + ord(h[1])) % 10,
+                    "reasoning": "mock-reasoning-" + h[:8]}
         if response_format.startswith("fields:"):
             # structured named string fields (unnatural_instructions_map
             # / alpaca_seed_task_map response models): one md5 per field

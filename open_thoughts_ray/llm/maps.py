@@ -529,3 +529,72 @@ class OpenGPTMap(ChatMap):
 
 
 register_map("open_gpt", OpenGPTMap)
+
+
+class DifficultyMap(CompletionsMap):
+    """Rubric-graded integer difficulty (SkyT1 difficulty family,
+    SkyT1/sky_t1_math_difficulty.py:52-100: structured {difficulty,
+    reasoning} against a grading rubric).  ``criteria`` is the rubric
+    text (callers supply their domain's scale; the default is a plain
+    1-10 description) and the response is validated into [1, 10]."""
+
+    DEFAULT_CRITERIA = ("Scale of 1-10: 1 = routine exercise anyone can "
+                        "do, 5 = requires several non-obvious steps, "
+                        "10 = research-level or historically hard.")
+    response_format = "difficulty"
+
+    def __init__(self, config: dict):
+        self.problem_column = config["problem_column"]
+        self.difficulty_column = config.get("output_difficulty_column",
+                                            "difficulty")
+        self.reasoning_column = config.get("output_reasoning_column",
+                                           "difficulty_reasoning")
+        self.criteria = config.get("criteria", self.DEFAULT_CRITERIA)
+
+    def prompt(self, row: dict) -> list[dict]:
+        return [{"role": "user",
+                 "content": "Grade the difficulty from 1-10 using this "
+                            f"standard: {self.criteria}\n"
+                            f"Problem: {row[self.problem_column]}"}]
+
+    def parse(self, row: dict, response) -> dict:
+        d = int(response["difficulty"])
+        if not 1 <= d <= 10:
+            raise ValueError(f"difficulty out of range: {d}")
+        return {**row, self.difficulty_column: d,
+                self.reasoning_column: str(response["reasoning"])}
+
+    def output_fields(self) -> dict[str, str]:
+        return {self.difficulty_column: "int64",
+                self.reasoning_column: "string"}
+
+
+class ReasonerMap(CompletionsMap):
+    """Reasoning-model annotation (DeepSeekR1/deepseek_reasoner.py:21-50):
+    the backend returns separate reasoning and final-answer texts, landed
+    in two columns."""
+
+    response_format = "fields:reasoning,content"
+
+    def __init__(self, config: dict):
+        self.problem_column = config["input_problem_column"]
+        self.solution_column = config.get("output_solution_column",
+                                          "solution")
+        self.reasoning_column = config.get("output_reasoning_column",
+                                           "reasoning")
+
+    def prompt(self, row: dict) -> list[dict]:
+        return [{"role": "user", "content": row[self.problem_column]}]
+
+    def parse(self, row: dict, response) -> dict:
+        return {**row,
+                self.reasoning_column: str(response["reasoning"]),
+                self.solution_column: str(response["content"])}
+
+    def output_fields(self) -> dict[str, str]:
+        return {self.reasoning_column: "string",
+                self.solution_column: "string"}
+
+
+for _n, _c in (("difficulty", DifficultyMap), ("reasoner", ReasonerMap)):
+    register_map(_n, _c)

@@ -572,3 +572,23 @@ def test_open_gpt_map_task_fanout():
     c = canonical_prompt(m.prompt(row))
     assert rows[0]["task"] == md5(c + "#task0#task")
     assert rows[1]["instruction"] == md5(c + "#task1#instruction")
+
+
+def test_difficulty_map_range_and_mock():
+    m = build_map("difficulty", {"problem_column": "p", "criteria": "std"})
+    row = {"p": "hard problem"}
+    resp = MockLLMBackend().complete(m.prompt(row), m.response_format)
+    out = m.parse(row, resp)
+    assert 1 <= out["difficulty"] <= 10
+    with pytest.raises(ValueError):
+        m.parse(row, {"difficulty": 11, "reasoning": "r"})
+
+
+def test_reasoner_map_two_columns():
+    m = build_map("reasoner", {"input_problem_column": "p"})
+    row = {"p": "why"}
+    resp = MockLLMBackend().complete(m.prompt(row), m.response_format)
+    out = m.parse(row, resp)
+    c = canonical_prompt(m.prompt(row))
+    assert out["reasoning"] == md5(c + "#field#reasoning")
+    assert out["solution"] == md5(c + "#field#content")

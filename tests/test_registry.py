@@ -62,3 +62,26 @@ def test_cli_runs_command(ray_session, tmp_path):
     assert res["cache"]["lim"] == "computed"
     listing = main(["runs", "--registry", reg_dir])
     assert listing["n_runs"] == 1 and listing["n_stage_rows"] == 2
+
+
+def test_flagship_records_to_registry(ray_session, tmp_path, monkeypatch):
+    from open_thoughts_ray.fixtures.images import build_images_table
+    from open_thoughts_ray.pipeline import PipelineOptions, run_checkpointed
+
+    table = str(tmp_path / "imgs")
+    build_images_table(table, n_rows=200, n_parts=4, seed=7)
+    reg_dir = str(tmp_path / "reg")
+    monkeypatch.setenv("OTR_REGISTRY_DIR", reg_dir)
+    run_checkpointed(table, str(tmp_path / "out"),
+                     PipelineOptions.for_cluster(4), chunk_fragments=2)
+    run_checkpointed(table, str(tmp_path / "out"),
+                     PipelineOptions.for_cluster(4), chunk_fragments=2)
+
+    reg = RunRegistry(reg_dir)
+    runs = [r for r in reg.runs() if r["kind"] == "flagship"]
+    assert len(runs) == 2
+    s1 = {s["op_id"]: s["status"] for s in runs[0]["stages"]}
+    s2 = {s["op_id"]: s["status"] for s in runs[1]["stages"]}
+    assert set(s1.values()) == {"computed"}
+    assert set(s2.values()) == {"hit"}      # resume skipped every chunk
+    assert all(s["rows"] is not None for s in runs[1]["stages"])
