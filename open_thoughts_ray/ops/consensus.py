@@ -3,7 +3,9 @@
 * ``majority_vote`` — the reference's ``majority_consensus``
   (dcft/data_strategies/MultipleSamples/utils.py:74-127): per group, the
   modal value of a column with a deterministic tie-break (lexicographic
-  min among the tied values) → ``groupby(key).map_groups``.
+  min among the tied values) → ONE ``hash(key) % P`` shuffle + a
+  C-level pandas pass per PARTITION (ops/segment.py plan; per-user
+  groups meant per-key dispatch at crawl scale).
 * ``token_entropy`` / ``distinct_ngram_ratio`` — diversity metrics
   (DiversityExperiments/diversity_metrics.py:118-304) as two-level
   partial/final aggregations: per-batch token counts (partial) are tiny
@@ -24,22 +26,32 @@ def majority_vote(ds, group_col: str, value_col: str,
                   out_col: str | None = None):
     """One row per group: the most frequent value (ties → lexicographic
     min), plus its count and the group size."""
+    from .segment import partitioned_groups
+
     out_col = out_col or f"majority_{value_col}"
 
-    def vote(g: pd.DataFrame) -> pd.DataFrame:
-        counts = g[value_col].value_counts()
-        top = counts.max()
-        winner = sorted(counts[counts == top].index)[0]
-        return pd.DataFrame(
-            {
-                group_col: [g[group_col].iloc[0]],
-                out_col: [winner],
-                "votes": [int(top)],
-                "n_group": [len(g)],
-            }
-        )
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({group_col: [], out_col: [],
+                                 "votes": [], "n_group": []})
+        # (key, value) counts, then the winner per key = first row after
+        # sorting (votes desc, value asc) — all C-level pandas
+        vc = (g.groupby([group_col, value_col], sort=False)
+              .size().reset_index(name="votes"))
+        sizes = g.groupby(group_col, sort=False).size() \
+            .reset_index(name="n_group")
+        vc = vc.sort_values([group_col, "votes", value_col],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        win = vc.drop_duplicates(group_col, keep="first")
+        out = win.merge(sizes, on=group_col)
+        out = out.rename(columns={value_col: out_col})
+        out["votes"] = out["votes"].astype("int64")
+        out["n_group"] = out["n_group"].astype("int64")
+        return out[[group_col, out_col, "votes", "n_group"]]
 
-    return ds.groupby(group_col).map_groups(vote, batch_format="pandas")
+    return partitioned_groups(ds, group_col, per_partition,
+                              cols=[group_col, value_col])
 
 
 def _partial_token_counts(batch: pa.Table, text_col: str) -> pa.Table:

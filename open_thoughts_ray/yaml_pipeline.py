@@ -296,6 +296,59 @@ def execute_op(typ: str, cfg: dict, ins: list):
             from .pipeline import PipelineOptions, quality_filter_dataset
 
             out = quality_filter_dataset(ins[0], PipelineOptions())
+        elif typ == "sessionize":
+            from .ops.temporal import sessionize
+
+            out = sessionize(ins[0], key=cfg["key"], ts_col=cfg["ts_column"],
+                             gap_s=int(cfg["gap_s"]))
+        elif typ == "asof_join":
+            from .ops.temporal import asof_join
+
+            # inputs: [left, right]
+            out = asof_join(ins[0], ins[1], key=cfg["key"],
+                            ts=cfg["ts_column"],
+                            right_value_cols=cfg["right_value_columns"])
+        elif typ == "interval_join":
+            from .ops.temporal import interval_join
+
+            out = interval_join(
+                ins[0], ins[1], left_ts=cfg["left_ts"],
+                right_ts=cfg["right_ts"],
+                lower_us=int(cfg["lower_us"]), upper_us=int(cfg["upper_us"]),
+                left_cols=cfg["left_columns"],
+                right_cols=cfg["right_columns"],
+                hot_bucket_rows=cfg.get("hot_bucket_rows", 1_000_000),
+                salt_factor=int(cfg.get("salt_factor", 8)))
+        elif typ == "rolling_sum":
+            from .ops.temporal import rolling_sum_per_key
+
+            out = rolling_sum_per_key(
+                ins[0], key=cfg["key"], ts_col=cfg["ts_column"],
+                order_col=cfg["order_column"], value_col=cfg["value_column"],
+                window_rows=int(cfg["window_rows"]),
+                out_col=cfg.get("output_column", "rolling_sum"))
+        elif typ == "majority_vote":
+            from .ops.consensus import majority_vote
+
+            out = majority_vote(ins[0], cfg["group_column"],
+                                cfg["value_column"],
+                                out_col=cfg.get("output_column"))
+        elif typ == "top_n_per_group":
+            out = R.top_n_per_group(
+                ins[0], cfg["group_column"], cfg["order_columns"],
+                n=int(cfg.get("n", 1)),
+                descending=bool(cfg.get("descending", True)))
+        elif typ == "bottom_k":
+            out = R.bottom_k_by(ins[0], cfg["order_columns"],
+                                int(cfg["k"]))
+        elif typ == "grouped_quantile":
+            out = R.grouped_quantile(ins[0], cfg["group_column"],
+                                     cfg["value_column"], float(cfg["q"]),
+                                     out_col=cfg.get("output_column"))
+        elif typ == "grouped_ntile":
+            out = R.grouped_ntile(ins[0], cfg["group_column"],
+                                  cfg["order_columns"], int(cfg["n"]),
+                                  out_col=cfg.get("output_column", "tile"))
         elif typ in YAML_OP_REGISTRY:
             out = YAML_OP_REGISTRY[typ](ins, cfg)
         else:

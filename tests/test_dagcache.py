@@ -172,3 +172,56 @@ def test_load_preexisting_cached(ray_session, tmp_path):
     assert sorted(rep1.values()).count("computed") == 3  # src, upper, lim
     _, rep2 = run_pipeline_cached(doc, cache)
     assert all(v in ("hit", "streamed") for v in rep2.values())
+
+
+def test_yaml_temporal_analytics_ops(ray_session, tmp_path):
+    """The r4 YAML grammar additions: sessionize / rolling_sum /
+    majority_vote / top_n_per_group / bottom_k / grouped_quantile /
+    grouped_ntile drive the segment-walk operators from config."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    events = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2],
+        "ts": pd.to_datetime([0, 30, 200, 10, 20], unit="s"),
+        "event_id": [1, 2, 3, 4, 5],
+        "value": [1.0, 2.0, 3.0, 4.0, 5.0],
+        "event_type": ["a", "a", "b", "b", "b"],
+    })
+    p = str(tmp_path / "ev.parquet")
+    pq.write_table(pa.Table.from_pandas(events), p)
+
+    doc = {"operators": [
+        {"id": "src", "config": {"type": "parquet_source", "path": p}},
+        {"id": "sess", "config": {"type": "sessionize", "key": "user_id",
+                                  "ts_column": "ts", "gap_s": 60}},
+    ]}
+    out = run_pipeline(doc).to_pandas().sort_values(
+        ["user_id", "session_start"]).reset_index(drop=True)
+    assert out.n_events.tolist() == [2, 1, 2]
+
+    doc = {"operators": [
+        {"id": "src", "config": {"type": "parquet_source", "path": p}},
+        {"id": "mv", "config": {"type": "majority_vote",
+                                "group_column": "user_id",
+                                "value_column": "event_type"}},
+    ]}
+    mv = run_pipeline(doc).to_pandas().sort_values("user_id")
+    assert mv.majority_event_type.tolist() == ["a", "b"]
+
+    doc = {"operators": [
+        {"id": "src", "config": {"type": "parquet_source", "path": p}},
+        {"id": "bk", "config": {"type": "bottom_k",
+                                "order_columns": ["value"], "k": 2}},
+    ]}
+    bk = run_pipeline(doc).to_pandas()
+    assert sorted(bk.value.tolist()) == [1.0, 2.0]
+
+    doc = {"operators": [
+        {"id": "src", "config": {"type": "parquet_source", "path": p}},
+        {"id": "q", "config": {"type": "grouped_quantile",
+                               "group_column": "user_id",
+                               "value_column": "value", "q": 0.5}},
+    ]}
+    med = run_pipeline(doc).to_pandas().sort_values("user_id")
+    assert med.q50_value.tolist() == [2.0, 4.5]
