@@ -1353,6 +1353,58 @@ def _q_boilerplate_removal(sf_dir: str):
                                     min_df=2)
 
 
+def _q_metamath_extract_answer(sf_dir: str):
+    """ExtractMathAnswerMap (Metamath/extract_math_answer_map.py:15-79
+    shape): structured numerical-answer extraction with the
+    digit-presence keep filter, replayed in SQL via regexp_matches."""
+    from open_thoughts_ray.llm import completions
+    from open_thoughts_ray.ops import relational as R
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    ds = R.sample_by_hash(ds, "doc_id", keep_every=25, residue=9)
+    out = completions(
+        ds, "metamath_extract_math_answer",
+        {"detailed_answer_column": "text",
+         "output_numerical_answer_column": "num"},
+        concurrency=2, batch_size=512,
+    )
+    return out.select_columns(["doc_id", "num"])
+
+
+def _q_url_classify(sf_dir: str):
+    """URLClassifyMap (WebInstruct/url_classify_map.py:17-103 shape):
+    free-text classification with the last-word yes/no protocol over
+    the documents' source field."""
+    from open_thoughts_ray.llm import completions
+    from open_thoughts_ray.ops import relational as R
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "source"])
+    ds = R.sample_by_hash(ds, "doc_id", keep_every=25, residue=10)
+    out = completions(
+        ds, "url_classify", {"input_url_column": "source"},
+        concurrency=2, batch_size=512,
+    )
+    return out.select_columns(["doc_id", "url_classification"])
+
+
+def _q_webinstruct_qa(sf_dir: str):
+    """ExtractQAMap (WebInstruct/extract_qa_map.py:8-76 shape): QA-pair
+    fan-out gated on the model's qa_exists flag — 0 or num_pairs output
+    rows per document."""
+    from open_thoughts_ray.llm import completions
+    from open_thoughts_ray.ops import relational as R
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    ds = R.sample_by_hash(ds, "doc_id", keep_every=25, residue=11)
+    out = completions(
+        ds, "webinstruct_extract_qa",
+        {"input_text_column": "text", "output_question_column": "q",
+         "output_answer_column": "a", "num_pairs": 2},
+        concurrency=2, batch_size=512,
+    )
+    return out.select_columns(["doc_id", "q", "a"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # Order matters: the driver's correctness gate evaluates the
@@ -1472,6 +1524,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rule_funnel_documents": _q_rule_funnel,
         "curriculum_interleave_documents": _q_curriculum_interleave,
         "component_sizes_documents": _q_component_sizes,
+        "metamath_extract_answer_documents": _q_metamath_extract_answer,
+        "url_classify_documents": _q_url_classify,
+        "webinstruct_qa_documents": _q_webinstruct_qa,
     }
 
 
@@ -3510,6 +3565,51 @@ def _oracle_sql_base() -> dict[str, str]:
             WHERE NOT EXISTS (
               SELECT 1 FROM sh e WHERE e.doc_id < g.doc_id
                 AND bit_count(xor(e.hv, g.hv)) <= 3)
+        """,
+        "metamath_extract_answer_documents": """
+            WITH c AS (
+                SELECT doc_id,
+                       md5('system' || chr(10)
+                           || 'Extract the short final numerical answer '
+                           || 'from the detailed answer.' || chr(10)
+                           || 'user' || chr(10)
+                           || 'Detailed answer: ' || text
+                           || '#field#numerical_answer') AS num
+                FROM documents WHERE doc_id % 25 = 9
+            )
+            SELECT doc_id, num FROM c
+            WHERE regexp_matches(num, '[0-9]')
+        """,
+        "url_classify_documents": """
+            WITH c AS (
+                SELECT doc_id,
+                       md5('system' || chr(10)
+                           || 'Classify the domain as educational or '
+                           || 'non-educational. The last word you send '
+                           || 'must be "yes" (educational) or "no" '
+                           || '(non-educational).' || chr(10)
+                           || 'user' || chr(10) || source) AS h
+                FROM documents WHERE doc_id % 25 = 10
+            )
+            SELECT doc_id,
+                   ascii(substr(h,1,1)) % 2 = 0 AS url_classification
+            FROM c
+        """,
+        "webinstruct_qa_documents": """
+            WITH c AS (
+                SELECT doc_id,
+                       'system' || chr(10)
+                       || 'Extract natural question-answer pairs from '
+                       || 'the document, ignoring ads and boilerplate; '
+                       || 'return an empty list when none exist.'
+                       || chr(10) || 'user' || chr(10) || text AS canon
+                FROM documents WHERE doc_id % 25 = 11
+            )
+            SELECT doc_id,
+                   md5(canon || '#q#' || CAST(t.i AS VARCHAR)) AS q,
+                   md5(canon || '#a#' || CAST(t.i AS VARCHAR)) AS a
+            FROM c CROSS JOIN range(2) t(i)
+            WHERE ascii(substr(md5(canon),1,1)) % 4 != 1
         """,
         # approx_top_tokens_documents: rows-only (sketch lower bounds;
         # exactness + error bound asserted in tests/test_sketch.py)

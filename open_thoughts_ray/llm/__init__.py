@@ -23,3 +23,4 @@ from .maps import (  # noqa: F401
     fill_template,
     register_map,
 )
+from . import maps_ext  # noqa: F401  (registers the domain map families)

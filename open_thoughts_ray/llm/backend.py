@@ -112,6 +112,112 @@ class MockLLMBackend:
                     f"{lead}\nSummarize topic {inst} briefly.\n"
                     f"{idx}. Input:\n<noinput>\n{idx}. Output:\n{outp}\n")
             return "###".join(blocks)
+        if response_format == "judge_result":
+            # {correct, reasoning} (DeepSeekR1/deepseek_judge.py
+            # JudgeResult shape)
+            return {"correct": ord(h[0]) % 2 == 0,
+                    "reasoning": "mock-reasoning-" + h[:8]}
+        if response_format.startswith("choices:"):
+            # subset of candidate indices 0..n-1 + reasoning
+            # (AutoVerification code/math/science "Same" maps: conlist
+            # of Choices enums).  Index i is included iff the parity of
+            # hex char h[i+1] is even — SQL: ascii(substr(h,i+2,1))%2=0.
+            n = int(response_format.split(":", 1)[1])
+            return {"response": [str(i) for i in range(n)
+                                 if ord(h[i + 1]) % 2 == 0],
+                    "reasoning": "mock-reasoning-" + h[:8]}
+        if response_format.startswith("quantities:"):
+            # list of {surrounding_context, inverse_question,
+            # inverse_answer} (Metamath inverse_question_map.py
+            # Quantities shape).  Even items pass the numeric+X parse
+            # filter; odd items deterministically fail it.
+            n = int(response_format.split(":", 1)[1])
+            out = []
+            for i in range(n):
+                qh = _md5(canonical + "#q#" + str(i))
+                if i % 2 == 0:
+                    out.append({
+                        "surrounding_context": qh[:16],
+                        "inverse_question":
+                            f"What is X plus {qh[:8]} ?",
+                        "inverse_answer": str(int(h[i], 16)),
+                    })
+                else:
+                    out.append({
+                        "surrounding_context": qh[:16],
+                        "inverse_question": f"What is {qh[:8]} ?",
+                        "inverse_answer": "unknown",
+                    })
+            return {"quantities": out}
+        if response_format.startswith("problems:"):
+            # {problems: [{question, detailed_answer, answer}]}
+            # (Metamath metamath_problem_generator.py GeneratedProblem).
+            # Even items satisfy validate_problem (math indicator +
+            # numeric answer); odd items fail it.
+            n = int(response_format.split(":", 1)[1])
+            probs = []
+            for i in range(n):
+                qh = _md5(canonical + "#p#" + str(i))
+                if i % 2 == 0:
+                    probs.append({
+                        "question": f"Compute {qh[:8]} = X.",
+                        "detailed_answer":
+                            f"{qh[:8]} = {int(h[i], 16)}",
+                        "answer": str(int(h[i], 16)),
+                    })
+                else:
+                    probs.append({"question": qh[:8],
+                                  "detailed_answer": qh[8:16],
+                                  "answer": "none"})
+            return {"problems": probs}
+        if response_format.startswith("qapairs:"):
+            # {qa_exists, extracted_qa_pairs} (WebInstruct
+            # extract_qa_map.py ExtractedQAs shape).  qa_exists is h[0]
+            # parity (75% true); pairs are per-index md5s.
+            n = int(response_format.split(":", 1)[1])
+            exists = ord(h[0]) % 4 != 1
+            pairs = [] if not exists else [
+                {"question": _md5(canonical + "#q#" + str(i)),
+                 "answer": _md5(canonical + "#a#" + str(i))}
+                for i in range(n)]
+            return {"qa_exists": exists, "extracted_qa_pairs": pairs}
+        if response_format.startswith("qalist:"):
+            # {qas: [{question, answer}]} (Airoboros list_qa_map.py)
+            n = int(response_format.split(":", 1)[1])
+            return {"qas": [
+                {"question": _md5(canonical + "#q#" + str(i)),
+                 "answer": _md5(canonical + "#a#" + str(i))}
+                for i in range(n)]}
+        if response_format.startswith("boolfields:"):
+            # structured named bool fields (e.g. WebInstruct
+            # classify_educational_domain_map.py)
+            names = response_format.split(":", 1)[1].split(",")
+            return {f: ord(_md5(canonical + "#bool#" + f)[0]) % 2 == 0
+                    for f in names}
+        if response_format == "solve":
+            # {solution, final_answer} (Metamath solve_inverse/
+            # solve_rephrased Answer shape): final_answer echoes the
+            # FIRST number in the prompt so answer-matching parse
+            # filters exercise both branches deterministically.
+            import re as _re
+
+            m = _re.search(r"\d+(?:\.\d+)?", canonical)
+            return {"solution": h,
+                    "final_answer": m.group(0) if m else ""}
+        if response_format.startswith("contextual:"):
+            # {prompts: [{text_blocks: [{metadata, content}],
+            # instruction}]} (Airoboros contextual_instructions_map.py)
+            n = int(response_format.split(":", 1)[1])
+            return {"prompts": [
+                {"text_blocks": [{
+                    "metadata": {
+                        "date": _md5(canonical + "#d#" + str(i))[:10],
+                        "author": _md5(canonical + "#au#" + str(i))[:10],
+                    },
+                    "content": _md5(canonical + "#c#" + str(i)),
+                }],
+                 "instruction": _md5(canonical + "#i#" + str(i))}
+                for i in range(n)]}
         if response_format == "ranking":
             # candidates are numbered "[k] ..." in the prompt; emit a
             # deterministic permutation of 1..n seeded by the prompt hash
