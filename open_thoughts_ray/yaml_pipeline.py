@@ -358,14 +358,29 @@ def execute_op(typ: str, cfg: dict, ins: list):
 
 def run_pipeline(doc: dict, output_id: str | None = None):
     """Execute a parsed YAML doc → the output Dataset (lazy, streaming;
-    for resumable per-operator caching use dagcache.run_pipeline_cached)."""
+    for resumable per-operator caching use dagcache.run_pipeline_cached).
+
+    Branch points (an op consumed by ≥2 downstream ops) are
+    ``materialize()``d: a lazy Dataset re-executes its whole lineage per
+    consumer, which would duplicate upstream actor pools in one
+    streaming graph (over-reserving the cluster) and re-run
+    side-effecting stages like LLM completions once per branch.  The
+    reference persists EVERY operator output
+    (synthetic_data_manager.py:264-537); pinning only the shared
+    prefixes keeps everything else streaming."""
     doc = expand_includes(doc)
     ops = parse_pipeline(doc)
+    from collections import Counter
+
+    fanout = Counter(i for op in ops for i in op.input_ids)
     results: dict[str, object] = {}
     for op in ops:
         cfg = dict(op.config)
         typ = cfg.pop("type")
-        results[op.id] = execute_op(typ, cfg, [results[i] for i in op.input_ids])
+        out = execute_op(typ, cfg, [results[i] for i in op.input_ids])
+        if fanout[op.id] > 1 and hasattr(out, "materialize"):
+            out = out.materialize()
+        results[op.id] = out
     return results[output_id or ops[-1].id]
 
 

@@ -298,3 +298,42 @@ def test_maps_ext_dataset_end_to_end(ray_session):
                          concurrency=2, batch_size=8)
     t = judged.to_pandas()
     assert len(t) == 16 and t["correct"].nunique() == 1
+
+
+def test_example_metamath_backward_yaml(ray_session, tmp_path):
+    """examples/metamath_backward.yaml: the MetaMath backward-
+    augmentation strategy (extract answer → inverse questions →
+    self-verify → solve-and-match, plus a rephrase branch) end-to-end
+    through the YAML DAG on the mock backend."""
+    import json as _json
+
+    import yaml
+
+    from open_thoughts_ray.yaml_pipeline import run_pipeline
+
+    rows = [{"question": f"Tom ran {3 + i} km on day {i}. "
+                         "How far did he run?",
+             "detailed_answer": f"He ran {3 + i} km, so the answer "
+                                f"is {3 + i}."}
+            for i in range(8)]
+    src = tmp_path / "seed.jsonl"
+    with open(src, "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    doc = yaml.safe_load(
+        open("examples/metamath_backward.yaml").read().replace(
+            "{input_path}", str(src)))
+    out = run_pipeline(doc).to_pandas()
+    # rephrase branch: 1 row/seed; inverse branch: num_quantities=3 mock
+    # → 2 surviving inverse rows/seed (odd mock quantities fail the
+    # numeric+X filter) — 8 + 16 = 24 mixed instruction pairs
+    assert len(out) == 24
+    assert set(out.columns) >= {"instruction", "completion",
+                                "conversations"}
+    conv = out.conversations.iloc[0]
+    assert [m["from"] for m in conv] == ["human", "gpt"]
+    # the solve-and-match tail runs standalone too (may filter to zero)
+    solved = run_pipeline(doc, output_id="solve_inverse").to_pandas()
+    assert len(solved) <= 16
+    if len(solved):
+        assert "predicted_answer" in solved.columns
