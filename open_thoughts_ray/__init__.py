@@ -19,3 +19,11 @@ phash-keyed near-duplicate collapse.
 """
 
 __version__ = "0.1.0"
+
+from . import lognoise as _lognoise  # noqa: E402
+
+# Two precisely-scoped filters on Ray-internal cosmetic warnings (empty
+# shuffle-partition RefBundles; pyarrow schema-hash failure on
+# pandas-written parquet) — see lognoise.py for the full rationale.
+# Real schema mismatches still log.
+_lognoise.install()

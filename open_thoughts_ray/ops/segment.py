@@ -44,7 +44,12 @@ def partition_key_array(col: pa.ChunkedArray | pa.Array,
 def add_part(t: pa.Table, key_col: str, num_partitions: int,
              part_col: str = "_part") -> pa.Table:
     part = partition_key_array(t.column(key_col), num_partitions)
-    return t.append_column(part_col, pa.array(part, pa.int64()))
+    # drop pandas metadata inherited from parquet: pyarrow.Schema with
+    # a b'pandas' entry is UNhashable (hash raises on the nested dict),
+    # so every shuffle-reduce that unifies such schemas logs "Failed to
+    # hash the schemas" from the workers and loses the set() early-exit
+    return t.replace_schema_metadata(None).append_column(
+        part_col, pa.array(part, pa.int64()))
 
 
 def partitioned_groups(ds, key_col: str, per_partition, *,

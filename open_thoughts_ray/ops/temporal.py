@@ -35,25 +35,45 @@ def asof_join(left, right, key: str, ts: str, right_value_cols: list[str]):
     if overlap:
         raise ValueError(f"rename right columns first, collide: {overlap}")
     all_cols = sorted(set(lcols) | set(rcols))
+    # unified arrow type per column (left wins on the shared key/ts) so
+    # BOTH union branches emit byte-identical block schemas — NA-padding
+    # at the pandas level left one side int64 / the other null-typed and
+    # logged a real RefBundle schema mismatch per block pair
+    import numpy as np
 
-    def pad(df: pd.DataFrame, side: int) -> pd.DataFrame:
+    types = dict(zip(left.schema().names, left.schema().types))
+    for n, t in zip(right.schema().names, right.schema().types):
+        types.setdefault(n, t)
+
+    def pad(t: pa.Table, side: int) -> pa.Table:
+        n = t.num_rows
+        cols = {}
         for c in all_cols:
-            if c not in df.columns:
-                df[c] = pd.NA
-        df["_side"] = side
-        return df[all_cols + ["_side"]]
+            if c in t.column_names:
+                col = t.column(c).combine_chunks()
+                if col.type != types[c]:
+                    col = col.cast(types[c])
+                cols[c] = col
+            else:
+                cols[c] = pa.nulls(n, type=types[c])
+        cols["_side"] = pa.array(np.full(n, side, np.int64), pa.int64())
+        return pa.table(cols)
 
-    u = left.map_batches(lambda df: pad(df, 0), batch_format="pandas").union(
+    u = left.map_batches(lambda t: pad(t, 0), batch_format="pyarrow").union(
         right.select_columns(rcols).map_batches(
-            lambda df: pad(df, 1), batch_format="pandas"
+            lambda t: pad(t, 1), batch_format="pyarrow"
         )
     )
+
+    out_cols = lcols + list(right_value_cols)
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
         lf = g.loc[g._side == 0, lcols].sort_values(ts, kind="mergesort")
         rf = g.loc[g._side == 1, rcols].sort_values(ts, kind="mergesort")
         if lf.empty or rf.empty:
-            return lf.iloc[0:0]
+            # full output schema even when empty — a narrower empty block
+            # would mismatch the non-empty blocks' schema downstream
+            return g.iloc[0:0][out_cols]
         # merge_asof(by=key) matches within equal keys only — one
         # C-level call covers every key segment in the partition
         out = pd.merge_asof(lf, rf, on=ts, by=key, direction="backward",
