@@ -41,9 +41,23 @@ def asof_join(left, right, key: str, ts: str, right_value_cols: list[str]):
     # logged a real RefBundle schema mismatch per block pair
     import numpy as np
 
-    types = dict(zip(left.schema().names, left.schema().types))
+    def _arrow_type(t):
+        # Dataset.schema().types yields pa.DataType for arrow-backed
+        # datasets but numpy dtypes / python classes for pandas-backed
+        # ones (from_pandas test inputs) — normalize to pa.DataType
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(np.dtype(t))
+        except (TypeError, pa.ArrowNotImplementedError):
+            # object-dtype columns (python class `object` / `str`) are
+            # strings in every table this op sees
+            return pa.string()
+
+    types = {n: _arrow_type(t)
+             for n, t in zip(left.schema().names, left.schema().types)}
     for n, t in zip(right.schema().names, right.schema().types):
-        types.setdefault(n, t)
+        types.setdefault(n, _arrow_type(t))
 
     def pad(t: pa.Table, side: int) -> pa.Table:
         n = t.num_rows

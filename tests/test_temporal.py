@@ -36,6 +36,51 @@ def test_asof_join(ray_session):
     assert got == {3: 0, 4: 1, 6: 5}
 
 
+def test_asof_join_string_value_cols(ray_session):
+    # the arrow-typed NA pad must handle non-numeric right value columns
+    import ray.data as rd
+
+    left = rd.from_pandas(pd.DataFrame({
+        "event_id": [10, 11],
+        "user_id": [1, 1],
+        "ts": pd.to_datetime([200, 600], unit="s"),
+    }))
+    right = rd.from_pandas(pd.DataFrame({
+        "user_id": [1, 1],
+        "ts": pd.to_datetime([100, 500], unit="s"),
+        "label": ["early", "late"],
+    }))
+    out = asof_join(left, right, key="user_id", ts="ts",
+                    right_value_cols=["label"]).to_pandas()
+    got = dict(zip(out.event_id.astype(int), out.label))
+    assert got == {10: "early", 11: "late"}
+
+
+def test_asof_join_empty_right(ray_session):
+    # no right rows at all → zero matches, full output schema preserved
+    import ray.data as rd
+
+    left = rd.from_pandas(pd.DataFrame({
+        "event_id": [10],
+        "user_id": [1],
+        "ts": pd.to_datetime([200], unit="s"),
+    }))
+    right = rd.from_pandas(pd.DataFrame({
+        "user_id": pd.Series([], dtype="int64"),
+        "ts": pd.Series([], dtype="datetime64[ns]"),
+        "p_event_id": pd.Series([], dtype="int64"),
+    }))
+    out = asof_join(left, right, key="user_id", ts="ts",
+                    right_value_cols=["p_event_id"]).to_pandas()
+    # zero matches; an all-empty result may surface as a zero-column
+    # frame (Ray's empty-dataset representation), but if any schema
+    # survives it must be the FULL output schema
+    assert len(out) == 0
+    if len(out.columns):
+        assert set(out.columns) == {"event_id", "user_id", "ts",
+                                    "p_event_id"}
+
+
 def test_asof_join_rejects_collisions(ray_session):
     import ray.data as rd
 
