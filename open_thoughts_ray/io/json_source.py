@@ -59,6 +59,105 @@ def read_json_source(path: str, columns: list[str] | None = None,
     return ds
 
 
+def with_backoff(fn, max_retries: int = 7, base_s: float = 0.5,
+                 retryable=(OSError,), sleep=None, seed: int = 0):
+    """Run ``fn()`` with bounded exponential backoff + full jitter — the
+    reference's transient-error loop around shard downloads
+    (dclm_refinedweb_source_operator.py:166-188: SlowDown → sleep
+    2^attempt, up to 7 retries) for any storage backend.  ``retryable``
+    scopes which exceptions are transient; anything else propagates
+    immediately.  Deterministic given ``seed`` (full jitter drawn from a
+    seeded generator so tests replay exactly)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    if sleep is None:
+        import time as _time
+
+        sleep = _time.sleep
+    attempt = 0
+    while True:
+        try:
+            return fn()
+        except retryable:
+            if attempt >= max_retries:
+                raise
+            sleep(float(base_s * (2 ** attempt) * rng.uniform(0.5, 1.0)))
+            attempt += 1
+
+
+def read_sharded_jsonl_resilient(path: str | list[str],
+                                 num_shards: int | None = None,
+                                 seed: int = 314,
+                                 columns: list[str] | None = None,
+                                 max_retries: int = 7,
+                                 backoff_base_s: float = 0.5,
+                                 shard_path_col: str | None = None,
+                                 _fault_hook=None):
+    """Seeded shard sample + per-shard jsonl parse with transient-error
+    backoff INSIDE the read task — the full dclm_refinedweb_source
+    plan (sample N shards with a fixed seed; each shard download/parse
+    survives ``max_retries`` transient failures with exponential
+    backoff) on a local/posix filesystem.  One Ray task per shard
+    (``from_items(paths).flat_map``-shaped via map_batches with
+    batch_size=1), so shard reads parallelize and a poisoned shard only
+    retries itself.
+
+    ``_fault_hook(path, attempt)`` is a test seam: called before every
+    open attempt, it may raise OSError to simulate transient storage
+    errors (the S3 SlowDown analog — no network in this sandbox)."""
+    import pyarrow.json as pj
+    import ray.data as rd
+
+    paths = _expand(path) if isinstance(path, str) else sorted(path)
+    if num_shards is not None:
+        paths = sample_shard_paths(paths, num_shards, seed)
+
+    def read_shard(batch: "pa.Table") -> "pa.Table":  # noqa: F821
+        import pyarrow as pa
+
+        out = []
+        for p in batch.column("path").to_pylist():
+            attempts = {"n": 0}
+
+            def attempt_read(p=p, attempts=attempts):
+                k = attempts["n"]
+                attempts["n"] += 1  # count the attempt BEFORE it can fail
+                if _fault_hook is not None:
+                    _fault_hook(p, k)
+                if p.endswith((".gz",)):
+                    import gzip
+
+                    with gzip.open(p, "rb") as f:
+                        return pj.read_json(f)
+                if p.endswith((".zst", ".zstd")):
+                    with pa.input_stream(p, compression="zstd") as f:
+                        return pj.read_json(f)
+                return pj.read_json(p)
+
+            import zlib
+
+            t = with_backoff(attempt_read, max_retries=max_retries,
+                             base_s=backoff_base_s,
+                             seed=zlib.crc32(p.encode()))
+            if columns:
+                t = t.select(columns)
+            if shard_path_col:
+                t = t.append_column(
+                    shard_path_col, pa.array([p] * t.num_rows, pa.string()))
+            out.append(t)
+        if not out:
+            return pa.table({})
+        return pa.concat_tables(out, promote_options="default")
+
+    import pyarrow as pa
+
+    path_ds = rd.from_arrow(pa.table({"path": pa.array(paths, pa.string())}))
+    # one task per shard: batch_size=1 over a repartitioned path list
+    return path_ds.repartition(max(1, len(paths))).map_batches(
+        read_shard, batch_format="pyarrow", batch_size=None)
+
+
 def sample_shard_paths(paths: list[str], num_shards: int, seed: int = 314) -> list[str]:
     """Seeded random shard sample — the dclm_refinedweb_source pattern
     (dclm_refinedweb_source_operator.py:104-121: choose N shard files

@@ -79,3 +79,89 @@ def test_sample_shard_paths_deterministic():
     assert a == b and len(a) == 10
     assert a != c
     assert sample_shard_paths(paths, 200) == sorted(paths)
+
+
+# ---------------------------------------------------------------- backoff
+def test_with_backoff_retries_then_succeeds():
+    from open_thoughts_ray.io.json_source import with_backoff
+
+    sleeps = []
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] <= 3:
+            raise OSError("SlowDown")
+        return "ok"
+
+    out = with_backoff(flaky, max_retries=7, base_s=1.0,
+                       sleep=sleeps.append, seed=7)
+    assert out == "ok" and calls["n"] == 4
+    # exponential envelope with full jitter: attempt k sleeps in
+    # [0.5, 1.0] * 2^k * base
+    assert len(sleeps) == 3
+    for k, s in enumerate(sleeps):
+        assert 0.5 * (2 ** k) <= s <= 1.0 * (2 ** k)
+
+
+def test_with_backoff_exhausts_and_raises():
+    from open_thoughts_ray.io.json_source import with_backoff
+
+    def always(): raise OSError("SlowDown")
+    with pytest.raises(OSError):
+        with_backoff(always, max_retries=2, base_s=0.0, sleep=lambda s: None)
+
+
+def test_with_backoff_non_retryable_propagates():
+    from open_thoughts_ray.io.json_source import with_backoff
+
+    def bad(): raise ValueError("schema")
+    calls = []
+    with pytest.raises(ValueError):
+        with_backoff(lambda: (calls.append(1), bad())[1], max_retries=5,
+                     base_s=0.0, sleep=lambda s: None)
+    assert len(calls) == 1  # no retry on non-transient errors
+
+
+def test_resilient_sharded_read_survives_transient_faults(ray_session, json_dir):
+    from open_thoughts_ray.io.json_source import read_sharded_jsonl_resilient
+
+    # nested def → cloudpickle serializes it by VALUE into the read
+    # tasks (a tests-module function pickles by reference and workers
+    # can't import the tests dir)
+    def transient_twice(path, attempt):
+        if attempt < 2:
+            raise OSError(f"SlowDown {path} attempt {attempt}")
+
+    ds = read_sharded_jsonl_resilient(
+        json_dir, columns=["doc_id"], max_retries=7,
+        backoff_base_s=0.001, shard_path_col="shard",
+        _fault_hook=transient_twice)
+    df = ds.to_pandas()
+    assert sorted(df.doc_id) == list(range(40))
+    assert df["shard"].nunique() == 2  # one provenance value per file
+
+
+def test_resilient_sharded_read_gives_up(ray_session, json_dir):
+    from open_thoughts_ray.io.json_source import read_sharded_jsonl_resilient
+
+    def always_down(path, attempt):
+        raise OSError("SlowDown forever")
+
+    ds = read_sharded_jsonl_resilient(
+        json_dir, max_retries=1, backoff_base_s=0.001,
+        _fault_hook=always_down)
+    with pytest.raises(Exception):
+        ds.to_pandas()
+
+
+def test_resilient_sharded_read_seeded_sample(ray_session, json_dir):
+    from open_thoughts_ray.io.json_source import read_sharded_jsonl_resilient
+
+    # num_shards=1, seed fixed → exactly one of the two files, stable
+    a = read_sharded_jsonl_resilient(json_dir, num_shards=1, seed=314,
+                                     columns=["doc_id"]).to_pandas()
+    b = read_sharded_jsonl_resilient(json_dir, num_shards=1, seed=314,
+                                     columns=["doc_id"]).to_pandas()
+    assert len(a) == 20
+    assert sorted(a.doc_id) == sorted(b.doc_id)
