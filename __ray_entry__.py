@@ -1439,6 +1439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_dedup_documents": _q_ngram_jaccard_dedup,
         "flagship_quality_filter": _q_flagship,
         "json_source_documents": _q_json_source,
+        "resilient_shard_source_documents": _q_resilient_shard_source,
         "bow_dedup_keep_best_documents": _q_bow_dedup_keep_best,
         "embedding_cosine_dedup": _q_cosine_dedup,
         "md5_fingerprint_documents": _q_md5_fingerprint,
@@ -2021,6 +2022,49 @@ def _q_json_source(sf_dir: str):
         os.replace(tmp, path)
     ds = read_json_source(path, columns=["doc_id", "lang"], limit=200)
     return ds
+
+
+def _q_resilient_shard_source(sf_dir: str):
+    """Resilient sharded source (dclm_refinedweb_source_operator.py
+    104-188 semantics: shard fan-out + bounded transient-error backoff
+    inside each read task).  The documents table is split into 4
+    deterministic jsonl.gz shards once; every shard read FAILS its
+    first open attempt via the injected fault hook and must recover
+    through the backoff loop — the gate hash proves the recovered read
+    is lossless."""
+    import gzip
+    import hashlib
+
+    import duckdb
+
+    from open_thoughts_ray.io.json_source import read_sharded_jsonl_resilient
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    shard_dir = f"/tmp/otr_shard_src_{tag}"
+    done = os.path.join(shard_dir, "_done")
+    if not os.path.exists(done):
+        os.makedirs(shard_dir, exist_ok=True)
+        df = duckdb.sql(
+            "SELECT doc_id, text, lang FROM "
+            f"read_parquet('{os.path.join(sf_dir, 'documents.parquet')}') "
+            "ORDER BY doc_id"
+        ).df()
+        for s in range(4):
+            part = df[df.doc_id % 4 == s]
+            tmp = os.path.join(shard_dir, f"shard-{s}.jsonl.gz.tmp")
+            with gzip.open(tmp, "wt") as f:
+                part.to_json(f, orient="records", lines=True)
+            os.replace(tmp, os.path.join(shard_dir, f"shard-{s}.jsonl.gz"))
+        with open(done, "w") as f:
+            f.write("ok")
+
+    def fail_first_attempt(path, attempt):
+        if attempt == 0:
+            raise OSError(f"SlowDown (simulated) {path}")
+
+    return read_sharded_jsonl_resilient(
+        shard_dir, columns=["doc_id", "lang"], max_retries=3,
+        backoff_base_s=0.001, _fault_hook=fail_first_attempt)
 
 
 def _minhash_oracle(k: int = 64, bands: int = 16, shingle_n: int = 3,
@@ -3211,6 +3255,11 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "json_source_documents": """
             SELECT doc_id, lang FROM documents ORDER BY doc_id LIMIT 200
+        """,
+        # the resilient sharded read must be LOSSLESS after every shard
+        # recovers from an injected first-attempt failure
+        "resilient_shard_source_documents": """
+            SELECT doc_id, lang FROM documents
         """,
         "bpe_token_count_documents": r"""
             SELECT doc_id,
