@@ -1439,7 +1439,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_dedup_documents": _q_ngram_jaccard_dedup,
         "flagship_quality_filter": _q_flagship,
         "json_source_documents": _q_json_source,
-        "resilient_shard_source_documents": _q_resilient_shard_source,
         "bow_dedup_keep_best_documents": _q_bow_dedup_keep_best,
         "embedding_cosine_dedup": _q_cosine_dedup,
         "md5_fingerprint_documents": _q_md5_fingerprint,
@@ -1464,6 +1463,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retrieval_eval_documents": _q_retrieval_eval,
         "llm_annotate_documents": _q_llm_annotate,
         "zscore_events": _q_zscore_events,
+        # io family extra (beyond the 50-entry driver window by design —
+        # json_source_documents is the family's in-window representative)
+        "resilient_shard_source_documents": _q_resilient_shard_source,
         # ---- entries 51+ (variants; local gate) ----
         "quantile_filter_events": _q_quantile_filter_events,
         "majority_event_type_per_user": _q_majority_event_type,
