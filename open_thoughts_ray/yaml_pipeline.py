@@ -138,6 +138,21 @@ def execute_op(typ: str, cfg: dict, ins: list):
                 cfg["path"], columns=cfg.get("columns"),
                 limit=cfg.get("limit"), source_tag=cfg.get("source_tag"),
             )
+        elif typ == "sharded_jsonl_source":
+            # the dclm_refinedweb_source grammar: seeded shard sample +
+            # bounded in-task retry/backoff (num_shards/seed per the
+            # reference YAMLs, e.g. webinstruct_stage_1_3.yaml:10-13)
+            from .io.json_source import read_sharded_jsonl_resilient
+
+            out = read_sharded_jsonl_resilient(
+                cfg["path"],
+                num_shards=cfg.get("num_shards"),
+                seed=int(cfg.get("seed", 314)),
+                columns=cfg.get("columns"),
+                max_retries=int(cfg.get("max_retries", 7)),
+                backoff_base_s=float(cfg.get("backoff_base_s", 0.5)),
+                shard_path_col=cfg.get("shard_path_col"),
+            )
         elif typ == "completions":
             from .llm import completions, shared_rate_limiter
 

@@ -240,6 +240,29 @@ def test_yaml_pipeline_end_to_end(ray_session, tmp_path):
     assert out.output.iloc[0] == "SAMPLE TEXT 0!"
 
 
+def test_yaml_sharded_jsonl_source(ray_session, tmp_path):
+    """The dclm-source YAML grammar: num_shards + seed select shards
+    deterministically; the resilient read returns their rows."""
+    import gzip
+    import json
+
+    for s in range(4):
+        with gzip.open(tmp_path / f"shard-{s}.jsonl.gz", "wt") as f:
+            for i in range(5):
+                f.write(json.dumps({"doc_id": s * 5 + i, "text": f"d{i}"}) + "\n")
+    doc = {"operators": [
+        {"id": "src", "config": {
+            "type": "sharded_jsonl_source", "path": str(tmp_path),
+            "num_shards": 2, "seed": 314, "columns": ["doc_id"],
+            "shard_path_col": "shard"}},
+    ]}
+    out = run_pipeline(doc).to_pandas()
+    assert len(out) == 10                       # 2 shards × 5 rows
+    assert out["shard"].nunique() == 2
+    out2 = run_pipeline(doc).to_pandas()        # seeded → same selection
+    assert sorted(out.doc_id) == sorted(out2.doc_id)
+
+
 def test_quantile_summary_merge_accuracy():
     import numpy as np
 
