@@ -190,6 +190,19 @@ def _q_hash_join(sf_dir: str):
     # at 10^12 rows num_partitions should track total cores instead
     parts = max(8, int(ray.cluster_resources().get("CPU", 16)) // 4) \
         if ray.is_initialized() else 16
+    # small-input fast path: each shuffle-submitted block pays ~90 ms of
+    # fixed cost, so merging the 64 tiny read blocks to ~2 per join
+    # partition cuts the join 20-40% (interleaved sweep, min-of-3).
+    # Gated on a metadata-only row count — at crawl scale read blocks
+    # are already target-sized and merging them would build multi-GB
+    # blocks, so the coalesce must NOT run there.
+    import pyarrow.parquet as _pq
+
+    li_rows = _pq.read_metadata(
+        os.path.join(sf_dir, "lineitem.parquet")).num_rows
+    if li_rows < 10_000_000:
+        li = li.repartition(parts)
+        orders = orders.repartition(max(2, parts // 4))
     joined = R.hash_join(li, orders, on="l_orderkey", num_partitions=parts)
     return joined.groupby("o_orderpriority").aggregate(
         Sum("rev_cents", alias_name="revenue_cents"), Count(alias_name="n_items")
