@@ -1505,6 +1505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens_documents": _q_top_tokens,
         "distinct_bigram_ratio_documents": _q_distinct_bigram_ratio,
         "priority_sample_documents": _q_priority_sample,
+        "stratified_priority_sample_documents": _q_stratified_priority_sample,
         "approx_top_tokens_documents": _q_approx_top_tokens,
         "domain_annotate_documents": _q_domain_annotate,
         "median_quantity_per_flag": _q_median_quantity,
@@ -1670,6 +1671,17 @@ def _q_priority_sample(sf_dir: str):
 
     return R.bottom_k_by(
         ds.map_batches(add_pri, batch_format="pyarrow"), ["pri"], 20)
+
+
+def _q_stratified_priority_sample(sf_dir: str):
+    """Unbiased k-per-group cap (at most k hash-random docs per lang) —
+    the per-domain quota rule with seeded-hash selection instead of
+    stratified_first_k's order bias."""
+    from open_thoughts_ray.ops import relational as R
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "lang"])
+    return R.stratified_priority_sample(ds, "lang", k=5, id_col="doc_id",
+                                        seed="otr")
 
 
 def _q_approx_top_tokens(sf_dir: str):
@@ -3383,6 +3395,16 @@ def _oracle_sql_base() -> dict[str, str]:
         "priority_sample_documents": """
             SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS pri
             FROM documents ORDER BY pri LIMIT 20
+        """,
+        "stratified_priority_sample_documents": """
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR) || '#otr'),
+                                    doc_id) AS rn
+                FROM documents
+            ) WHERE rn <= 5
         """,
         # exact-semantics oracle; valid because in-bucket verification is
         # exact and recall is 1 on this table (see the query docstring)

@@ -191,6 +191,44 @@ def stratified_first_k(ds, group_col, k: int, order_col: str):
     return partitioned_groups(partial, cols[0], head)
 
 
+def stratified_priority_sample(ds, group_col: str, k: int, id_col: str,
+                               seed: str = "otr"):
+    """UNBIASED k-per-group cap: per group keep the k rows with the
+    smallest ``md5(id || '#' || seed)`` — the "at most k random docs per
+    domain" curation rule, deterministic (pure function of the id) and
+    bit-replayable in SQL (``row_number() OVER (PARTITION BY g ORDER BY
+    md5(...)) <= k``).  stratified_first_k caps by an ORDER column
+    (earliest-k, biased toward low ids); this caps by a seeded hash, so
+    the survivors are an unbiased sample of each group.
+
+    Same bounded-dispatch plan: per-batch pre-reduce to the batch's own
+    k smallest per key, then ONE ``hash(key) % P`` shuffle and one
+    partition-level grouped head (ops/segment.py)."""
+    import hashlib
+
+    from .segment import partitioned_groups
+
+    pri_col = "_pri"
+
+    def add_pri(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df[pri_col] = [
+            hashlib.md5(f"{v}#{seed}".encode()).hexdigest()
+            for v in df[id_col].astype(str)
+        ]
+        return df
+
+    def head(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values([group_col, pri_col, id_col],
+                             kind="mergesort").groupby(
+            group_col, sort=False).head(k)
+
+    partial = ds.map_batches(lambda df: head(add_pri(df)),
+                             batch_format="pandas")
+    out = partitioned_groups(partial, group_col, head)
+    return out.drop_columns([pri_col])
+
+
 def top_n_per_group(ds, group_col: str, order_cols: list[str], n: int = 1,
                     descending: bool = True):
     """Top-n rows per group by the ``order_cols`` tuple — SQL

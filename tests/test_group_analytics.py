@@ -363,3 +363,34 @@ def test_zscore_per_group(ray_session):
         var = (c[sel] ** 2).mean() - mu * mu
         exp = ((c[sel] - mu) / math.sqrt(var)) if var > 0 else c[sel] * 0.0
         assert np.allclose(got.loc[sel.values, "z_v"], exp, rtol=0, atol=0)
+
+
+def test_stratified_priority_sample(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.relational import stratified_priority_sample
+
+    df = pd.DataFrame({
+        "doc_id": range(60),
+        "lang": [["en", "de", "fr"][i % 3] for i in range(60)],
+    })
+    got = stratified_priority_sample(
+        rd.from_pandas(df).repartition(5), "lang", k=4,
+        id_col="doc_id", seed="s1",
+    ).to_pandas()
+    # brute-force oracle: per lang, 4 smallest md5(id#seed)
+    df2 = df.copy()
+    df2["pri"] = [hashlib.md5(f"{i}#s1".encode()).hexdigest()
+                  for i in df2.doc_id]
+    exp = (df2.sort_values(["lang", "pri", "doc_id"])
+           .groupby("lang", sort=False).head(4))
+    assert got.groupby("lang").size().max() == 4
+    assert sorted(got.doc_id) == sorted(exp.doc_id)
+    # different seed → different survivors (unbiased selection moves)
+    got2 = stratified_priority_sample(
+        rd.from_pandas(df).repartition(5), "lang", k=4,
+        id_col="doc_id", seed="s2",
+    ).to_pandas()
+    assert sorted(got2.doc_id) != sorted(got.doc_id)
