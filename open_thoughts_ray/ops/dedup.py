@@ -286,12 +286,17 @@ def label_propagation(nodes, edges, max_iters: int = 20,
     # and a zero-field block poisons the next join's right side
     # (pyarrow: "No match for FieldRef").  Repartition rebuilds blocks as
     # slices of typed tables.
+    _typed_empty = pa.table({"id": pa.array([], pa.string()),
+                             "label": pa.array([], pa.string())})
+
+    def _init_label(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:  # schema-less empty aggregator block
+            return _typed_empty
+        return pa.table({"id": t.column("id"), "label": t.column("id")})
+
     labels = (
         nodes.groupby("id").count()
-        .map_batches(
-            lambda t: pa.table({"id": t.column("id"), "label": t.column("id")}),
-            batch_format="pyarrow",
-        )
+        .map_batches(_init_label, batch_format="pyarrow")
         .repartition(num_partitions)
         .materialize()
     )
@@ -319,11 +324,15 @@ def label_propagation(nodes, edges, max_iters: int = 20,
             batch_format="pyarrow",
         )
         mins = cand.union(self_cand).groupby("id").min("cand")
+
+        def _relabel(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:  # schema-less empty aggregator block
+                return _typed_empty
+            return pa.table({"id": t.column("id"),
+                             "label": t.column(t.schema.names[-1])})
+
         labels = mins.map_batches(
-            lambda t: pa.table({"id": t.column("id"),
-                                "label": t.column(t.schema.names[-1])}),
-            batch_format="pyarrow",
-        ).repartition(num_partitions)
+            _relabel, batch_format="pyarrow").repartition(num_partitions)
         if it >= 3:
             # pointer doubling: label := label(label), so rounds ≈
             # log2(diameter) once engaged.  Gated behind round 3: phash /

@@ -30,6 +30,26 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def retype_empty(schema: dict[str, "pa.DataType"]):
+    """map_batches fn factory: pass typed blocks through untouched,
+    rewrite ZERO-FIELD blocks to a typed empty with ``schema``.
+
+    Ray's sort/aggregate shuffles emit schema-LESS blocks for empty hash
+    partitions; a trailing ``repartition`` usually rebuilds them as
+    typed slices, but when a repartition output slot is assembled ONLY
+    from such empties the block stays zero-field and poisons any
+    downstream join's Concat aggregator (observed as a rare
+    ArrowInvalid inside HashShuffleAggregator.finalize).  This guard is
+    deterministic where the repartition is probabilistic."""
+
+    def fix(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.table({k: pa.array([], v) for k, v in schema.items()})
+        return t
+
+    return fix
+
+
 def _string_keyed(ds, id_col: str, text_col: str, key_name: str):
     """Project ds → Dataset[(key_name:string, __text:string)]."""
 
@@ -65,12 +85,16 @@ def verify_pairs_distributed(pairs, ds, id_col: str, text_col: str,
     # materialization is bounded, never table-sized.
     import ray.data as rd
 
-    # trailing repartition matters: the hash aggregator emits schema-LESS
-    # blocks for partitions that received no rows, and a zero-field block
-    # poisons the join ("No match for FieldRef"); repartition rebuilds
-    # every block as a typed slice (same fix as dedup.label_propagation)
+    # trailing repartition + retype guard: the hash aggregator emits
+    # schema-LESS blocks for partitions that received no rows, and a
+    # zero-field block poisons the join ("No match for FieldRef" /
+    # ArrowInvalid in the join's Concat); repartition rebuilds blocks as
+    # typed slices and retype_empty deterministically fixes any slot
+    # assembled only from empties
     pairs = pairs.groupby(["a", "b"]).count().select_columns(["a", "b"]) \
-        .repartition(num_partitions).materialize()
+        .repartition(num_partitions).map_batches(
+            retype_empty({"a": pa.string(), "b": pa.string()}),
+            batch_format="pyarrow").materialize()
     if pairs.count() == 0:
         # Ray's hash aggregator emits schema-LESS blocks for an empty
         # groupby, and a zero-field block poisons the join ("No match
@@ -106,11 +130,16 @@ def anti_join_ids(ds, id_col: str, drop_ids, num_partitions: int = 32):
     """ds minus rows whose str(id) appears in ``drop_ids``
     (Dataset[id:string]) — hash-join anti-join for drop sets too large
     to broadcast.  One shuffle of ds + one of the id set."""
+    def mark(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:  # schema-less empty aggregator block
+            return pa.table({"__drop_key": pa.array([], pa.string()),
+                             "__dropped": pa.array([], pa.bool_())})
+        return pa.table({"__drop_key": t.column("id"),
+                         "__dropped": pa.array([True] * t.num_rows,
+                                               pa.bool_())})
+
     marker = drop_ids.groupby("id").count().map_batches(
-        lambda t: pa.table({"__drop_key": t.column("id"),
-                            "__dropped": pa.array([True] * t.num_rows,
-                                                  pa.bool_())}),
-        batch_format="pyarrow",
+        mark, batch_format="pyarrow",
     ).repartition(num_partitions).materialize()
     if marker.count() == 0:
         return ds  # empty groupby output is schema-less → would poison
