@@ -27,7 +27,10 @@ Example::
 from __future__ import annotations
 
 import importlib
+import os
 from dataclasses import dataclass
+
+import pyarrow.compute as pc
 
 
 @dataclass
@@ -100,6 +103,28 @@ def _remote_args(cfg: dict) -> dict:
     return out
 
 
+#: reference type-name vocabulary → this grammar's canonical type.  The
+#: resource-function family differs only in the _remote_args it carries
+#: (function_operator.py:456-600); `merge` is the reference's
+#: function-with-multiple-inputs (merge_operator.py:19-30 — function +
+#: input_dataset_map), which `function` already is here; shard/truncate
+#: are renames; dclm_refinedweb_source maps onto the resilient sharded
+#: jsonl source (same num_shards/seed surface).
+_TYPE_ALIASES = {
+    "cpu_function": "function",
+    "gpu_function": "function",
+    "high_memory_function": "function",
+    "generic_resource_function": "function",
+    "async_function": "function",
+    "merge": "function",
+    "local_json_source": "json_source",
+    "dclm_refinedweb_source": "sharded_jsonl_source",
+    "completions_tacc": "completions",
+    "index_flat_ip_similarity_filtering": "similarity_filtering",
+    "remove_columns": "drop_columns",
+}
+
+
 def execute_op(typ: str, cfg: dict, ins: list):
     """Run ONE operator: type + config + input Datasets → output Dataset.
     Shared by the streaming runner (run_pipeline) and the cached runner
@@ -108,6 +133,7 @@ def execute_op(typ: str, cfg: dict, ins: list):
 
     from .ops import relational as R
 
+    typ = _TYPE_ALIASES.get(typ, typ)
     if True:
         if typ == "identity":
             # pass-through seam used by load_preexisting expansion: keeps
@@ -121,6 +147,110 @@ def execute_op(typ: str, cfg: dict, ins: list):
             from .io import lance_table
 
             out = lance_table.read_dataset(cfg["path"], columns=cfg.get("columns"))
+        elif typ == "hf_source":
+            # reference hf_source (hf_source_operator.py): load + project
+            # + truncate + constant provenance column.  No network here:
+            # ``dataset`` / ``path`` must point at a LOCAL Lance-style or
+            # parquet table (the documented swap seam for hub loading).
+            from .io import lance_table
+
+            path = cfg.get("path") or cfg["dataset"]
+            if os.path.isdir(path) and os.path.exists(
+                    os.path.join(path, "manifest.json")):
+                out = lance_table.read_dataset(path,
+                                               columns=cfg.get("columns"))
+            else:
+                out = rd.read_parquet(path, columns=cfg.get("columns"))
+            if cfg.get("limit") or cfg.get("num_truncate"):
+                out = out.limit(int(cfg.get("limit",
+                                            cfg.get("num_truncate"))))
+            if cfg.get("source_tag") is not None:
+                out = R.add_constant_columns(
+                    out, {"source": cfg["source_tag"]})
+        elif typ == "fasttext":
+            # reference fasttext_operator.py:32-44 surface: score each
+            # row's input_column with a fastText-style classifier, then
+            # just_add_scores / threshold filter / global top-percentage.
+            # The model is the deterministic builtin langid stand-in
+            # (hf_repo_id download is the documented swap seam).
+            import ray as _ray
+
+            from .models import artifacts
+            from .ops.langid import LangIdScorer
+
+            ra = _remote_args(cfg)
+            model_ref = _ray.put(artifacts.get_artifact_bytes("langid"))
+            scored = ins[0].map_batches(
+                LangIdScorer, batch_format="pyarrow",
+                batch_size=ra.get("batch_size", 500),
+                concurrency=ra.get("concurrency", (1, 8)),
+                num_cpus=ra.get("num_cpus", 1),
+                fn_constructor_kwargs={
+                    "model_ref": model_ref,
+                    "text_column": cfg.get("input_column", "text"),
+                },
+            )
+            target = cfg.get("target_label")
+            if cfg.get("just_add_scores") or target is None:
+                out = scored
+            elif cfg.get("top_percentage_ranking") is not None:
+                # GLOBAL quantile, not per-shard (the reference's
+                # per-shard percentile bug, fasttext_operator.py:148-152,
+                # fixed with the two-pass global threshold)
+                frac = float(cfg["top_percentage_ranking"])
+                matched = scored.map_batches(
+                    lambda t, lbl=target: t.filter(
+                        pc.equal(t.column("lang"), lbl)),
+                    batch_format="pyarrow")
+                out, _thr = R.global_quantile_threshold(
+                    matched, "lang_conf", 1.0 - frac, keep="ge")
+            else:
+                thr = float(cfg.get("filter_threshold", 0.5))
+                out = scored.map_batches(
+                    lambda t, lbl=target, th=thr: t.filter(
+                        pc.and_(pc.equal(t.column("lang"), lbl),
+                                pc.greater_equal(t.column("lang_conf"),
+                                                 th))),
+                    batch_format="pyarrow")
+        elif typ == "train_fasttext":
+            # reference train_fasttext_operator.py: fit on positive +
+            # negative inputs, emit the model artifact.  Output is a
+            # 1-row Dataset carrying path + md5 so the DAG stays a
+            # Dataset graph; the bytes land at ``output_path``.
+            import hashlib as _hashlib
+
+            from .ops.embed import train_text_classifier
+
+            blob = train_text_classifier(
+                ins[0], ins[1],
+                text_column=cfg.get("input_column", "text"))
+            out_path = cfg["output_path"]
+            os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+            with open(out_path, "wb") as f:
+                f.write(blob)
+            out = rd.from_items([{
+                "model_path": out_path,
+                "model_md5": _hashlib.md5(blob).hexdigest(),
+                "n_bytes": len(blob),
+            }])
+        elif typ == "embedding":
+            from .ops.embed import embed_dataset
+
+            ra = _remote_args(cfg)
+            out = embed_dataset(
+                ins[0], text_column=cfg.get("input_column", "text"),
+                concurrency=ra.get("concurrency", (1, 8)),
+                batch_size=ra.get("batch_size", 1024))
+        elif typ == "similarity_filtering":
+            # reference similarity_filtering_operator.py:93-114
+            # (first-seen-wins FAISS filter) — the deterministic cosine
+            # equivalent; exact below max_exact_rows, LSH above
+            from .ops.similarity import cosine_dedup_earlier
+
+            out = cosine_dedup_earlier(
+                ins[0], float(cfg.get("similarity_threshold", 0.95)),
+                id_col=cfg.get("id_column", "vec_id"),
+                emb_col=cfg.get("embedding_column", "embedding"))
         elif typ == "function":
             fn = _resolve(cfg["function"])
             out = fn(*ins, **cfg.get("function_config", {}))
@@ -189,14 +319,19 @@ def execute_op(typ: str, cfg: dict, ins: list):
             out = ins[0].rename_columns(cfg["mapping"])
         elif typ == "filter_in":
             out = R.filter_in(ins[0], cfg["column"], cfg["values"])
-        elif typ == "limit":
-            out = ins[0].limit(int(cfg["n"]))
+        elif typ == "limit" or typ == "truncate":
+            # reference truncate_operator.py:27 names the key num_truncate
+            out = ins[0].limit(int(cfg.get("n", cfg.get("num_truncate", 0))))
+        elif typ == "drop_columns":
+            out = ins[0].drop_columns(cfg["columns"])
         elif typ == "concatenate":
             out = R.union_all(ins)
         elif typ == "mix":
             out = R.mix(ins, seed=int(cfg.get("seed", 42)))
-        elif typ == "repartition":
-            out = ins[0].repartition(int(cfg["num_blocks"]))
+        elif typ == "repartition" or typ == "shard":
+            # reference shard_operator.py:31 names the key num_shards
+            out = ins[0].repartition(
+                int(cfg.get("num_blocks", cfg.get("num_shards", 0))))
         elif typ == "dedup_exact":
             from .ops.dedup import exact_dedup
 

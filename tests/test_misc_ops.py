@@ -699,3 +699,94 @@ def test_yaml_retrieval_stack(ray_session, tmp_path):
     # doc 1's distinct tokens are exactly the query set -> F1 = 1.0
     assert out.iloc[0]["doc_id"] == 1
     assert out.iloc[0]["f1"] == 1.0
+
+
+def test_yaml_reference_vocabulary(ray_session, tmp_path):
+    """A strategy file written in the REFERENCE's own type names
+    (hf_source / cpu_function via alias / fasttext / shard / truncate /
+    remove_columns) must run under this grammar."""
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(30), pa.int64()),
+            "text": pa.array(
+                ["the quick brown fox jumps over the lazy dog"] * 30,
+                pa.string()),
+            "extra": pa.array(["x"] * 30, pa.string()),
+        }),
+        str(tmp_path / "docs.parquet"),
+    )
+    doc = {"operators": [
+        {"id": "src", "config": {
+            "type": "hf_source", "dataset": str(tmp_path / "docs.parquet"),
+            "source_tag": "unit"}},
+        {"id": "drop", "config": {
+            "type": "remove_columns", "columns": ["extra"]}},
+        {"id": "ft", "config": {
+            "type": "fasttext", "input_column": "text",
+            "just_add_scores": True, "batch_size": 16}},
+        {"id": "reshard", "config": {"type": "shard", "num_shards": 2}},
+        {"id": "head", "config": {"type": "truncate", "num_truncate": 7}},
+    ]}
+    out = run_pipeline(doc).to_pandas()
+    assert len(out) == 7
+    assert "lang" in out.columns and "lang_conf" in out.columns
+    assert "extra" not in out.columns
+    assert set(out.source) == {"unit"}
+
+
+def test_yaml_train_fasttext_and_filter(ray_session, tmp_path):
+    """train_fasttext emits a model artifact row; fasttext filtering by
+    target_label keeps only confident rows of that label."""
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"text": pa.array(["guten tag wie geht es dir"] * 20
+                                   + ["hello how are you today friend"] * 20,
+                                   pa.string())}),
+        str(tmp_path / "mix.parquet"),
+    )
+    doc = {"operators": [
+        {"id": "pos", "config": {"type": "parquet_source",
+                                 "path": str(tmp_path / "mix.parquet"),
+                                 "limit": 20}},
+        {"id": "neg", "config": {"type": "parquet_source",
+                                 "path": str(tmp_path / "mix.parquet")}},
+        {"id": "train", "input_ids": ["pos", "neg"], "config": {
+            "type": "train_fasttext", "input_column": "text",
+            "output_path": str(tmp_path / "model.bin")}},
+    ]}
+    out = run_pipeline(doc).to_pandas()
+    assert len(out) == 1 and out.n_bytes.iloc[0] > 0
+    import os as _os
+
+    assert _os.path.exists(tmp_path / "model.bin")
+
+
+def test_yaml_embedding_similarity_filtering(ray_session, tmp_path):
+    """embedding → similarity_filtering in reference vocabulary: the
+    duplicated text collapses to one survivor per distinct content."""
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(range(6), pa.int64()),
+            "text": pa.array(["alpha beta gamma"] * 3
+                             + ["totally different words here"] * 3,
+                             pa.string()),
+        }),
+        str(tmp_path / "dup.parquet"),
+    )
+    doc = {"operators": [
+        {"id": "src", "config": {"type": "parquet_source",
+                                 "path": str(tmp_path / "dup.parquet")}},
+        {"id": "emb", "config": {"type": "embedding",
+                                 "input_column": "text"}},
+        {"id": "sim", "config": {"type": "similarity_filtering",
+                                 "similarity_threshold": 0.99,
+                                 "id_column": "vec_id",
+                                 "embedding_column": "embedding"}},
+    ]}
+    out = run_pipeline(doc).to_pandas()
+    assert sorted(out.vec_id) == [0, 3]  # first of each identical group
