@@ -1418,6 +1418,30 @@ def _q_webinstruct_qa(sf_dir: str):
     return out.select_columns(["doc_id", "q", "a"])
 
 
+def _q_substring_scrub(sf_dir: str):
+    """Cross-document duplicated-substring scrub (Lee et al. 2022
+    semantics at k-gram granularity): every token covered by a 5-gram
+    occurring in >= 2 distinct documents is removed.  The DuckDB oracle
+    replays the rule on the gram STRINGS, so the gate also proves the
+    64-bit gram hash never collided at test scale."""
+    from open_thoughts_ray.ops.substring import exact_substring_scrub
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return exact_substring_scrub(ds, id_col="doc_id", text_col="text",
+                                 k=5, min_docs=2, out_col="clean_text")
+
+
+def _q_substring_flag(sf_dir: str):
+    """Screen half of the substring pass: doc_ids containing at least
+    one cross-document-duplicated 5-gram (forced through the distributed
+    explode/join path so the gate exercises it, not just pytest)."""
+    from open_thoughts_ray.ops.substring import flag_dup_substring_docs
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return flag_dup_substring_docs(ds, id_col="doc_id", text_col="text",
+                                   k=5, min_docs=2, max_driver_grams=0)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # Order matters: the driver's correctness gate evaluates the
@@ -1544,6 +1568,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "metamath_extract_answer_documents": _q_metamath_extract_answer,
         "url_classify_documents": _q_url_classify,
         "webinstruct_qa_documents": _q_webinstruct_qa,
+        "substring_scrub_documents": _q_substring_scrub,
+        "substring_flag_documents": _q_substring_flag,
     }
 
 
@@ -3706,4 +3732,64 @@ def _oracle_sql_base() -> dict[str, str]:
         # ngram_jaccard_dedup_documents / simhash_dedup_documents /
         # minhash_dedup_documents / approx_distinct_users are the
         # hash-checked members vouching for the shared machinery.
+        # Lee-et-al. substring scrub replayed on the gram STRINGS (the
+        # engine shuffles 64-bit gram hashes; a hash collision at test
+        # scale would break this parity, so the gate doubles as a
+        # collision check).  DuckDB list slices are 1-based inclusive.
+        "substring_scrub_documents": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, i.i AS pos,
+                       array_to_string(t[i.i : i.i + 4], ' ') AS g
+                FROM toks,
+                     LATERAL (SELECT unnest(generate_series(
+                         1, len(t) - 4)) AS i) i
+                WHERE len(t) >= 5
+            ),
+            dup AS (
+                SELECT g FROM grams
+                GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+            ),
+            hits AS (
+                SELECT grams.doc_id, grams.pos FROM grams JOIN dup USING (g)
+            ),
+            cov AS (
+                SELECT DISTINCT h.doc_id, j.j
+                FROM hits h,
+                     LATERAL (SELECT unnest(generate_series(
+                         h.pos, h.pos + 4)) AS j) j
+            ),
+            tokens AS (
+                SELECT doc_id, i.i AS j, t[i.i] AS tok
+                FROM toks,
+                     LATERAL (SELECT unnest(generate_series(
+                         1, len(t))) AS i) i
+            )
+            SELECT tk.doc_id,
+                   coalesce(string_agg(tk.tok, ' ' ORDER BY tk.j)
+                            FILTER (WHERE cov.j IS NULL), '') AS clean_text,
+                   count(cov.j) AS n_removed
+            FROM tokens tk
+            LEFT JOIN cov ON cov.doc_id = tk.doc_id AND cov.j = tk.j
+            GROUP BY tk.doc_id
+        """,
+        "substring_flag_documents": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, array_to_string(t[i.i : i.i + 4], ' ') AS g
+                FROM toks,
+                     LATERAL (SELECT unnest(generate_series(
+                         1, len(t) - 4)) AS i) i
+                WHERE len(t) >= 5
+            ),
+            dup AS (
+                SELECT g FROM grams
+                GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+            )
+            SELECT DISTINCT grams.doc_id FROM grams JOIN dup USING (g)
+        """,
     }
