@@ -75,7 +75,15 @@ def partitioned_groups(ds, key_col: str, per_partition, *,
         def run(g):
             return per_partition(g.drop_columns(["_part"]))
 
-    return ds.map_batches(tag, batch_format="pyarrow").groupby(
+    # batch_size bundles tiny upstream blocks (filter residue, 64-way
+    # split reads) into ~64k-row blocks BEFORE the sort shuffle — each
+    # sort-submitted block pays a fixed per-block cost, so 128 blocks of
+    # ~300 rows cost more than the sort itself.  Scale-neutral: blocks
+    # already >= 64k rows keep one-task-per-block granularity (Ray only
+    # bundles UP to batch_size; the output buffer re-merges splits to
+    # the target block size).
+    return ds.map_batches(tag, batch_format="pyarrow",
+                          batch_size=65536).groupby(
         "_part").map_groups(run, batch_format=batch_format)
 
 
