@@ -1431,6 +1431,21 @@ def _q_substring_scrub(sf_dir: str):
                                  k=5, min_docs=2, out_col="clean_text")
 
 
+def _q_dsir_select(sf_dir: str):
+    """DSIR importance selection (Xie et al. 2023): top-50 documents by
+    hashed-unigram+bigram likelihood ratio toward the lang='en' subset.
+    Every weight is floor(1e6·ln(int-ratio)) summed in int64, so the
+    DuckDB replay matches bit-for-bit (exactness bound in ops/dsir.py)."""
+    from open_thoughts_ray.ops import relational as R
+    from open_thoughts_ray.ops.dsir import dsir_select
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text", "lang"])
+    target = R.filter_in(docs, "lang", ["en"]).select_columns(
+        ["doc_id", "text"])
+    raw = docs.select_columns(["doc_id", "text"])
+    return dsir_select(raw, target, k=50, buckets=4096)
+
+
 def _q_substring_flag(sf_dir: str):
     """Screen half of the substring pass: doc_ids containing at least
     one cross-document-duplicated 5-gram (forced through the distributed
@@ -1570,6 +1585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "webinstruct_qa_documents": _q_webinstruct_qa,
         "substring_scrub_documents": _q_substring_scrub,
         "substring_flag_documents": _q_substring_flag,
+        "dsir_select_documents": _q_dsir_select,
     }
 
 
@@ -3774,6 +3790,55 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM tokens tk
             LEFT JOIN cov ON cov.doc_id = tk.doc_id AND cov.j = tk.j
             GROUP BY tk.doc_id
+        """,
+        # DSIR (ops/dsir.py): add-1-smoothed products are exact BIGINTs
+        # cast to DOUBLE before the division on both sides, one libm ln
+        # per occurrence, int64 sum — bit-for-bit replayable
+        "dsir_select_documents": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            feats AS (
+                SELECT doc_id, t[i.i] AS f
+                FROM toks, LATERAL (SELECT unnest(generate_series(
+                    1, len(t))) AS i) i
+                UNION ALL
+                SELECT doc_id, t[i.i] || ' ' || t[i.i + 1] AS f
+                FROM toks, LATERAL (SELECT unnest(generate_series(
+                    1, len(t) - 1)) AS i) i
+            ),
+            fb AS (
+                SELECT doc_id,
+                       CAST(CAST(concat('0x', substr(md5(f), 1, 8))
+                                 AS UBIGINT) % 4096 AS BIGINT) AS b
+                FROM feats
+            ),
+            tgt AS (
+                SELECT b, count(*) AS ct FROM fb
+                JOIN documents USING (doc_id)
+                WHERE lang = 'en' GROUP BY b
+            ),
+            rawc AS (SELECT b, count(*) AS cr FROM fb GROUP BY b),
+            tot AS (
+                SELECT (SELECT count(*) FROM fb
+                        JOIN documents USING (doc_id)
+                        WHERE lang = 'en') AS nt,
+                       (SELECT count(*) FROM fb) AS nr
+            ),
+            w AS (
+                SELECT rawc.b,
+                       CAST(floor(1000000.0 * ln(
+                           CAST((coalesce(tgt.ct, 0) + 1)
+                                * (tot.nr + 4096) AS DOUBLE)
+                         / CAST((rawc.cr + 1)
+                                * (tot.nt + 4096) AS DOUBLE)))
+                            AS BIGINT) AS w
+                FROM rawc LEFT JOIN tgt USING (b), tot
+            )
+            SELECT doc_id, dsir_score FROM (
+                SELECT fb.doc_id, CAST(sum(w.w) AS BIGINT) AS dsir_score
+                FROM fb JOIN w USING (b) GROUP BY fb.doc_id
+            ) ORDER BY dsir_score DESC, doc_id LIMIT 50
         """,
         "substring_flag_documents": """
             WITH toks AS (
