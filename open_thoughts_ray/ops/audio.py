@@ -20,6 +20,8 @@ import struct
 import numpy as np
 import pyarrow as pa
 
+from .bcast import fixed_pool
+
 _MAGIC = b"OTRA"
 
 
@@ -96,7 +98,7 @@ class AudioFeatureStage:
 
 
 def energy_gate(ds, min_rms: float = 0.01, min_duration_s: float = 0.2,
-                bytes_col: str = "bytes", concurrency=(1, 8)):
+                bytes_col: str = "bytes", concurrency=None):
     """Quality filter for audio corpora: drop near-silent or too-short
     clips (the audio analogue of the caption length/repetition rules).
     Decode happens once inside the stage; payloads of dropped rows never
@@ -114,7 +116,9 @@ def energy_gate(ds, min_rms: float = 0.01, min_duration_s: float = 0.2,
             return batch.filter(pa.array(keep, pa.bool_()))
 
     return ds.map_batches(Gate, batch_format="pyarrow",
-                          concurrency=concurrency, num_cpus=1,
+                          concurrency=(concurrency if concurrency is not None
+                                       else fixed_pool(8, num_cpus=1)),
+                          num_cpus=1,
                           batch_size=256)
 
 

@@ -197,15 +197,15 @@ def remove_boilerplate_lines(ds, id_col: str = "doc_id",
                                   fn_kwargs=dict(drop=drop, **kwargs))
         ref = ray.put(drop)
 
-        class Rewrite:
-            def __init__(self):
-                self.drop = ray.get(ref)
+        # plain tasks + per-worker broadcast cache (ops/bcast.py): the
+        # (1, 8) actor pool never grew past 1 actor and paid its spawn
+        def rewrite_task(batch: pa.Table, *, ref) -> pa.Table:
+            from .bcast import cached_get
 
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                return _rewrite_batch(batch, drop=self.drop, **kwargs)
+            return _rewrite_batch(batch, drop=cached_get(ref), **kwargs)
 
-        return ds.map_batches(Rewrite, batch_format="pyarrow",
-                              concurrency=(1, 8))
+        return ds.map_batches(rewrite_task, batch_format="pyarrow",
+                              fn_kwargs={"ref": ref})
 
     # distributed rewrite: explode → anti-join frequent hashes →
     # reassemble per doc (ordered string_agg), then left-join the doc

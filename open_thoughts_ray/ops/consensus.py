@@ -521,18 +521,18 @@ def pmi_top_bigrams(ds, text_col: str = "text", k: int = 20,
         cx = dict(zip(uni_tbl["w1"], uni_tbl["n"].astype(int)))
         ref = ray.put(cx)
 
-        class Score:
-            def __init__(self):
-                self.cx = ray.get(ref)
+        # plain tasks + per-worker broadcast cache (ops/bcast.py)
+        def score_task(t: pa.Table, *, ref) -> pa.Table:
+            from .bcast import cached_get
 
-            def __call__(self, t: pa.Table) -> pa.Table:
-                w1 = t.column("w1").to_pylist()
-                w2 = t.column("w2").to_pylist()
-                return pmi_from(t, [self.cx[a] for a in w1],
-                                [self.cx[b] for b in w2])
+            cxm = cached_get(ref)
+            w1 = t.column("w1").to_pylist()
+            w2 = t.column("w2").to_pylist()
+            return pmi_from(t, [cxm[a] for a in w1],
+                            [cxm[b] for b in w2])
 
-        scored = big_ds.map_batches(Score, batch_format="pyarrow",
-                                    concurrency=(1, 4))
+        scored = big_ds.map_batches(score_task, batch_format="pyarrow",
+                                    fn_kwargs={"ref": ref})
     else:
         # open-vocab path: two hash joins attach c_x / c_y; materialize
         # between them (two JoinOperators in one streaming graph

@@ -101,16 +101,26 @@ class Decontaminator:
 
 def decontaminate(ds, benchmark_texts: list[str], text_column: str = "text",
                   ngram_n: int = 8, overlap_threshold: float = 0.5,
-                  mode: str = "drop", concurrency=(1, 8)):
-    """ds minus rows that match the benchmark set (broadcast anti-join)."""
+                  mode: str = "drop"):
+    """ds minus rows that match the benchmark set (broadcast anti-join).
+
+    Plain tasks + per-worker broadcast cache (ops/bcast.py): the index
+    is fetched and kept once per worker process — actor-pool setup
+    semantics with full task-pool parallelism."""
     import ray
 
     index_ref = ray.put(build_benchmark_index(benchmark_texts, ngram_n))
-    return ds.map_batches(
-        Decontaminator, batch_format="pyarrow", concurrency=concurrency,
-        num_cpus=1,
-        fn_constructor_kwargs={
-            "index_ref": index_ref, "text_column": text_column,
-            "overlap_threshold": overlap_threshold, "mode": mode,
-        },
-    )
+
+    def task(batch: pa.Table, *, index_ref) -> pa.Table:
+        from .bcast import cached_build
+
+        d = cached_build(
+            index_ref,
+            lambda idx: Decontaminator(
+                index=idx, text_column=text_column,
+                overlap_threshold=overlap_threshold, mode=mode),
+            tag=f"decon:{text_column}:{overlap_threshold}:{mode}")
+        return d(batch)
+
+    return ds.map_batches(task, batch_format="pyarrow", num_cpus=1,
+                          fn_kwargs={"index_ref": index_ref})

@@ -66,15 +66,14 @@ def _ids_filter(ds, id_col: str, ids: set, keep: bool):
         return ds.map_batches(lambda t: apply(t, vset), batch_format="pyarrow")
     ref = ray.put(vset)
 
-    class F:
-        def __init__(self):
-            self.vset = ray.get(ref)
+    # plain tasks + per-worker broadcast cache (ops/bcast.py)
+    def f_task(batch: pa.Table, *, ref) -> pa.Table:
+        from .bcast import cached_get
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            return apply(batch, self.vset)
+        return apply(batch, cached_get(ref))
 
-    return ds.map_batches(F, batch_format="pyarrow", concurrency=(1, 8),
-                          num_cpus=0.5)
+    return ds.map_batches(f_task, batch_format="pyarrow",
+                          fn_kwargs={"ref": ref}, num_cpus=0.5)
 
 
 def _keep_ids_filter(ds, id_col: str, keep: set):

@@ -127,30 +127,30 @@ def dsir_select(ds_raw, ds_target, id_col: str = "doc_id",
     rc, nr = hashed_ngram_counts(ds_raw, text_col, buckets)
     ref = ray.put(dsir_weight_table(tc, nt, rc, nr))
 
-    class Score:
-        def __init__(self):
-            self.w = ray.get(ref)
-            self.cache: dict[str, int] = {}
+    # plain tasks + per-worker broadcast cache (ops/bcast.py): the
+    # weight table and the feature→bucket memo live once per worker
+    def score_task(batch: pa.Table, *, ref) -> pa.Table:
+        from .bcast import cached_build
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch.column(id_col).to_pylist()
-            out = np.zeros(len(ids), np.int64)
-            for i, t in enumerate(batch.column(text_col).to_pylist()):
-                s = 0
-                for f in _features(t):
-                    b = self.cache.get(f)
-                    if b is None:
-                        b = _bucket(f, buckets)
-                        self.cache[f] = b
-                    s += int(self.w[b])
-                out[i] = s
-            return pa.table({
-                id_col: batch.column(id_col),
-                "dsir_score": pa.array(out, pa.int64()),
-            })
+        w, cache = cached_build(ref, lambda v: (v, {}), tag="dsir")
+        ids = batch.column(id_col).to_pylist()
+        out = np.zeros(len(ids), np.int64)
+        for i, t in enumerate(batch.column(text_col).to_pylist()):
+            s = 0
+            for f in _features(t):
+                b = cache.get(f)
+                if b is None:
+                    b = _bucket(f, buckets)
+                    cache[f] = b
+                s += int(w[b])
+            out[i] = s
+        return pa.table({
+            id_col: batch.column(id_col),
+            "dsir_score": pa.array(out, pa.int64()),
+        })
 
-    scored = ds_raw.map_batches(Score, batch_format="pyarrow",
-                                concurrency=(1, 8))
+    scored = ds_raw.map_batches(score_task, batch_format="pyarrow",
+                                fn_kwargs={"ref": ref})
 
     if gumbel_seed is not None:
         def noisy(batch: pa.Table) -> pa.Table:

@@ -72,7 +72,13 @@ class TextEmbedder:
 
 
 def embed_dataset(ds, text_column: str = "text", dim: int = EMBED_DIM,
-                  concurrency=(1, 8), batch_size: int = 1024):
+                  concurrency=None, batch_size: int = 1024):
+    # model-load stage → FIXED actor pool (autoscaling (1, max) pools
+    # never grow past 1 actor; ops/bcast.fixed_pool caps vs the cluster)
+    from .bcast import fixed_pool
+
+    if concurrency is None:
+        concurrency = fixed_pool(8, num_cpus=1)
     return ds.map_batches(
         TextEmbedder, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1,

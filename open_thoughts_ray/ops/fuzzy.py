@@ -145,34 +145,34 @@ def decontaminate_fuzzy_ratio(ds, benchmark_texts: list[str],
     index["texts"] = [_normalize(t) for t in benchmark_texts]
     ref = ray.put(index)
 
-    class F:
-        def __init__(self):
-            self.idx = ray.get(ref)
+    def _matches(idx: dict, text: str) -> bool:
+        norm = _normalize(text)
+        if norm in idx["exact"]:
+            return True
+        toks = norm.split()
+        hits: dict[int, int] = {}
+        for g in _ngrams(toks, idx["n"]):
+            for row in idx["inv"].get(g, ()):
+                hits[row] = hits.get(row, 0) + 1
+        for row, c in hits.items():
+            if c / idx["sizes"][row] >= candidate_overlap:
+                if indel_ratio(norm, idx["texts"][row]) >= ratio_threshold:
+                    return True
+        return False
 
-        def _matches(self, text: str) -> bool:
-            norm = _normalize(text)
-            if norm in self.idx["exact"]:
-                return True
-            toks = norm.split()
-            hits: dict[int, int] = {}
-            for g in _ngrams(toks, self.idx["n"]):
-                for row in self.idx["inv"].get(g, ()):
-                    hits[row] = hits.get(row, 0) + 1
-            for row, c in hits.items():
-                if c / self.idx["sizes"][row] >= candidate_overlap:
-                    if indel_ratio(norm, self.idx["texts"][row]) >= ratio_threshold:
-                        return True
-            return False
+    # plain tasks + per-worker broadcast cache (ops/bcast.py)
+    def f_task(batch: pa.Table, *, ref) -> pa.Table:
+        from .bcast import cached_get
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            flags = np.asarray(
-                [self._matches(t) for t in batch.column(text_column).to_pylist()],
-                dtype=bool,
-            )
-            if mode == "annotate":
-                return batch.append_column("contaminated",
-                                           pa.array(flags, pa.bool_()))
-            return batch.filter(pa.array(~flags))
+        idx = cached_get(ref)
+        flags = np.asarray(
+            [_matches(idx, t) for t in batch.column(text_column).to_pylist()],
+            dtype=bool,
+        )
+        if mode == "annotate":
+            return batch.append_column("contaminated",
+                                       pa.array(flags, pa.bool_()))
+        return batch.filter(pa.array(~flags))
 
-    return ds.map_batches(F, batch_format="pyarrow", concurrency=(1, 8),
-                          num_cpus=0.5)
+    return ds.map_batches(f_task, batch_format="pyarrow",
+                          fn_kwargs={"ref": ref}, num_cpus=0.5)

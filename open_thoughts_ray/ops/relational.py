@@ -399,17 +399,18 @@ def percent_rank_annotate(ds, value_col: str, out_col: str | None = None,
     pr = {v: float(b) / denom for v, b in zip(freq[value_col], below)}
     ref = ray.put(pr)
 
-    class Annotate:
-        def __init__(self):
-            self.pr = ray.get(ref)
+    # plain tasks + per-worker broadcast cache (ops/bcast.py): the
+    # (1, 8) actor pool never grew past 1 actor and paid its spawn
+    def annotate_task(t: pa.Table, *, ref) -> pa.Table:
+        from .bcast import cached_get
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            vals = t.column(value_col).to_pylist()
-            return t.append_column(
-                out_col, pa.array([self.pr[v] for v in vals], pa.float64()))
+        prm = cached_get(ref)
+        vals = t.column(value_col).to_pylist()
+        return t.append_column(
+            out_col, pa.array([prm[v] for v in vals], pa.float64()))
 
-    return ds.map_batches(Annotate, batch_format="pyarrow",
-                          concurrency=(1, 8))
+    return ds.map_batches(annotate_task, batch_format="pyarrow",
+                          fn_kwargs={"ref": ref})
 
 
 def mutual_information(ds, a_col: str, b_col: str) -> float:
@@ -533,23 +534,24 @@ def zscore_per_group(ds, group_col: str, value_col: str,
         params[g] = (mu, float(np.sqrt(var)) if var > 0 else 0.0)
     ref = ray.put(params)
 
-    class Rewrite:
-        def __init__(self):
-            self.params = ray.get(ref)
+    # plain tasks + per-worker broadcast cache (ops/bcast.py): the
+    # (1, 8) actor pool never grew past 1 actor and paid its spawn
+    def rewrite_task(t: pa.Table, *, ref) -> pa.Table:
+        from .bcast import cached_get
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            v = t.column(value_col).to_numpy(zero_copy_only=False) \
-                .astype(np.float64)
-            c = np.floor(v * scale + 0.5)
-            g = t.column(group_col).to_pylist()
-            out = np.empty(len(c))
-            for i, gi in enumerate(g):
-                mu, sigma = self.params[gi]
-                out[i] = (c[i] - mu) / sigma if sigma > 0 else 0.0
-            return t.append_column(out_col, pa.array(out, pa.float64()))
+        params = cached_get(ref)
+        v = t.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        c = np.floor(v * scale + 0.5)
+        g = t.column(group_col).to_pylist()
+        out = np.empty(len(c))
+        for i, gi in enumerate(g):
+            mu, sigma = params[gi]
+            out[i] = (c[i] - mu) / sigma if sigma > 0 else 0.0
+        return t.append_column(out_col, pa.array(out, pa.float64()))
 
-    return ds.map_batches(Rewrite, batch_format="pyarrow",
-                          concurrency=(1, 8))
+    return ds.map_batches(rewrite_task, batch_format="pyarrow",
+                          fn_kwargs={"ref": ref})
 
 
 def robust_scale_column(ds, value_col: str, out_col: str | None = None,
@@ -766,21 +768,21 @@ def semi_anti_join_broadcast(ds, keys, column: str, anti: bool = False):
 
     keys_ref = ray.put(pa.array(list(set(keys))))
 
-    class F:
-        def __init__(self):
-            self.keys = ray.get(keys_ref)
+    # plain tasks + per-worker broadcast cache (ops/bcast.py)
+    def f_task(batch: pa.Table, *, keys_ref) -> pa.Table:
+        from .bcast import cached_get
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            col = batch.column(column)
-            if col.type != self.keys.type:
-                col = col.cast(self.keys.type)
-            mask = pc.is_in(col, value_set=self.keys)  # vectorized kernel
-            if anti:
-                mask = pc.invert(mask)
-            return batch.filter(pc.fill_null(mask, anti))
+        keys = cached_get(keys_ref)
+        col = batch.column(column)
+        if col.type != keys.type:
+            col = col.cast(keys.type)
+        mask = pc.is_in(col, value_set=keys)  # vectorized kernel
+        if anti:
+            mask = pc.invert(mask)
+        return batch.filter(pc.fill_null(mask, anti))
 
-    return ds.map_batches(F, batch_format="pyarrow", concurrency=(1, 8),
-                          num_cpus=0.5)
+    return ds.map_batches(f_task, batch_format="pyarrow",
+                          fn_kwargs={"keys_ref": keys_ref}, num_cpus=0.5)
 
 
 def pivot_count(ds, row_key: str, col_key: str, values: list[str]):

@@ -225,41 +225,42 @@ def tfidf_top_terms(ds, id_col: str = "doc_id", text_col: str = "text",
         df_map = dict(zip(pdf["term"], pdf["df"].astype(int)))
         ref = ray.put(df_map)
 
-        class Score:
-            def __init__(self):
-                self.df = ray.get(ref)
-                # idf memo: ln is computed ONCE per distinct token per
-                # actor, not once per (doc, term) — web vocab repeats
-                # heavily, so this removes almost every libm call
-                self.idf: dict[str, float] = {}
+        # plain tasks + per-worker broadcast cache (ops/bcast.py): the
+        # autoscaling actor pool never grew past 1 actor and paid ~2 s
+        # spawn; tasks fill every core and fetch the df map once per
+        # worker process.  The idf memo (ln once per DISTINCT token,
+        # not per (doc, term)) is cached alongside it.
+        def score_task(batch: pa.Table, *, ref) -> pa.Table:
+            from .bcast import cached_build
 
-            def _idf(self, tok: str) -> float:
-                v = self.idf.get(tok)
+            df_m, idf = cached_build(ref, lambda d: (d, {}), tag="tfidf")
+
+            def _idf(tok: str) -> float:
+                v = idf.get(tok)
                 if v is None:
-                    v = math.log(float(n_docs) / float(self.df[tok]))
-                    self.idf[tok] = v
+                    v = math.log(float(n_docs) / float(df_m[tok]))
+                    idf[tok] = v
                 return v
 
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                out_id, out_t, out_s = [], [], []
-                ids = batch.column(id_col).to_pylist()
-                for i, t in zip(ids, batch.column(text_col).to_pylist()):
-                    scored = [(float(c) * self._idf(tok), tok)
-                              for tok, c in doc_tf(t).items()]
-                    scored.sort(key=lambda x: (-x[0], x[1]))
-                    for s, tok in scored[:k]:
-                        out_id.append(i)
-                        out_t.append(tok)
-                        out_s.append(math.floor(s * 1000000.0) / 1000000.0)
-                return pa.table({
-                    id_col: pa.array(out_id,
-                                     batch.schema.field(id_col).type),
-                    "term": pa.array(out_t, pa.string()),
-                    "score": pa.array(out_s, pa.float64()),
-                })
+            out_id, out_t, out_s = [], [], []
+            ids = batch.column(id_col).to_pylist()
+            for i, t in zip(ids, batch.column(text_col).to_pylist()):
+                scored = [(float(c) * _idf(tok), tok)
+                          for tok, c in doc_tf(t).items()]
+                scored.sort(key=lambda x: (-x[0], x[1]))
+                for s, tok in scored[:k]:
+                    out_id.append(i)
+                    out_t.append(tok)
+                    out_s.append(math.floor(s * 1000000.0) / 1000000.0)
+            return pa.table({
+                id_col: pa.array(out_id,
+                                 batch.schema.field(id_col).type),
+                "term": pa.array(out_t, pa.string()),
+                "score": pa.array(out_s, pa.float64()),
+            })
 
-        return ds.map_batches(Score, batch_format="pyarrow",
-                              concurrency=(1, 8))
+        return ds.map_batches(score_task, batch_format="pyarrow",
+                              fn_kwargs={"ref": ref})
 
     # large-vocab path: explode → hash-join df → per-doc top-k shuffle
     def explode(batch: pa.Table) -> pa.Table:

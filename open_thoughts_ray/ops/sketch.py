@@ -155,18 +155,18 @@ def bloom_semi_join(ds, keys: list, column: str, anti: bool = False,
     bf.add(list(keys))
     ref = ray.put(bf)
 
-    class F:
-        def __init__(self):
-            self.bf = ray.get(ref)
+    # plain tasks + per-worker broadcast cache (ops/bcast.py)
+    def f_task(batch: pa.Table, *, ref) -> pa.Table:
+        from .bcast import cached_get
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = self.bf.contains(batch.column(column).to_pylist())
-            if anti:
-                mask = ~mask
-            return batch.filter(pa.array(mask))
+        bff = cached_get(ref)
+        mask = bff.contains(batch.column(column).to_pylist())
+        if anti:
+            mask = ~mask
+        return batch.filter(pa.array(mask))
 
-    return ds.map_batches(F, batch_format="pyarrow", concurrency=(1, 8),
-                          num_cpus=1)
+    return ds.map_batches(f_task, batch_format="pyarrow",
+                          fn_kwargs={"ref": ref}, num_cpus=1)
 
 
 # ----------------------------------------------------- quantile summary

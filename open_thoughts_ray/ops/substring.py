@@ -226,15 +226,14 @@ def exact_substring_scrub(ds, id_col: str = "doc_id",
                                   fn_kwargs=dict(dup=dup, **kwargs))
         ref = ray.put(dup)
 
-        class Scrub:
-            def __init__(self):
-                self.dup = ray.get(ref)
+        # plain tasks + per-worker broadcast cache (ops/bcast.py)
+        def scrub_task(batch: pa.Table, *, ref) -> pa.Table:
+            from .bcast import cached_get
 
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                return _scrub_batch(batch, dup=self.dup, **kwargs)
+            return _scrub_batch(batch, dup=cached_get(ref), **kwargs)
 
-        return ds.map_batches(Scrub, batch_format="pyarrow",
-                              concurrency=(1, 8))
+        return ds.map_batches(scrub_task, batch_format="pyarrow",
+                              fn_kwargs={"ref": ref})
 
     # distributed rewrite: explode thin gram rows → inner-join the
     # duplicated-hash marker → ONE id-partitioned shuffle carrying the
@@ -334,21 +333,21 @@ def flag_dup_substring_docs(ds, id_col: str = "doc_id",
             .tolist()) if n_dup else set()
         ref = ray.put(dup)
 
-        class Flag:
-            def __init__(self):
-                self.dup = ray.get(ref)
+        # plain tasks + per-worker broadcast cache (ops/bcast.py)
+        def flag_task(batch: pa.Table, *, ref) -> pa.Table:
+            from .bcast import cached_get
 
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                cache: dict[str, int] = {}
-                keep = []
-                for t in batch.column(text_col).to_pylist():
-                    _, hs = _gram_positions(t, k, cache)
-                    keep.append(any(h in self.dup for h in hs))
-                return batch.select([id_col]).filter(
-                    pa.array(keep, pa.bool_()))
+            dup_set = cached_get(ref)
+            cache: dict[str, int] = {}
+            keep = []
+            for t in batch.column(text_col).to_pylist():
+                _, hs = _gram_positions(t, k, cache)
+                keep.append(any(h in dup_set for h in hs))
+            return batch.select([id_col]).filter(
+                pa.array(keep, pa.bool_()))
 
-        return ds.map_batches(Flag, batch_format="pyarrow",
-                              concurrency=(1, 8))
+        return ds.map_batches(flag_task, batch_format="pyarrow",
+                              fn_kwargs={"ref": ref})
 
     marker = dup_ds.select_columns(["gh"]).repartition(
         num_partitions).materialize()

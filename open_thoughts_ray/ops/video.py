@@ -22,6 +22,8 @@ import struct
 import numpy as np
 import pyarrow as pa
 
+from .bcast import fixed_pool
+
 _MAGIC = b"OTRV"
 _HDR = 4 + 2 + 2 + 4
 
@@ -122,7 +124,7 @@ def scene_cuts(buf: bytes, threshold: float = 30.0) -> list[int]:
 
 
 def scene_cut_stage(ds, threshold: float = 30.0, id_col: str = "video_id",
-                    bytes_col: str = "bytes", concurrency=(1, 8)):
+                    bytes_col: str = "bytes", concurrency=None):
     """Actor-pool stage: video row → (id, n_frames, cuts:list<int32>)."""
 
     class F:
@@ -141,5 +143,7 @@ def scene_cut_stage(ds, threshold: float = 30.0, id_col: str = "video_id",
             })
 
     return ds.map_batches(F, batch_format="pyarrow",
-                          concurrency=concurrency, num_cpus=1,
+                          concurrency=(concurrency if concurrency is not None
+                                       else fixed_pool(8, num_cpus=1)),
+                          num_cpus=1,
                           batch_size=8)

@@ -180,10 +180,14 @@ def execute_op(typ: str, cfg: dict, ins: list):
 
             ra = _remote_args(cfg)
             model_ref = _ray.put(artifacts.get_artifact_bytes("langid"))
+            from .ops.bcast import fixed_pool
+
             scored = ins[0].map_batches(
                 LangIdScorer, batch_format="pyarrow",
                 batch_size=ra.get("batch_size", 500),
-                concurrency=ra.get("concurrency", (1, 8)),
+                # model stage → FIXED pool: (1, max) never grows past 1
+                concurrency=ra.get("concurrency",
+                                   fixed_pool(8, num_cpus=1)),
                 num_cpus=ra.get("num_cpus", 1),
                 fn_constructor_kwargs={
                     "model_ref": model_ref,
@@ -239,7 +243,7 @@ def execute_op(typ: str, cfg: dict, ins: list):
             ra = _remote_args(cfg)
             out = embed_dataset(
                 ins[0], text_column=cfg.get("input_column", "text"),
-                concurrency=ra.get("concurrency", (1, 8)),
+                concurrency=ra.get("concurrency"),  # None → fixed_pool
                 batch_size=ra.get("batch_size", 1024))
         elif typ == "similarity_filtering":
             # reference similarity_filtering_operator.py:93-114
