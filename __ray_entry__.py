@@ -1431,6 +1431,23 @@ def _q_substring_scrub(sf_dir: str):
                                  k=5, min_docs=2, out_col="clean_text")
 
 
+def _q_image_caption_alignment(sf_dir: str):
+    """Image–caption alignment (CLIP-score analogue, ops/align.py):
+    deterministic two-tower stand-in in a shared hashed-token space.
+    Rows-only: the seeded projection is not SQL-expressible; serial
+    bit-parity + matched-vs-mismatched separation are asserted in
+    tests/test_align.py."""
+    from open_thoughts_ray.fixtures.images import build_images_table
+    from open_thoughts_ray.io import lance_table
+    from open_thoughts_ray.ops.align import align_score
+
+    table = build_images_table(
+        "/tmp/otr_align_images", n_rows=2000, n_parts=16, seed=42,
+        use_ray=True)
+    ds = lance_table.read_dataset(table)
+    return align_score(ds).select_columns(["image_id", "align_score"])
+
+
 def _q_dsir_select(sf_dir: str):
     """DSIR importance selection (Xie et al. 2023): top-50 documents by
     hashed-unigram+bigram likelihood ratio toward the lang='en' subset.
@@ -1586,6 +1603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_scrub_documents": _q_substring_scrub,
         "substring_flag_documents": _q_substring_flag,
         "dsir_select_documents": _q_dsir_select,
+        "image_caption_alignment": _q_image_caption_alignment,
     }
 
 

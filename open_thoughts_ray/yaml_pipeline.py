@@ -503,6 +503,31 @@ def execute_op(typ: str, cfg: dict, ins: list):
             out = R.grouped_ntile(ins[0], cfg["group_column"],
                                   cfg["order_columns"], int(cfg["n"]),
                                   out_col=cfg.get("output_column", "tile"))
+        elif typ == "image_quality_gate":
+            from .ops.multimodal import ImageQualityGate
+
+            ra = _remote_args(cfg)
+            # stateless gate → plain tasks (fills every core, nothing
+            # to cache per actor; chained fixed pools can over-reserve
+            # a small cluster)
+            gate = ImageQualityGate(**{
+                k: cfg[k] for k in
+                ("min_sharpness", "min_contrast", "max_clip_frac", "mode")
+                if k in cfg})
+            out = ins[0].map_batches(
+                gate.__call__, batch_format="pyarrow",
+                batch_size=ra.get("batch_size", 256))
+        elif typ == "image_caption_alignment":
+            from .ops.align import align_filter, align_score
+
+            if cfg.get("mode", "annotate") == "filter":
+                out = align_filter(
+                    ins[0], min_score=float(cfg["min_score"]),
+                    caption_col=cfg.get("caption_column", "caption"))
+            else:
+                out = align_score(
+                    ins[0], caption_col=cfg.get("caption_column", "caption"),
+                    out=cfg.get("output_column", "align_score"))
         elif typ in YAML_OP_REGISTRY:
             out = YAML_OP_REGISTRY[typ](ins, cfg)
         else:
