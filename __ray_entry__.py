@@ -1496,8 +1496,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "p90_value_per_type": _q_p90_value_per_type,
         "langs_per_source": _q_langs_per_source,
         "ntile_events_by_type": _q_ntile_events,
-        "rolling_sum_events": _q_rolling_sum_events,
-        "max_gap_events": _q_max_gap_events,
+        "substring_scrub_documents": _q_substring_scrub,
+        "dsir_select_documents": _q_dsir_select,
         "sessionize_events": _q_sessionize,
         "asof_join_events": _q_asof_join,
         "range_join_events": _q_range_join_events,
@@ -1600,9 +1600,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "metamath_extract_answer_documents": _q_metamath_extract_answer,
         "url_classify_documents": _q_url_classify,
         "webinstruct_qa_documents": _q_webinstruct_qa,
-        "substring_scrub_documents": _q_substring_scrub,
         "substring_flag_documents": _q_substring_flag,
-        "dsir_select_documents": _q_dsir_select,
+        "rolling_sum_events": _q_rolling_sum_events,
+        "max_gap_events": _q_max_gap_events,
         "image_caption_alignment": _q_image_caption_alignment,
     }
 
