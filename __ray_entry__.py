@@ -1431,6 +1431,22 @@ def _q_substring_scrub(sf_dir: str):
                                  k=5, min_docs=2, out_col="clean_text")
 
 
+def _q_token_budget(sf_dir: str):
+    """Per-source token-budget quota (ops/packing.token_budget_select):
+    keep each source's (n_chars DESC, doc_id) prefix while cumulative
+    whitespace-token count stays ≤ 2000 — integer window cumsum, so the
+    SQL window replay is bit-identical."""
+    from open_thoughts_ray.ops.packing import token_budget_select
+    from open_thoughts_ray.ops.textstats import token_count_batch
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text", "source", "n_chars"])
+    ds = ds.map_batches(token_count_batch, batch_format="pyarrow") \
+        .select_columns(["doc_id", "source", "n_chars", "n_tokens"])
+    out = token_budget_select(ds, "source", "n_chars", "n_tokens",
+                              budget=2000, id_col="doc_id")
+    return out.select_columns(["doc_id", "source", "n_tokens"])
+
+
 def _q_image_caption_alignment(sf_dir: str):
     """Image–caption alignment (CLIP-score analogue, ops/align.py):
     deterministic two-tower stand-in in a shared hashed-token space.
@@ -1495,9 +1511,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user": _q_latest_event_per_user,
         "p90_value_per_type": _q_p90_value_per_type,
         "langs_per_source": _q_langs_per_source,
-        "ntile_events_by_type": _q_ntile_events,
         "substring_scrub_documents": _q_substring_scrub,
         "dsir_select_documents": _q_dsir_select,
+        "token_budget_select_documents": _q_token_budget,
         "sessionize_events": _q_sessionize,
         "asof_join_events": _q_asof_join,
         "range_join_events": _q_range_join_events,
@@ -1602,6 +1618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "webinstruct_qa_documents": _q_webinstruct_qa,
         "substring_flag_documents": _q_substring_flag,
         "rolling_sum_events": _q_rolling_sum_events,
+        "ntile_events_by_type": _q_ntile_events,
         "max_gap_events": _q_max_gap_events,
         "image_caption_alignment": _q_image_caption_alignment,
     }
@@ -3812,6 +3829,17 @@ def _oracle_sql_base() -> dict[str, str]:
         # DSIR (ops/dsir.py): add-1-smoothed products are exact BIGINTs
         # cast to DOUBLE before the division on both sides, one libm ln
         # per occurrence, int64 sum — bit-for-bit replayable
+        "token_budget_select_documents": """
+            SELECT doc_id, source, n_tokens FROM (
+                SELECT doc_id, source,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                       SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM documents)
+            WHERE cum <= 2000
+        """,
         "dsir_select_documents": """
             WITH toks AS (
                 SELECT doc_id, string_split(text, ' ') AS t FROM documents

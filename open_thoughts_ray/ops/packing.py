@@ -178,3 +178,37 @@ def curriculum_interleave(ds, group_col: str, id_col: str,
         return g
 
     return ds.groupby(group_col).map_groups(rank, batch_format="pandas")
+
+
+def token_budget_select(ds, group_col: str, order_col: str,
+                        tokens_col: str, budget: int, id_col: str,
+                        ascending: bool = False):
+    """Per-group token-budget quota: in ``(order_col`` desc-by-default,
+    ``id_col`` asc) order, keep each group's prefix whose cumulative
+    ``tokens_col`` stays ≤ ``budget`` — the "fill N tokens per domain
+    in quality order" curation rule (the data-mixture counterpart of
+    stratified_first_k's row quota).
+
+    Plan: per-batch pre-reduce then ONE ``hash(group) % P`` shuffle and
+    a partition-level segment walk (ops/segment.py) — no per-key
+    dispatch.  The pre-reduce prune is exact for positive token counts:
+    the global selection keeps a prefix of each group's global order,
+    and a batch's rows occupy the same relative order globally, so a
+    row past the budget within its own batch is past it globally too.
+
+    SQL-replayable: ``SUM(tokens) OVER (PARTITION BY g ORDER BY o DESC,
+    id ROWS UNBOUNDED PRECEDING) <= budget`` — all-integer cumsum, no
+    float drift."""
+    import pandas as pd
+
+    from .segment import partitioned_groups
+
+    def quota(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col, order_col, id_col],
+                          ascending=[True, ascending, True],
+                          kind="mergesort")
+        cum = g.groupby(group_col, sort=False)[tokens_col].cumsum()
+        return g[cum <= budget]
+
+    partial = ds.map_batches(quota, batch_format="pandas")
+    return partitioned_groups(partial, group_col, quota)

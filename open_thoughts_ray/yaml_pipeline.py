@@ -503,6 +503,14 @@ def execute_op(typ: str, cfg: dict, ins: list):
             out = R.grouped_ntile(ins[0], cfg["group_column"],
                                   cfg["order_columns"], int(cfg["n"]),
                                   out_col=cfg.get("output_column", "tile"))
+        elif typ == "token_budget_select":
+            from .ops.packing import token_budget_select
+
+            out = token_budget_select(
+                ins[0], cfg["group_column"], cfg["order_column"],
+                cfg["tokens_column"], budget=int(cfg["budget"]),
+                id_col=cfg["id_column"],
+                ascending=bool(cfg.get("ascending", False)))
         elif typ == "image_quality_gate":
             from .ops.multimodal import ImageQualityGate
 

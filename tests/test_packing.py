@@ -81,3 +81,33 @@ def test_curriculum_interleave_proportions(ray_session):
     # keys are rank/weight exactly
     a_rows = out[out.source == "a"].sort_values("doc_id")
     assert a_rows["mix_key"].tolist() == [(i + 1) / 2.0 for i in range(6)]
+
+
+def test_token_budget_select(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.packing import token_budget_select
+
+    rng = np.random.default_rng(11)
+    n = 400
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "source": [f"s{i % 5}" for i in range(n)],
+        "score": rng.integers(0, 1000, n).astype(np.int64),
+        "tok": rng.integers(1, 50, n).astype(np.int64),
+    })
+    budget = 300
+    out = token_budget_select(
+        rd.from_pandas(df, override_num_blocks=8), "source", "score",
+        "tok", budget=budget, id_col="doc_id").to_pandas()
+
+    # serial reference: per source, desc-score/asc-id prefix under budget
+    ref = df.sort_values(["source", "score", "doc_id"],
+                         ascending=[True, False, True], kind="mergesort")
+    ref = ref[ref.groupby("source")["tok"].cumsum() <= budget]
+    assert sorted(out.doc_id) == sorted(ref.doc_id)
+    # every group's spend is within budget
+    spent = out.groupby("source")["tok"].sum()
+    assert (spent <= budget).all()
