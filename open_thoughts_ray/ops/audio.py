@@ -20,7 +20,6 @@ import struct
 import numpy as np
 import pyarrow as pa
 
-from .bcast import fixed_pool
 
 _MAGIC = b"OTRA"
 
@@ -104,22 +103,27 @@ def energy_gate(ds, min_rms: float = 0.01, min_duration_s: float = 0.2,
     Decode happens once inside the stage; payloads of dropped rows never
     re-enter the object store."""
 
-    class Gate:
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            keep = []
-            for buf in batch.column(bytes_col).to_pylist():
-                s, sr = decode_pcm(buf)
-                x = s.astype(np.float64) / 32768.0
-                dur = len(s) / sr if sr else 0.0
-                rms = float(np.sqrt((x * x).mean())) if len(x) else 0.0
-                keep.append(dur >= min_duration_s and rms >= min_rms)
-            return batch.filter(pa.array(keep, pa.bool_()))
+    def gate(batch: pa.Table) -> pa.Table:
+        keep = []
+        for buf in batch.column(bytes_col).to_pylist():
+            s, sr = decode_pcm(buf)
+            x = s.astype(np.float64) / 32768.0
+            dur = len(s) / sr if sr else 0.0
+            rms = float(np.sqrt((x * x).mean())) if len(x) else 0.0
+            keep.append(dur >= min_duration_s and rms >= min_rms)
+        return batch.filter(pa.array(keep, pa.bool_()))
 
-    return ds.map_batches(Gate, batch_format="pyarrow",
-                          concurrency=(concurrency if concurrency is not None
-                                       else fixed_pool(8, num_cpus=1)),
-                          num_cpus=1,
-                          batch_size=256)
+    # stateless → plain tasks (no pool sizing; chained fixed pools can
+    # over-reserve a small cluster).  An explicit concurrency keeps the
+    # actor-pool path for callers pinning resources.
+    if concurrency is not None:
+        class Gate:
+            __call__ = staticmethod(gate)
+
+        return ds.map_batches(Gate, batch_format="pyarrow",
+                              concurrency=concurrency, num_cpus=1,
+                              batch_size=256)
+    return ds.map_batches(gate, batch_format="pyarrow", batch_size=256)
 
 
 class AudioDecimator:

@@ -71,19 +71,33 @@ class TextEmbedder:
         )
 
 
+_EMBEDDERS: dict = {}
+
+
 def embed_dataset(ds, text_column: str = "text", dim: int = EMBED_DIM,
                   concurrency=None, batch_size: int = 1024):
-    # model-load stage → FIXED actor pool (autoscaling (1, max) pools
-    # never grow past 1 actor; ops/bcast.fixed_pool caps vs the cluster)
-    from .bcast import fixed_pool
+    """Default layout: plain tasks + per-worker embedder cache (the
+    8 MB seeded projection is rebuilt once per worker process) — fills
+    every core with no pool sizing, and composes with other model
+    stages (two chained FIXED pools over-reserve a small cluster and
+    deadlock the streaming executor).  Pass ``concurrency`` explicitly
+    to pin an actor pool (e.g. a GPU stage swapping in a real model)."""
+    if concurrency is not None:
+        return ds.map_batches(
+            TextEmbedder, batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency, num_cpus=1,
+            fn_constructor_kwargs={"text_column": text_column, "dim": dim},
+        )
 
-    if concurrency is None:
-        concurrency = fixed_pool(8, num_cpus=1)
-    return ds.map_batches(
-        TextEmbedder, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1,
-        fn_constructor_kwargs={"text_column": text_column, "dim": dim},
-    )
+    def fn(batch: pa.Table) -> pa.Table:
+        key = (text_column, dim)
+        m = _EMBEDDERS.get(key)
+        if m is None:
+            m = TextEmbedder(text_column=text_column, dim=dim)
+            _EMBEDDERS[key] = m
+        return m(batch)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
 
 
 def train_text_classifier(positive_ds, negative_ds, text_column: str = "text",

@@ -22,7 +22,6 @@ import struct
 import numpy as np
 import pyarrow as pa
 
-from .bcast import fixed_pool
 
 _MAGIC = b"OTRV"
 _HDR = 4 + 2 + 2 + 4
@@ -127,23 +126,27 @@ def scene_cut_stage(ds, threshold: float = 30.0, id_col: str = "video_id",
                     bytes_col: str = "bytes", concurrency=None):
     """Actor-pool stage: video row → (id, n_frames, cuts:list<int32>)."""
 
-    class F:
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids, nf, cuts = [], [], []
-            for row in range(batch.num_rows):
-                buf = batch.column(bytes_col)[row].as_py()
-                _, _, n = video_meta(buf)
-                ids.append(batch.column(id_col)[row].as_py())
-                nf.append(n)
-                cuts.append(scene_cuts(buf, threshold))
-            return pa.table({
-                id_col: pa.array(ids, pa.string()),
-                "n_frames": pa.array(nf, pa.int32()),
-                "cuts": pa.array(cuts, pa.list_(pa.int32())),
-            })
+    def f(batch: pa.Table) -> pa.Table:
+        ids, nf, cuts = [], [], []
+        for row in range(batch.num_rows):
+            buf = batch.column(bytes_col)[row].as_py()
+            _, _, n = video_meta(buf)
+            ids.append(batch.column(id_col)[row].as_py())
+            nf.append(n)
+            cuts.append(scene_cuts(buf, threshold))
+        return pa.table({
+            id_col: pa.array(ids, pa.string()),
+            "n_frames": pa.array(nf, pa.int32()),
+            "cuts": pa.array(cuts, pa.list_(pa.int32())),
+        })
 
-    return ds.map_batches(F, batch_format="pyarrow",
-                          concurrency=(concurrency if concurrency is not None
-                                       else fixed_pool(8, num_cpus=1)),
-                          num_cpus=1,
-                          batch_size=8)
+    # stateless → plain tasks by default (chained fixed pools can
+    # over-reserve a small cluster); explicit concurrency keeps a pool.
+    if concurrency is not None:
+        class F:
+            __call__ = staticmethod(f)
+
+        return ds.map_batches(F, batch_format="pyarrow",
+                              concurrency=concurrency, num_cpus=1,
+                              batch_size=8)
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=8)

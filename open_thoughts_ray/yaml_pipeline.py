@@ -180,20 +180,38 @@ def execute_op(typ: str, cfg: dict, ins: list):
 
             ra = _remote_args(cfg)
             model_ref = _ray.put(artifacts.get_artifact_bytes("langid"))
-            from .ops.bcast import fixed_pool
+            text_column = cfg.get("input_column", "text")
+            if ra.get("concurrency") is not None or ra.get("num_gpus"):
+                # explicit pool config (e.g. GPU stage) → actor pool
+                scored = ins[0].map_batches(
+                    LangIdScorer, batch_format="pyarrow",
+                    batch_size=ra.get("batch_size", 500),
+                    concurrency=ra.get("concurrency", 2),
+                    num_cpus=ra.get("num_cpus", 1),
+                    num_gpus=ra.get("num_gpus", 0),
+                    fn_constructor_kwargs={
+                        "model_ref": model_ref,
+                        "text_column": text_column,
+                    },
+                )
+            else:
+                # default: plain tasks + per-worker model cache — fills
+                # every core with no pool sizing, and composes: two
+                # chained FIXED pools over-reserve a small cluster and
+                # deadlock the streaming executor (tests/test_align.py
+                # found this with gate→align; same for fasttext→embed)
+                from .ops.bcast import cached_build
 
-            scored = ins[0].map_batches(
-                LangIdScorer, batch_format="pyarrow",
-                batch_size=ra.get("batch_size", 500),
-                # model stage → FIXED pool: (1, max) never grows past 1
-                concurrency=ra.get("concurrency",
-                                   fixed_pool(8, num_cpus=1)),
-                num_cpus=ra.get("num_cpus", 1),
-                fn_constructor_kwargs={
-                    "model_ref": model_ref,
-                    "text_column": cfg.get("input_column", "text"),
-                },
-            )
+                def _score(batch, *, _ref=model_ref, _col=text_column):
+                    scorer = cached_build(
+                        _ref,
+                        lambda b: LangIdScorer(model_bytes=b, text_column=_col),
+                        tag=f"langid:{_col}")
+                    return scorer(batch)
+
+                scored = ins[0].map_batches(
+                    _score, batch_format="pyarrow",
+                    batch_size=ra.get("batch_size", 500))
             target = cfg.get("target_label")
             if cfg.get("just_add_scores") or target is None:
                 out = scored
@@ -243,7 +261,7 @@ def execute_op(typ: str, cfg: dict, ins: list):
             ra = _remote_args(cfg)
             out = embed_dataset(
                 ins[0], text_column=cfg.get("input_column", "text"),
-                concurrency=ra.get("concurrency"),  # None → fixed_pool
+                concurrency=ra.get("concurrency"),  # None → task layout
                 batch_size=ra.get("batch_size", 1024))
         elif typ == "similarity_filtering":
             # reference similarity_filtering_operator.py:93-114
