@@ -529,6 +529,28 @@ def execute_op(typ: str, cfg: dict, ins: list):
                 cfg["tokens_column"], budget=int(cfg["budget"]),
                 id_col=cfg["id_column"],
                 ascending=bool(cfg.get("ascending", False)))
+        elif typ == "image_geometry_gate":
+            import functools
+
+            from .ops.multimodal import geometry_gate_batch
+
+            kw = {k: cfg[k] for k in
+                  ("min_side", "min_pixels", "max_aspect", "mode")
+                  if k in cfg}
+            # metadata-only (w/h columns) — payload bytes never read
+            out = ins[0].map_batches(
+                functools.partial(geometry_gate_batch, **kw),
+                batch_format="pyarrow")
+        elif typ == "near_dup_images":
+            from .ops.dedup import near_dup_keep_best
+
+            out = near_dup_keep_best(
+                ins[0], id_col=cfg.get("id_column", "image_id"),
+                phash_col=cfg.get("phash_column", "phash"),
+                quality_col=cfg.get("quality_column", "quality"),
+                bands=int(cfg.get("bands", 2)),
+                hamming_max=int(cfg.get("hamming_max", 3)),
+                num_partitions=int(cfg.get("num_partitions", 64)))
         elif typ == "image_quality_gate":
             from .ops.multimodal import ImageQualityGate
 

@@ -114,3 +114,56 @@ def test_yaml_image_ops(ray_session, tmp_path):
     # min_score=0.99 keeps exactly the matched (even) rows
     assert set(out.image_id) == {f"img{i:03d}" for i in range(0, 12, 2)}
     assert "sharpness" in out.columns
+
+
+def test_example_image_curation_yaml(ray_session, tmp_path):
+    """examples/image_curation.yaml: geometry gate → pixel quality →
+    alignment filter → phash near-dup keep-sharpest, end to end."""
+    import pyarrow.parquet as pq
+    import yaml
+
+    from open_thoughts_ray.io.codecs import average_phash, decode
+    from open_thoughts_ray.yaml_pipeline import run_pipeline
+
+    tbl = _images_table()  # 12 rows: even matched, odd mismatched
+    # plant an exact duplicate of img000 with a matched caption; the
+    # near-dup stage must collapse the pair to one survivor
+    px0 = decode(tbl.column("bytes")[0].as_py(),
+                 tbl.column("w")[0].as_py(), tbl.column("h")[0].as_py(),
+                 "raw")
+    import numpy as np
+
+    from open_thoughts_ray.io import codecs
+    from open_thoughts_ray.ops.align import _visual_tokens
+
+    dup_px = px0  # exact pixel copy → identical phash, tied sharpness
+    extra = pa.table({
+        "image_id": pa.array(["img_dup"], pa.string()),
+        "bytes": pa.array([codecs.encode(dup_px, "raw")], pa.binary()),
+        "w": pa.array([px0.shape[1]], pa.int32()),
+        "h": pa.array([px0.shape[0]], pa.int32()),
+        "fmt": pa.array(["raw"], pa.string()),
+        "caption": pa.array([_visual_tokens(dup_px)], pa.string()),
+    })
+    tbl = pa.concat_tables([tbl, extra])
+    from open_thoughts_ray.common.hashing import uint64_to_int64
+
+    phash = pa.array(
+        [uint64_to_int64(average_phash(decode(tbl.column("bytes")[i].as_py(),
+                              tbl.column("w")[i].as_py(),
+                              tbl.column("h")[i].as_py(), "raw")))
+         for i in range(tbl.num_rows)], pa.int64())
+    tbl = tbl.append_column("phash", phash)
+    src = tmp_path / "imgs.parquet"
+    pq.write_table(tbl, src)
+    doc = yaml.safe_load(
+        open("examples/image_curation.yaml").read().replace(
+            "{input_path}", str(src)))
+    out = run_pipeline(doc).to_pandas()
+    ids = set(out.image_id)
+    # odd (mismatched-caption) rows filtered by alignment
+    assert not any(f"img{i:03d}" in ids for i in range(1, 12, 2))
+    # exact-copy pair (img000, img_dup) collapsed to ONE survivor
+    assert len({"img000", "img_dup"} & ids) == 1
+    # matched non-dup evens survive
+    assert {f"img{i:03d}" for i in range(2, 12, 2)} <= ids
