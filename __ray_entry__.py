@@ -1447,6 +1447,16 @@ def _q_token_budget(sf_dir: str):
     return out.select_columns(["doc_id", "source", "n_tokens"])
 
 
+def _q_kcenter_select(sf_dir: str):
+    """Greedy k-center diversity selection (rows-only: the iterative
+    farthest-point greedy is not SQL-expressible; serial parity is
+    asserted in tests/test_diversity.py)."""
+    from open_thoughts_ray.ops.diversity import kcenter_select_dataset
+
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kcenter_select_dataset(ds, k=20).select_columns(["vec_id"])
+
+
 def _q_image_caption_alignment(sf_dir: str):
     """Image–caption alignment (CLIP-score analogue, ops/align.py):
     deterministic two-tower stand-in in a shared hashed-token space.
@@ -1621,6 +1631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile_events_by_type": _q_ntile_events,
         "max_gap_events": _q_max_gap_events,
         "image_caption_alignment": _q_image_caption_alignment,
+        "kcenter_select_embeddings": _q_kcenter_select,
     }
 
 
