@@ -1447,6 +1447,23 @@ def _q_token_budget(sf_dir: str):
     return out.select_columns(["doc_id", "source", "n_tokens"])
 
 
+def _q_distill_quality(sf_dir: str):
+    """FineWeb-Edu-style teacher→classifier distillation (distill.py):
+    keyword-rubric teacher scores a 20% seeded sample, distilled
+    hashed-n-gram classifier scores the full corpus.  Rows-only (the
+    count-based classifier's softmax isn't SQL); rule-reproduction
+    accuracy ≥95% is asserted in tests/test_distill.py."""
+    from open_thoughts_ray.distill import distill_quality_classifier, \
+        score_with_classifier
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    model = distill_quality_classifier(
+        ds, sample_frac=0.2, backend="keyword_rubric",
+        backend_kwargs={"keyword": "the"}, score_threshold=50.0)
+    out = score_with_classifier(ds, model)
+    return out.select_columns(["doc_id", "quality_score"])
+
+
 def _q_kcenter_select(sf_dir: str):
     """Greedy k-center diversity selection (rows-only: the iterative
     farthest-point greedy is not SQL-expressible; serial parity is
@@ -1632,6 +1649,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_gap_events": _q_max_gap_events,
         "image_caption_alignment": _q_image_caption_alignment,
         "kcenter_select_embeddings": _q_kcenter_select,
+        "distill_quality_documents": _q_distill_quality,
     }
 
 

@@ -229,14 +229,45 @@ class MockLLMBackend:
         raise ValueError(f"unknown response_format {response_format!r}")
 
 
-BACKENDS = {"mock": MockLLMBackend}
+class KeywordRubricBackend:
+    """Deterministic teacher stand-in with a REAL signal: scorer
+    prompts containing ``keyword`` get ``hi``, others ``lo`` — the
+    planted rubric the distillation loop (distill.py) is tested
+    against (a real backend swap changes nothing downstream)."""
+
+    def __init__(self, keyword: str = "photosynthesis",
+                 hi: float = 90.0, lo: float = 10.0):
+        self.keyword = keyword
+        self.hi = float(hi)
+        self.lo = float(lo)
+
+    def complete(self, messages, response_format):
+        text = canonical_prompt(messages)
+        score = self.hi if self.keyword in text else self.lo
+        if response_format == "score":
+            return {"response": score, "reasoning": "keyword-rubric"}
+        if response_format == "bool":
+            return {"response": score >= 50.0,
+                    "reasoning": "keyword-rubric"}
+        return str(score)
+
+
+BACKENDS = {"mock": MockLLMBackend,
+            "keyword_rubric": KeywordRubricBackend}
 
 
 def register_backend(name: str, factory) -> None:
     BACKENDS[name] = factory
 
 
-def build_backend(name: str, **kwargs):
+def build_backend(name, **kwargs):
+    """``name`` is a registered backend name OR a picklable factory
+    callable.  The callable form is the multi-node-safe way to inject a
+    custom backend: the registry dict is a driver-side module global, so
+    a ``register_backend`` call made after import is invisible to worker
+    processes — a factory shipped inside the task closure is not."""
+    if callable(name):
+        return name(**kwargs)
     if name not in BACKENDS:
         raise KeyError(f"unknown backend '{name}'; registered: {sorted(BACKENDS)}")
     return BACKENDS[name](**kwargs)

@@ -529,6 +529,19 @@ def execute_op(typ: str, cfg: dict, ins: list):
                 cfg["tokens_column"], budget=int(cfg["budget"]),
                 id_col=cfg["id_column"],
                 ascending=bool(cfg.get("ascending", False)))
+        elif typ == "distill_quality_filter":
+            from .distill import distilled_quality_filter
+
+            out, _model = distilled_quality_filter(
+                ins[0],
+                keep_threshold=float(cfg.get("keep_threshold", 0.5)),
+                text_col=cfg.get("input_column", "text"),
+                id_col=cfg.get("id_column", "doc_id"),
+                sample_frac=float(cfg.get("sample_frac", 0.05)),
+                score_threshold=float(cfg.get("score_threshold", 50.0)),
+                backend=cfg.get("backend", "mock"),
+                backend_kwargs=cfg.get("backend_kwargs"),
+                cache_dir=cfg.get("cache_dir"))
         elif typ == "image_geometry_gate":
             import functools
 
