@@ -54,6 +54,11 @@ QUERY_SUBSET = [
     # key — VERDICT r3 #1)
     "sessionize_events",
     "asof_join_events",
+    # r4 additions: token-budget quota (window-cumsum segment walk) and
+    # the teacher→classifier distillation loop (sample-scored teacher +
+    # full-corpus classifier scoring in plain tasks)
+    "token_budget_select_documents",
+    "distill_quality_documents",
 ]
 
 
