@@ -1447,6 +1447,33 @@ def _q_token_budget(sf_dir: str):
     return out.select_columns(["doc_id", "source", "n_tokens"])
 
 
+_DELTA_SEEN_SOURCES = ("src0", "src1")
+
+
+def _q_delta_neardup(sf_dir: str):
+    """Incremental MinHash near-dup ingest: documents from src0/src1
+    are the already-seen corpus, the rest are the NEW delta; a new doc
+    survives iff it has no verified near-dup edge to any seen doc or
+    earlier new doc.  md5 hasher + earlier semantics → the full rule
+    replays in SQL (the parameterized _minhash_oracle with an
+    id-offset source relation)."""
+    import pyarrow.compute as pc
+
+    from open_thoughts_ray.ops.dedup_text import delta_neardup_ingest
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text", "source"])
+    seen = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("source"),
+                                    pa.array(_DELTA_SEEN_SOURCES))),
+        batch_format="pyarrow")
+    new = ds.map_batches(
+        lambda t: t.filter(pc.invert(
+            pc.is_in(t.column("source"), pa.array(_DELTA_SEEN_SOURCES)))),
+        batch_format="pyarrow")
+    out = delta_neardup_ingest(new, seen, threshold=0.7, hasher="md5")
+    return out.select_columns(["doc_id"])
+
+
 def _q_distill_quality(sf_dir: str):
     """FineWeb-Edu-style teacher→classifier distillation (distill.py):
     keyword-rubric teacher scores a 20% seeded sample, distilled
@@ -1650,6 +1677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_caption_alignment": _q_image_caption_alignment,
         "kcenter_select_embeddings": _q_kcenter_select,
         "distill_quality_documents": _q_distill_quality,
+        "delta_neardup_documents": _q_delta_neardup,
     }
 
 
@@ -2201,7 +2229,9 @@ def _q_resilient_shard_source(sf_dir: str):
 
 
 def _minhash_oracle(k: int = 64, bands: int = 16, shingle_n: int = 3,
-                    threshold: float = 0.7) -> str:
+                    threshold: float = 0.7,
+                    docs_sql: str = "SELECT doc_id, text FROM documents"
+                    ) -> str:
     """DuckDB mirror of _q_minhash_dedup (hasher="md5", earlier
     semantics): recompute every doc's k-wide minhash signature — md5
     3-gram hashes rolled with the _GRAM_C multipliers mod 2^61−1, then
@@ -2222,7 +2252,7 @@ def _minhash_oracle(k: int = 64, bands: int = 16, shingle_n: int = 3,
         WITH fam(j, fa, fb) AS (VALUES {fam_rows}),
         toks AS (
           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-          FROM documents
+          FROM ({docs_sql}) AS _docs_src
         ),
         grams AS (
           SELECT doc_id, len(t) AS ntok,
@@ -2262,7 +2292,7 @@ def _minhash_oracle(k: int = 64, bands: int = 16, shingle_n: int = 3,
           GROUP BY c.a, c.b
           HAVING SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) >= {min_agree}
         )
-        SELECT d.doc_id FROM documents d
+        SELECT d.doc_id FROM ({docs_sql}) AS d
         WHERE NOT EXISTS (SELECT 1 FROM ver v WHERE v.b = d.doc_id)
     """
 
@@ -3685,6 +3715,16 @@ def _oracle_sql_base() -> dict[str, str]:
         "rerank_topk_documents": _rerank_oracle(),
         "retrieval_eval_documents": _retrieval_eval_oracle(),
         "minhash_dedup_documents": _minhash_oracle(),
+        "delta_neardup_documents": f"""
+            WITH surv AS ({_minhash_oracle(docs_sql=(
+                "SELECT CASE WHEN source IN ('src0','src1') THEN doc_id "
+                "ELSE doc_id + (SELECT max(doc_id)+1 FROM documents) END "
+                "AS doc_id, text FROM documents"))})
+            SELECT surv.doc_id - (SELECT max(doc_id)+1 FROM documents)
+                   AS doc_id
+            FROM surv
+            WHERE surv.doc_id >= (SELECT max(doc_id)+1 FROM documents)
+        """,
         "hash_split_documents": """
             SELECT doc_id,
                    CAST(CAST(concat('0x',

@@ -773,3 +773,55 @@ def ngram_jaccard_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     )
     return _drop_later_endpoints(ds, id_col, edges, num_partitions,
                                  max_driver_drops)
+
+
+def delta_neardup_ingest(new_ds, seen_ds, id_col: str = "doc_id",
+                         text_col: str = "text", offset: int | None = None,
+                         **minhash_kw):
+    """Incremental near-dup ingest: drop a NEW document iff it is a
+    verified MinHash near-duplicate of ANY already-seen document or of
+    an earlier new document (first-seen within the delta) — the
+    production shape of crawl ingestion, where yesterday's corpus is
+    fixed and only today's shard needs vetting.  The exact-dedup
+    counterpart is ``dedup.delta_ingest_dedup``.
+
+    Mechanics: seen rows keep their int id; new rows are shifted by
+    ``offset`` (any bound > every seen AND new id) so the existing
+    ``semantics="earlier"`` rule — drop the larger endpoint of every
+    verified edge — makes seen docs always win and new docs resolve
+    first-seen among themselves.  One banded shuffle over the union;
+    nothing seen-corpus-sized ever reaches the driver.  With
+    ``hasher="md5"`` the whole rule replays in SQL (the
+    ``_minhash_oracle`` family)."""
+    import pyarrow.compute as pc
+
+    thin_seen = seen_ds.select_columns([id_col, text_col])
+    thin_new = new_ds.select_columns([id_col, text_col])
+    if offset is None:
+        offset = max(int(thin_seen.max(id_col)),
+                     int(thin_new.max(id_col))) + 1
+    off = int(offset)
+
+    def shift(t: pa.Table) -> pa.Table:
+        i = t.column_names.index(id_col)
+        return t.set_column(i, id_col, pc.add(t.column(id_col),
+                                              pa.scalar(off)))
+
+    combined = thin_seen.union(thin_new.map_batches(
+        shift, batch_format="pyarrow"))
+    kept = minhash_lsh_dedup(combined, id_col=id_col, text_col=text_col,
+                             semantics="earlier", **minhash_kw)
+
+    def back(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(t.column(id_col), pa.scalar(off))
+        t = t.filter(keep)
+        i = t.column_names.index(id_col)
+        return t.set_column(i, id_col, pc.subtract(t.column(id_col),
+                                                   pa.scalar(off)))
+
+    surviving = kept.map_batches(back, batch_format="pyarrow") \
+        .select_columns([id_col]).to_pandas()  # delta-survivor-sized
+    # rejoin full-width new rows by id.  The broadcast id-set is
+    # delta-sized by construction; for deltas too large to broadcast,
+    # route through pairverify.anti_join_ids on the complement instead.
+    return _keep_ids_filter(new_ds, id_col, set(surviving[id_col].tolist()))

@@ -1,0 +1,60 @@
+"""Incremental MinHash near-dup ingest (dedup_text.delta_neardup_ingest)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from open_thoughts_ray.ops.dedup_text import delta_neardup_ingest
+
+
+def _doc(rng, n=30):
+    return " ".join(f"w{int(v)}" for v in rng.integers(0, 500, n))
+
+
+def _perturb(text, rng):
+    toks = text.split()
+    i = int(rng.integers(0, len(toks)))
+    toks[i] = "zz" + toks[i]
+    return " ".join(toks)
+
+
+def test_delta_drops_dups_of_seen_and_within_delta(ray_session):
+    rng = np.random.default_rng(21)
+    seen_texts = [_doc(rng) for _ in range(20)]
+    seen = pa.table({
+        "doc_id": pa.array(range(20), pa.int64()),
+        "text": pa.array(seen_texts, pa.string()),
+    })
+    # new batch: 0-4 fresh, 5-9 near-copies of seen docs, 10 a fresh
+    # doc and 11 its near-copy (within-delta first-seen)
+    fresh = [_doc(rng) for _ in range(5)]
+    copies = [_perturb(seen_texts[i], rng) for i in range(5)]
+    d10 = _doc(rng)
+    new = pa.table({
+        "doc_id": pa.array(range(100, 112), pa.int64()),
+        "text": pa.array(fresh + copies + [d10, _perturb(d10, rng)],
+                         pa.string()),
+    })
+    out = delta_neardup_ingest(
+        rd.from_arrow(new).repartition(4),
+        rd.from_arrow(seen).repartition(4),
+        threshold=0.5).to_pandas()
+    ids = set(out.doc_id)
+    assert ids == {100, 101, 102, 103, 104, 110}
+    # full-width rows come back (schema preserved)
+    assert list(out.columns) == ["doc_id", "text"]
+
+
+def test_delta_no_dups_passthrough(ray_session):
+    rng = np.random.default_rng(5)
+    seen = pa.table({
+        "doc_id": pa.array(range(10), pa.int64()),
+        "text": pa.array([_doc(rng) for _ in range(10)], pa.string()),
+    })
+    new = pa.table({
+        "doc_id": pa.array(range(50, 60), pa.int64()),
+        "text": pa.array([_doc(rng) for _ in range(10)], pa.string()),
+    })
+    out = delta_neardup_ingest(rd.from_arrow(new), rd.from_arrow(seen),
+                               threshold=0.5).to_pandas()
+    assert sorted(out.doc_id) == list(range(50, 60))
