@@ -821,7 +821,9 @@ def delta_neardup_ingest(new_ds, seen_ds, id_col: str = "doc_id",
 
     surviving = kept.map_batches(back, batch_format="pyarrow") \
         .select_columns([id_col]).to_pandas()  # delta-survivor-sized
+    keep_ids = (set(surviving[id_col].tolist())
+                if id_col in surviving.columns else set())
     # rejoin full-width new rows by id.  The broadcast id-set is
     # delta-sized by construction; for deltas too large to broadcast,
     # route through pairverify.anti_join_ids on the complement instead.
-    return _keep_ids_filter(new_ds, id_col, set(surviving[id_col].tolist()))
+    return _keep_ids_filter(new_ds, id_col, keep_ids)

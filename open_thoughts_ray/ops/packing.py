@@ -204,6 +204,8 @@ def token_budget_select(ds, group_col: str, order_col: str,
     from .segment import partitioned_groups
 
     def quota(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty or group_col not in g.columns:
+            return g  # empty shuffle partition (column-less block)
         g = g.sort_values([group_col, order_col, id_col],
                           ascending=[True, ascending, True],
                           kind="mergesort")

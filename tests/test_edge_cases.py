@@ -111,3 +111,71 @@ def test_new_ops_on_empty_inputs(ray_session):
     ev = rd.from_arrow(pa.table({"v": pa.array([], pa.float64())}))
     out, thr = global_quantile_threshold(ev, "v", 0.5)
     assert out.count() == 0
+
+
+def test_r4_ops_on_empty_and_degenerate_inputs(ray_session):
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.dedup_text import delta_neardup_ingest
+    from open_thoughts_ray.ops.packing import token_budget_select
+
+    empty_docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "source": pa.array([], pa.string()),
+        "score": pa.array([], pa.int64()),
+        "tok": pa.array([], pa.int64()),
+    }))
+    assert token_budget_select(empty_docs, "source", "score", "tok",
+                               budget=100, id_col="doc_id").count() == 0
+
+    # budget smaller than every document → empty selection
+    one = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "source": pa.array(["s"], pa.string()),
+        "score": pa.array([5], pa.int64()),
+        "tok": pa.array([50], pa.int64()),
+    }))
+    assert token_budget_select(one, "source", "score", "tok",
+                               budget=10, id_col="doc_id").count() == 0
+
+    # empty delta against a non-empty seen corpus
+    seen = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["a b c", "d e f"], pa.string()),
+    }))
+    empty_new = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+    }))
+    out = delta_neardup_ingest(empty_new, seen, offset=1000)
+    assert out.count() == 0
+
+
+def test_align_empty_and_filter_all(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from open_thoughts_ray.io import codecs
+    from open_thoughts_ray.ops.align import align_filter, align_score
+
+    empty = rd.from_arrow(pa.table({
+        "image_id": pa.array([], pa.string()),
+        "bytes": pa.array([], pa.binary()),
+        "w": pa.array([], pa.int32()),
+        "h": pa.array([], pa.int32()),
+        "fmt": pa.array([], pa.string()),
+        "caption": pa.array([], pa.string()),
+    }))
+    assert align_score(empty).count() == 0
+
+    px = np.zeros((16, 16, 3), np.uint8)
+    one = rd.from_arrow(pa.table({
+        "image_id": pa.array(["a"], pa.string()),
+        "bytes": pa.array([codecs.encode(px, "raw")], pa.binary()),
+        "w": pa.array([16], pa.int32()),
+        "h": pa.array([16], pa.int32()),
+        "fmt": pa.array(["raw"], pa.string()),
+        "caption": pa.array(["totally unrelated caption"], pa.string()),
+    }))
+    # min_score above any possible cosine → everything filtered, no crash
+    assert align_filter(one, min_score=1.5).count() == 0
