@@ -204,8 +204,28 @@ def _q_hash_join(sf_dir: str):
         li = li.repartition(parts)
         orders = orders.repartition(max(2, parts // 4))
     joined = R.hash_join(li, orders, on="l_orderkey", num_partitions=parts)
-    return joined.groupby("o_orderpriority").aggregate(
-        Sum("rev_cents", alias_name="revenue_cents"), Count(alias_name="n_items")
+
+    # pre-aggregate inside each join output block (5 priorities → ≤5
+    # rows per block) so the final groupby shuffles ~5·P rows, not the
+    # full join output — Ray's AggregateMap was the query's hottest
+    # stage (1.1 s/task sorting whole blocks).  Integer sums, so the
+    # two-level combine is exact.
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        g = pa.TableGroupBy(t.select(["o_orderpriority", "rev_cents"]),
+                            "o_orderpriority").aggregate(
+            [("rev_cents", "sum"), ("rev_cents", "count")])
+        return pa.table({
+            "o_orderpriority": g.column("o_orderpriority"),
+            "revenue_cents": g.column("rev_cents_sum"),
+            "n_items": g.column("rev_cents_count").cast(pa.int64()),
+        })
+
+    part = joined.map_batches(partial, batch_format="pyarrow")
+    return part.groupby("o_orderpriority").aggregate(
+        Sum("revenue_cents", alias_name="revenue_cents"),
+        Sum("n_items", alias_name="n_items"),
     )
 
 
