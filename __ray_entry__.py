@@ -1511,6 +1511,22 @@ def _q_distill_quality(sf_dir: str):
     return out.select_columns(["doc_id", "quality_score"])
 
 
+def _q_image_search(sf_dir: str):
+    """Cross-modal retrieval (rows-only): text queries over the image
+    corpus through the shared alignment space; self-retrieval rank-1
+    is asserted in tests/test_align.py."""
+    from open_thoughts_ray.fixtures.images import build_images_table
+    from open_thoughts_ray.io import lance_table
+    from open_thoughts_ray.ops.align import image_search
+
+    table = build_images_table(
+        "/tmp/otr_align_images", n_rows=2000, n_parts=16, seed=42,
+        use_ray=True)
+    ds = lance_table.read_dataset(table)
+    return image_search(ds, {0: "bright contrast", 1: "dark smooth"},
+                        k=10)
+
+
 def _q_kcenter_select(sf_dir: str):
     """Greedy k-center diversity selection (rows-only: the iterative
     farthest-point greedy is not SQL-expressible; serial parity is
@@ -1698,6 +1714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcenter_select_embeddings": _q_kcenter_select,
         "distill_quality_documents": _q_distill_quality,
         "delta_neardup_documents": _q_delta_neardup,
+        "image_search_corpus": _q_image_search,
     }
 
 

@@ -7,7 +7,9 @@ additionally needs the JOINT signal — "does this caption describe this
 image" — the CLIP-score filter of LAION/DataComp (Schuhmann et al.
 2021, Gadre et al. 2023).  This module gives that stage its Ray shape:
 
-* an actor-pool ``map_batches`` stage (encoders built once per actor),
+* plain-task ``map_batches`` stages with a per-worker model cache
+  (fills every core, composes with other model stages — see
+  ops/bcast.py; pass the class + ``concurrency`` for a GPU pool),
 * both modalities embedded into ONE shared space,
 * ``align_score`` = cosine(img_vec, txt_vec) appended per row,
 * payload bytes decoded once inside the task and never re-emitted,
@@ -86,11 +88,12 @@ def _visual_tokens(px: np.ndarray) -> str:
 
 
 class ImageTextAligner:
-    """Actor-pool stage: append ``align_score`` (cosine in the shared
+    """Callable stage: append ``align_score`` (cosine in the shared
     embedding space) per image+caption row; optionally filter.
 
-    ``__init__`` builds the seeded projection once per actor (the
-    'model load'); ``__call__`` is per batch."""
+    ``__init__`` builds the seeded projection once (the 'model load' —
+    per actor in a pool layout, per worker via ``_worker_model`` in the
+    default task layout); ``__call__`` is per batch."""
 
     def __init__(self, dim: int = ALIGN_DIM, seed: int = 1234,
                  caption_col: str = "caption", mode: str = "annotate",
@@ -175,3 +178,70 @@ def align_filter(ds, min_score: float, caption_col: str = "caption",
                              float(min_score))(batch)
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def image_search(ds, queries: dict[int, str], k: int = 5,
+                 id_col: str = "image_id", dim: int = ALIGN_DIM,
+                 seed: int = 1234, batch_size: int = 256):
+    """Cross-modal retrieval: text queries against an image corpus
+    through the shared alignment space (the CLIP-retrieval shape).
+
+    Per batch: decode → visual tokens → image-tower embedding, one
+    (B×d)·(d×Q) matmul against the broadcast query matrix, local top-k
+    partials; a final per-query reduce picks the global top-k (the
+    ann_topk combine).  Returns Dataset[(query_id, image_id, cos,
+    rank)], ties broken by (cos desc, id asc) — deterministic.  Swap
+    the stand-in towers for CLIP and nothing else changes."""
+    import pandas as pd
+    import ray
+
+    from .bcast import cached_get
+
+    model = ImageTextAligner(dim=dim, seed=seed)
+    qids = sorted(queries)
+    q_mat = model._encode_tokens([queries[q] for q in qids])
+    q_ref = ray.put((np.asarray(qids, np.int64), q_mat))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qid_arr, qm = cached_get(q_ref)
+        m = _worker_model(dim, seed, "caption", "annotate", 0.0)
+        bufs = batch.column("bytes").to_pylist()
+        ws = batch.column("w").to_pylist()
+        hs = batch.column("h").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        vis = [
+            _visual_tokens(codecs.decode(buf, w, h, fmt))
+            for buf, w, h, fmt in zip(bufs, ws, hs, fmts)
+        ]
+        emb = m._encode_tokens(vis)
+        sims = emb @ qm.T  # (B, Q)
+        ids = batch.column(id_col).to_pylist()
+        out_q, out_id, out_sim = [], [], []
+        kk = min(k, sims.shape[0])
+        for qi in range(sims.shape[1]):
+            s = sims[:, qi]
+            part = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) \
+                else np.arange(len(s))
+            for j in part:
+                out_q.append(int(qid_arr[qi]))
+                out_id.append(ids[j])
+                out_sim.append(float(s[j]))
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            id_col: pa.array(out_id, batch.schema.field(id_col).type),
+            "cos": pa.array(out_sim, pa.float64()),
+        })
+
+    cand = ds.map_batches(score, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos", id_col], ascending=[False, True],
+                          kind="mergesort").head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", id_col, "cos", "rank"]]
+
+    # Q groups (human-sized query set) → bounded dispatch
+    return cand.groupby("query_id").map_groups(final_topk,
+                                               batch_format="pandas")

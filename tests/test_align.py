@@ -167,3 +167,28 @@ def test_example_image_curation_yaml(ray_session, tmp_path):
     assert len({"img000", "img_dup"} & ids) == 1
     # matched non-dup evens survive
     assert {f"img{i:03d}" for i in range(2, 12, 2)} <= ids
+
+
+def test_image_search_retrieves_own_image(ray_session):
+    """Cross-modal retrieval: querying with an image's visual-token
+    text must rank that image first."""
+    from open_thoughts_ray.io.codecs import decode
+    from open_thoughts_ray.ops.align import _visual_tokens, image_search
+
+    tbl = _images_table(n=10, seed=17)
+    # queries = visual tokens of images 0, 3, 7
+    targets = {0: "img000", 1: "img003", 2: "img007"}
+    queries = {}
+    for qid, iid in targets.items():
+        row = int(iid[3:])
+        px = decode(tbl.column("bytes")[row].as_py(),
+                    tbl.column("w")[row].as_py(),
+                    tbl.column("h")[row].as_py(), "raw")
+        queries[qid] = _visual_tokens(px)
+    out = image_search(rd.from_arrow(tbl).repartition(4), queries, k=3) \
+        .to_pandas()
+    for qid, iid in targets.items():
+        top = out[(out.query_id == qid) & (out["rank"] == 1)]
+        assert list(top.image_id) == [iid]
+        assert float(top.cos.iloc[0]) > 0.99
+    assert (out.groupby("query_id")["rank"].max() == 3).all()
