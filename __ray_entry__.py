@@ -1494,6 +1494,38 @@ def _q_delta_neardup(sf_dir: str):
     return out.select_columns(["doc_id"])
 
 
+def _q_delta_neardup_indexed(sf_dir: str):
+    """Same rule as delta_neardup_documents but through the PERSISTED
+    signature index (ops/minhash_index.py): seen docs' signatures are
+    built once into a parquet index and the delta is vetted against it
+    by signature agreement — the seen corpus text is never re-read.
+    Shares the delta oracle SQL (the two paths are semantically
+    identical, so this doubles as an equivalence check)."""
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from open_thoughts_ray.ops.minhash_index import (
+        build_minhash_index,
+        delta_neardup_vs_index,
+    )
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text", "source"])
+    seen = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("source"),
+                                    pa.array(_DELTA_SEEN_SOURCES))),
+        batch_format="pyarrow")
+    new = ds.map_batches(
+        lambda t: t.filter(pc.invert(
+            pc.is_in(t.column("source"), pa.array(_DELTA_SEEN_SOURCES)))),
+        batch_format="pyarrow")
+    idx = build_minhash_index(seen, tempfile.mkdtemp(prefix="otr_mhidx_"),
+                              hasher="md5")
+    out = delta_neardup_vs_index(new, idx, threshold=0.7,
+                                 update_index=False)
+    return out.select_columns(["doc_id"])
+
+
 def _q_distill_quality(sf_dir: str):
     """FineWeb-Edu-style teacher→classifier distillation (distill.py):
     keyword-rubric teacher scores a 20% seeded sample, distilled
@@ -1715,6 +1747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distill_quality_documents": _q_distill_quality,
         "delta_neardup_documents": _q_delta_neardup,
         "image_search_corpus": _q_image_search,
+        "delta_neardup_indexed_documents": _q_delta_neardup_indexed,
     }
 
 
@@ -3945,6 +3978,16 @@ def _oracle_sql_base() -> dict[str, str]:
                            ROWS UNBOUNDED PRECEDING) AS cum
                 FROM documents)
             WHERE cum <= 2000
+        """,
+        "delta_neardup_indexed_documents": f"""
+            WITH surv AS ({_minhash_oracle(docs_sql=(
+                "SELECT CASE WHEN source IN ('src0','src1') THEN doc_id "
+                "ELSE doc_id + (SELECT max(doc_id)+1 FROM documents) END "
+                "AS doc_id, text FROM documents"))})
+            SELECT surv.doc_id - (SELECT max(doc_id)+1 FROM documents)
+                   AS doc_id
+            FROM surv
+            WHERE surv.doc_id >= (SELECT max(doc_id)+1 FROM documents)
         """,
         "dsir_select_documents": """
             WITH toks AS (

@@ -69,61 +69,143 @@ def verify_pairs_distributed(pairs, ds, id_col: str, text_col: str,
     """pairs: Dataset[a:string, b:string] (candidate pairs, may contain
     duplicates across bands/partitions — deduped here); ds: the source
     table.  ``kernel(texts_a, texts_b) -> np.ndarray[bool]`` runs per
-    batch on the workers (``with_ids=True`` → the kernel is called as
-    ``kernel(ids_a, ids_b, texts_a, texts_b)`` for asymmetric rules
+    partition on the workers (``with_ids=True`` → the kernel is called
+    as ``kernel(ids_a, ids_b, texts_a, texts_b)`` for asymmetric rules
     that need an id tie-break, e.g. containment keep-first).
     Returns the verified edge Dataset[a, b].
 
-    Cost: two hash joins sized by #candidates (the pair set), one
-    kernel map — no driver-side pair or text collection.
+    Cost: two candidate-sized partition-merge shuffles + one kernel
+    pass — no driver-side pair or text collection, and NO Arrow
+    Dataset.join: Ray's join aggregator builds a ZERO-FIELD table for
+    any hash partition that received no rows on one side, and Arrow's
+    join then fails with "No match for FieldRef" whenever the other
+    side of that partition is non-empty.  Corpus-sized inputs populate
+    every partition by volume; candidate sets are sparse, so the join
+    path crashes exactly when candidates are few.  The partition-merge
+    (hash(key) % P route + in-partition pandas merge) degrades to an
+    empty output instead — and removes the two-JoinOperator
+    deadlock/materialize workaround the join path needed.
     """
-    # dedupe (a, b) — the same pair arrives once per detecting band.
-    # Each join MATERIALIZES before the next: two JoinOperators in one
-    # streaming graph deadlock on hash-shuffle aggregator reservations
-    # at small CPU counts (reproduced at num_cpus=8), and the
-    # intermediates here are pair-sized (O(#candidates)), so the
-    # materialization is bounded, never table-sized.
     import ray.data as rd
 
-    # trailing repartition + retype guard: the hash aggregator emits
-    # schema-LESS blocks for partitions that received no rows, and a
-    # zero-field block poisons the join ("No match for FieldRef" /
-    # ArrowInvalid in the join's Concat); repartition rebuilds blocks as
-    # typed slices and retype_empty deterministically fixes any slot
-    # assembled only from empties
+    # dedupe (a, b) — the same pair arrives once per detecting band.
+    # retype guard: the hash aggregator emits schema-LESS blocks for
+    # empty partitions.
     pairs = pairs.groupby(["a", "b"]).count().select_columns(["a", "b"]) \
         .repartition(num_partitions).map_batches(
             retype_empty({"a": pa.string(), "b": pa.string()}),
             batch_format="pyarrow").materialize()
+    empty_edges = pa.table({"a": pa.array([], pa.string()),
+                            "b": pa.array([], pa.string())})
     if pairs.count() == 0:
-        # Ray's hash aggregator emits schema-LESS blocks for an empty
-        # groupby, and a zero-field block poisons the join ("No match
-        # for FieldRef") — return a typed empty edge set instead
-        return rd.from_arrow(pa.table({"a": pa.array([], pa.string()),
-                                       "b": pa.array([], pa.string())}))
-    ta = _string_keyed(ds, id_col, text_col, "a")
-    tb = _string_keyed(ds, id_col, text_col, "b")
-    joined = pairs.join(ta, join_type="inner", on=("a",),
-                        num_partitions=num_partitions).materialize()
-    joined = joined.join(tb, join_type="inner", on=("b",),
-                         num_partitions=num_partitions)
+        return rd.from_arrow(empty_edges)
 
-    def verify(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"a": pa.array([], pa.string()),
-                             "b": pa.array([], pa.string())})
+    try:
+        payload_type = ds.schema().base_schema.field(text_col).type
+    except AttributeError:
+        # pandas-lineage datasets expose PandasBlockSchema (no Arrow
+        # fields); their object/text columns arrive as Arrow strings
+        payload_type = pa.string()
+
+    def _part(vals):
+        import zlib
+
+        return pa.array([zlib.crc32(str(v).encode()) % num_partitions
+                         for v in vals], pa.int64())
+
+    # shuffle 1: route pair ENDPOINTS and source payloads by id
+    def endpoint_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.table({"key": pa.array([], pa.string()),
+                             "pa_": pa.array([], pa.string()),
+                             "pb_": pa.array([], pa.string()),
+                             "side": pa.array([], pa.int8()),
+                             "payload": pa.array([], payload_type),
+                             "part": pa.array([], pa.int64())})
+        a = t.column("a").to_pylist()
+        b = t.column("b").to_pylist()
+        key = a + b
+        return pa.table({
+            "key": pa.array(key, pa.string()),
+            "pa_": pa.array(a + a, pa.string()),
+            "pb_": pa.array(b + b, pa.string()),
+            "side": pa.array([0] * len(a) + [1] * len(b), pa.int8()),
+            "payload": pa.nulls(2 * len(a), payload_type),
+            "part": _part(key),
+        })
+
+    def source_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col)
+        if ids.type != pa.string():
+            ids = ids.cast(pa.string())
+        key = ids.to_pylist()
+        payload = t.column(text_col)
+        if payload.type != payload_type:
+            payload = payload.cast(payload_type)
+        return pa.table({
+            "key": pa.array(key, pa.string()),
+            "pa_": pa.nulls(len(key), pa.string()),
+            "pb_": pa.nulls(len(key), pa.string()),
+            "side": pa.array([2] * len(key), pa.int8()),
+            "payload": payload,
+            "part": _part(key),
+        })
+
+    routed = pairs.map_batches(endpoint_rows, batch_format="pyarrow").union(
+        ds.select_columns([id_col, text_col]).map_batches(
+            source_rows, batch_format="pyarrow"))
+
+    def attach_payload(df):
+        import zlib
+
+        src = df[df["side"] == 2]
+        ep = df[df["side"] != 2]
+        pay = dict(zip(src["key"], src["payload"]))
+        got = ep[ep["key"].isin(pay.keys())].copy()  # inner semantics
+        out = got[["pa_", "pb_", "side"]].copy()
+        out["payload"] = got["key"].map(pay)
+        # re-key by the PAIR for shuffle 2
+        out["part"] = np.asarray(
+            [zlib.crc32(str(v).encode()) % num_partitions
+             for v in got["pa_"]], dtype=np.int64)
+        return out
+
+    halves = routed.groupby("part", num_partitions=num_partitions) \
+        .map_groups(lambda g: attach_payload(g.drop(columns=["part"])
+                                             if "part" in g.columns else g),
+                    batch_format="pandas")
+
+    # shuffle 2: reunite the two endpoint rows of each pair, run kernel
+    def finish(df):
+        import pandas as pd
+
+        out_empty = pd.DataFrame({"a": pd.Series([], dtype=object),
+                                  "b": pd.Series([], dtype=object)})
+        if df.empty or "side" not in df.columns:
+            return out_empty
+        da = df[df["side"] == 0][["pa_", "pb_", "payload"]].rename(
+            columns={"payload": "__ta"})
+        db = df[df["side"] == 1][["pa_", "pb_", "payload"]].rename(
+            columns={"payload": "__tb"})
+        j = da.merge(db, on=["pa_", "pb_"])
+        if j.empty:
+            return out_empty
         if with_ids:
-            mask = kernel(t.column("a").to_pylist(),
-                          t.column("b").to_pylist(),
-                          t.column("__text_a").to_pylist(),
-                          t.column("__text_b").to_pylist())
+            mask = kernel(j["pa_"].tolist(), j["pb_"].tolist(),
+                          j["__ta"].tolist(), j["__tb"].tolist())
         else:
-            mask = kernel(t.column("__text_a").to_pylist(),
-                          t.column("__text_b").to_pylist())
-        kept = t.filter(pa.array(np.asarray(mask, dtype=bool)))
-        return pa.table({"a": kept.column("a"), "b": kept.column("b")})
+            mask = kernel(j["__ta"].tolist(), j["__tb"].tolist())
+        kept = j[np.asarray(mask, dtype=bool)]
+        return pd.DataFrame({"a": kept["pa_"].to_numpy(),
+                             "b": kept["pb_"].to_numpy()})
 
-    return joined.map_batches(verify, batch_format="pyarrow")
+    edges = halves.groupby("part", num_partitions=num_partitions) \
+        .map_groups(lambda g: finish(g.drop(columns=["part"])
+                                     if "part" in g.columns else g),
+                    batch_format="pandas")
+    return edges.map_batches(
+        retype_empty({"a": pa.string(), "b": pa.string()}),
+        batch_format="pyarrow")
 
 
 def anti_join_ids(ds, id_col: str, drop_ids, num_partitions: int = 32):

@@ -1,0 +1,79 @@
+"""Persisted MinHash signature index (ops/minhash_index.py)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from open_thoughts_ray.ops.dedup_text import delta_neardup_ingest
+from open_thoughts_ray.ops.minhash_index import (
+    build_minhash_index,
+    delta_neardup_vs_index,
+)
+
+
+def _doc(rng, n=30):
+    return " ".join(f"w{int(v)}" for v in rng.integers(0, 500, n))
+
+
+def _perturb(text, rng):
+    toks = text.split()
+    i = int(rng.integers(0, len(toks)))
+    toks[i] = "zz" + toks[i]
+    return " ".join(toks)
+
+
+def _tables(seed=31):
+    rng = np.random.default_rng(seed)
+    seen_texts = [_doc(rng) for _ in range(20)]
+    seen = pa.table({
+        "doc_id": pa.array(range(20), pa.int64()),
+        "text": pa.array(seen_texts, pa.string()),
+    })
+    fresh = [_doc(rng) for _ in range(5)]
+    copies = [_perturb(seen_texts[i], rng) for i in range(5)]
+    d10 = _doc(rng)
+    new = pa.table({
+        "doc_id": pa.array(range(100, 112), pa.int64()),
+        "text": pa.array(fresh + copies + [d10, _perturb(d10, rng)],
+                         pa.string()),
+    })
+    return seen, new
+
+
+def test_index_path_matches_recompute_path(ray_session, tmp_path):
+    seen, new = _tables()
+    idx = build_minhash_index(rd.from_arrow(seen).repartition(4),
+                              str(tmp_path / "idx"))
+    got = delta_neardup_vs_index(
+        rd.from_arrow(new).repartition(4), idx, threshold=0.5,
+        update_index=False).to_pandas()
+    want = delta_neardup_ingest(
+        rd.from_arrow(new).repartition(4),
+        rd.from_arrow(seen).repartition(4), threshold=0.5).to_pandas()
+    assert sorted(got.doc_id) == sorted(want.doc_id)
+    assert sorted(got.doc_id) == [100, 101, 102, 103, 104, 110]
+
+
+def test_index_update_sees_prior_shard(ray_session, tmp_path):
+    rng = np.random.default_rng(41)
+    seen = pa.table({
+        "doc_id": pa.array(range(10), pa.int64()),
+        "text": pa.array([_doc(rng) for _ in range(10)], pa.string()),
+    })
+    idx = build_minhash_index(rd.from_arrow(seen), str(tmp_path / "idx"))
+    d = _doc(rng)
+    shard1 = pa.table({
+        "doc_id": pa.array([200], pa.int64()),
+        "text": pa.array([d], pa.string()),
+    })
+    out1 = delta_neardup_vs_index(rd.from_arrow(shard1), idx,
+                                  threshold=0.5).to_pandas()
+    assert list(out1.doc_id) == [200]
+    # shard 2 contains a near-copy of shard 1's survivor → must drop
+    shard2 = pa.table({
+        "doc_id": pa.array([300, 301], pa.int64()),
+        "text": pa.array([_perturb(d, rng), _doc(rng)], pa.string()),
+    })
+    out2 = delta_neardup_vs_index(rd.from_arrow(shard2), idx,
+                                  threshold=0.5).to_pandas()
+    assert list(out2.doc_id) == [301]
