@@ -79,6 +79,43 @@ def _cmd_yaml(args) -> dict:
     return out
 
 
+def _cmd_build_index(args) -> dict:
+    from .ops.minhash_index import build_minhash_index
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(args.table, columns=[args.id_column,
+                                              args.text_column])
+    out = build_minhash_index(ds, args.out, id_col=args.id_column,
+                              text_col=args.text_column, k=args.k,
+                              shingle_n=args.shingle_n,
+                              hasher=args.hasher)
+    return {"index_dir": out}
+
+
+def _cmd_ingest(args) -> dict:
+    from .ops.minhash_index import delta_neardup_vs_index
+
+    import ray.data as rd
+
+    new_ds = rd.read_parquet(args.delta)
+    kept = delta_neardup_vs_index(
+        new_ds, args.index, id_col=args.id_column,
+        text_col=args.text_column, bands=args.bands,
+        threshold=args.threshold,
+        update_index=not args.no_index_update)
+    out: dict = {}
+    if args.out:
+        kept.write_parquet(args.out)
+        out["out"] = args.out
+        import ray.data as _rd
+
+        out["rows_kept"] = _rd.read_parquet(args.out).count()
+    else:
+        out["rows_kept"] = kept.count()
+    return out
+
+
 def _cmd_runs(args) -> dict:
     from .registry import RunRegistry
 
@@ -116,6 +153,33 @@ def main(argv: list[str] | None = None) -> dict:
                    help="run-metadata registry dir (records per-operator "
                         "fingerprint/rows/wall time; see the runs command)")
     y.set_defaults(fn=_cmd_yaml)
+
+    bi = sub.add_parser("build-index",
+                        help="persist the MinHash signature index for a "
+                             "corpus (incremental near-dup ingest)")
+    bi.add_argument("--table", required=True, help="corpus parquet path/dir")
+    bi.add_argument("--out", required=True, help="index output dir")
+    bi.add_argument("--id-column", default="doc_id")
+    bi.add_argument("--text-column", default="text")
+    bi.add_argument("--k", type=int, default=64)
+    bi.add_argument("--shingle-n", type=int, default=3)
+    bi.add_argument("--hasher", default="crc", choices=["crc", "md5"])
+    bi.set_defaults(fn=_cmd_build_index)
+
+    ig = sub.add_parser("ingest",
+                        help="vet a new parquet shard against a MinHash "
+                             "index; keep non-duplicates, append their "
+                             "signatures")
+    ig.add_argument("--delta", required=True, help="new shard parquet")
+    ig.add_argument("--index", required=True, help="index dir (build-index)")
+    ig.add_argument("--out", default=None, help="write survivors here")
+    ig.add_argument("--id-column", default="doc_id")
+    ig.add_argument("--text-column", default="text")
+    ig.add_argument("--bands", type=int, default=16)
+    ig.add_argument("--threshold", type=float, default=0.7)
+    ig.add_argument("--no-index-update", action="store_true",
+                    help="vet only; do not append survivors' signatures")
+    ig.set_defaults(fn=_cmd_ingest)
 
     r = sub.add_parser("runs", help="list recorded runs (per-operator "
                                     "fingerprint, cache status, rows, wall s)")

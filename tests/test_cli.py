@@ -45,3 +45,41 @@ def test_cli_flagship_smoke(ray_session, images_table, tmp_path, capsys):
     assert result["rows"] == 10000
     assert result["kept"] > 0
     assert os.path.isdir(result["decisions_dir"])
+
+
+def test_cli_build_index_and_ingest(ray_session, tmp_path):
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from open_thoughts_ray.__main__ import main
+
+    rng = np.random.default_rng(55)
+
+    def doc(n=30):
+        return " ".join(f"w{int(v)}" for v in rng.integers(0, 500, n))
+
+    seen_texts = [doc() for _ in range(10)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(10), pa.int64()),
+        "text": pa.array(seen_texts, pa.string()),
+    }), tmp_path / "corpus.parquet")
+    toks = seen_texts[0].split()
+    toks[0] = "zz" + toks[0]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([100, 101], pa.int64()),
+        "text": pa.array([" ".join(toks), doc()], pa.string()),
+    }), tmp_path / "delta.parquet")
+
+    r1 = main(["build-index", "--table", str(tmp_path / "corpus.parquet"),
+               "--out", str(tmp_path / "idx")])
+    assert (tmp_path / "idx" / "index_meta.json").exists()
+    r2 = main(["ingest", "--delta", str(tmp_path / "delta.parquet"),
+               "--index", str(tmp_path / "idx"),
+               "--out", str(tmp_path / "kept"),
+               "--threshold", "0.5"])
+    assert r2["rows_kept"] == 1
+    kept = pq.read_table(str(tmp_path / "kept")).to_pandas()
+    assert list(kept.doc_id) == [101]
