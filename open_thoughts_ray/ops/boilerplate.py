@@ -221,12 +221,17 @@ def remove_boilerplate_lines(ds, id_col: str = "doc_id",
         fn_kwargs=dict(id_col=id_col, text_col=text_col,
                        line_tokens=line_tokens),
     )
+    def _keep_unmarked(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:  # starved join partition (zero-field)
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "line_no": pa.array([], pa.int64()),
+                             "line": pa.array([], pa.string()),
+                             "lh": pa.array([], pa.int64())})
+        return t.filter(pc.is_null(t.column("__freq")))             .drop_columns(["__freq"])
+
     kept = rows.join(marker, join_type="left_outer", on=("lh",),
                      num_partitions=num_partitions).map_batches(
-        lambda t: t.filter(pc.is_null(t.column("__freq")))
-        .drop_columns(["__freq"]),
-        batch_format="pyarrow",
-    )
+        _keep_unmarked, batch_format="pyarrow")
     joiner = _joiner(line_tokens)
 
     def add_doc_part(t: pa.Table) -> pa.Table:
@@ -262,7 +267,11 @@ def remove_boilerplate_lines(ds, id_col: str = "doc_id",
     joined = spine.join(rebuilt, join_type="left_outer", on=(id_col,),
                         num_partitions=num_partitions)
     return joined.map_batches(
-        lambda t: pa.table({id_col: t.column(id_col),
-                            out_col: pc.fill_null(t.column(out_col), "")}),
+        lambda t: (pa.table({id_col: pa.array([], _id_type),
+                             out_col: pa.array([], pa.string())})
+                   if t.num_columns == 0
+                   else pa.table({id_col: t.column(id_col),
+                                  out_col: pc.fill_null(t.column(out_col),
+                                                        "")})),
         batch_format="pyarrow",
     )

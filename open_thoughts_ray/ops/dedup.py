@@ -318,7 +318,12 @@ def label_propagation(nodes, edges, max_iters: int = 20,
         cand = sym.join(
             nbr_labels, join_type="inner", on=("nbr",),
             num_partitions=num_partitions,
-        ).select_columns(["id", "cand"])
+        ).map_batches(
+            lambda t: (pa.table({"id": pa.array([], pa.string()),
+                                 "cand": pa.array([], pa.string())})
+                       if t.num_columns == 0  # starved join partition
+                       else t.select(["id", "cand"])),
+            batch_format="pyarrow")
         self_cand = labels.map_batches(
             lambda t: pa.table({"id": t.column("id"), "cand": t.column("label")}),
             batch_format="pyarrow",
@@ -351,11 +356,13 @@ def label_propagation(nodes, edges, max_iters: int = 20,
                 labels.join(lbl_of, join_type="left_outer", on=("label",),
                             num_partitions=num_partitions)
                 .map_batches(
-                    lambda t: pa.table({
-                        "id": t.column("id"),
-                        "label": pc.coalesce(t.column("label2"),
-                                             t.column("label")),
-                    }),
+                    lambda t: (_typed_empty if t.num_columns == 0
+                               else pa.table({
+                                   "id": t.column("id"),
+                                   "label": pc.coalesce(
+                                       t.column("label2"),
+                                       t.column("label")),
+                               })),
                     batch_format="pyarrow",
                 )
                 .repartition(num_partitions)
@@ -554,6 +561,8 @@ def near_dup_keep_best(ds, id_col: str = "image_id",
                          num_partitions=num_partitions).materialize()
 
     def emit_losers(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty or "label" not in g.columns:
+            return pd.DataFrame({"id": pd.Series([], dtype=object)})
         # PARTITION-level: one dispatch per partition, not per
         # component — sort (label, q desc, id) once, winners are the
         # first row of each label segment, everything else drops
@@ -563,14 +572,19 @@ def near_dup_keep_best(ds, id_col: str = "image_id",
         first = np.concatenate([[True], lbl[1:] != lbl[:-1]])
         return pd.DataFrame({"id": g["id"].to_numpy(dtype=object)[~first]})
 
-    keyed_part = joined.map_batches(
-        lambda t: t.append_column(
+    def _key_by_label(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:  # starved join partition (zero-field)
+            return pa.table({"id": pa.array([], pa.string()),
+                             "label": pa.array([], pa.string()),
+                             "q": pa.array([], pa.float64()),
+                             "_part": pa.array([], pa.int64())})
+        return t.append_column(
             "_part", pa.array(np.asarray(
                 [zlib.crc32(str(v).encode()) % num_partitions
                  for v in t.column("label").to_pylist()], np.int64),
-                pa.int64())),
-        batch_format="pyarrow",
-    )
+                pa.int64()))
+
+    keyed_part = joined.map_batches(_key_by_label, batch_format="pyarrow")
     drop_ds = keyed_part.groupby("_part").map_groups(emit_losers,
                                                      batch_format="pandas")
     return anti_join_ids(ds, id_col, drop_ds, num_partitions)
@@ -735,6 +749,10 @@ def snapshot_diff(old_ds, new_ds, id_col: str = "doc_id",
                          num_partitions=num_partitions)
 
     def classify(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:  # starved full_outer join partition
+            z = pa.array([0], pa.int64())
+            return pa.table({"n_added": z, "n_removed": z,
+                             "n_changed": z, "n_unchanged": z})
         o = t.column("fp_old")
         n = t.column("fp_new")
         o_null = pc.is_null(o)

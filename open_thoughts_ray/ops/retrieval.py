@@ -282,6 +282,10 @@ def tfidf_top_terms(ds, id_col: str = "doc_id", text_col: str = "text",
                        on=("term",), num_partitions=num_partitions)
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty or "tf" not in g.columns:
+            return pd.DataFrame({id_col: pd.Series([], dtype=object),
+                                 "term": pd.Series([], dtype=object),
+                                 "score": pd.Series([], dtype=float)})
         # PARTITION-level (one dispatch per partition, not per doc):
         # sort by (doc, score desc, term) once, then grouped head-k.
         # math.log (libm), not np.log (SIMD): DuckDB's ln() is libm, and
@@ -303,10 +307,16 @@ def tfidf_top_terms(ds, id_col: str = "doc_id", text_col: str = "text",
 
     # int-or-crc32 partition key (ADVICE r3: a plain `% P` threw on
     # string doc ids, surfacing only when vocab > max_driver_vocab)
-    keyed = joined.map_batches(
-        lambda t: add_part(t, id_col, num_partitions),
-        batch_format="pyarrow",
-    )
+    def _key_by_doc(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:  # starved join partition (zero-field)
+            return pa.table({id_col: pa.array([], pa.string()),
+                             "term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64()),
+                             "df": pa.array([], pa.int64()),
+                             "_part": pa.array([], pa.int64())})
+        return add_part(t, id_col, num_partitions)
+
+    keyed = joined.map_batches(_key_by_doc, batch_format="pyarrow")
     return keyed.groupby("_part").map_groups(topk, batch_format="pandas")
 
 
@@ -576,6 +586,10 @@ def ctfidf_top_terms_per_class(ds, class_col: str = "source",
                      num_partitions=num_partitions)
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty or "tf" not in g.columns:
+            return pd.DataFrame({class_col: pd.Series([], dtype=object),
+                                 "term": pd.Series([], dtype=object),
+                                 "score": pd.Series([], dtype=float)})
         # PARTITION-level: one dispatch per partition even when classes
         # number in the 100k's (cluster-level c-TF-IDF)
         raw = np.asarray([float(c) * logtab[int(d)]
@@ -589,14 +603,20 @@ def ctfidf_top_terms_per_class(ds, class_col: str = "source",
 
     import zlib as _zlib
 
-    keyed = joined.map_batches(
-        lambda t: t.append_column(
+    def _key_by_class(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:  # starved join partition (zero-field)
+            return pa.table({class_col: pa.array([], pa.string()),
+                             "term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64()),
+                             "df": pa.array([], pa.int64()),
+                             "_part": pa.array([], pa.int64())})
+        return t.append_column(
             "_part", pa.array(np.asarray(
                 [_zlib.crc32(str(v).encode()) % num_partitions
                  for v in t.column(class_col).to_pylist()], np.int64),
-                pa.int64())),
-        batch_format="pyarrow",
-    )
+                pa.int64()))
+
+    keyed = joined.map_batches(_key_by_class, batch_format="pyarrow")
     return keyed.groupby("_part").map_groups(topk, batch_format="pandas")
 
 

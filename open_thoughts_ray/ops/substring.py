@@ -250,11 +250,14 @@ def exact_substring_scrub(ds, id_col: str = "doc_id",
         _gram_rows, batch_format="pyarrow",
         fn_kwargs=dict(id_col=id_col, text_col=text_col, k=k),
     )
-    hits = rows.join(marker, join_type="inner", on=("gh",),
-                     num_partitions=num_partitions).select_columns(
-        [id_col, "pos"])
-
     id_type = _arrow_id_type(ds, id_col)
+    hits = rows.join(marker, join_type="inner", on=("gh",),
+                     num_partitions=num_partitions).map_batches(
+        lambda t: (pa.table({id_col: pa.array([], id_type),
+                             "pos": pa.array([], pa.int64())})
+                   if t.num_columns == 0  # starved join partition
+                   else t.select([id_col, "pos"])),
+        batch_format="pyarrow")
     union_schema = {id_col: id_type, text_col: pa.string(),
                     "pos": pa.int64(), "_side": pa.int64()}
 
@@ -355,8 +358,13 @@ def flag_dup_substring_docs(ds, id_col: str = "doc_id",
         _gram_rows, batch_format="pyarrow",
         fn_kwargs=dict(id_col=id_col, text_col=text_col, k=k),
     )
+    id_type2 = _arrow_id_type(ds, id_col)
     hits = rows.join(marker, join_type="inner", on=("gh",),
-                     num_partitions=num_partitions).select_columns([id_col])
+                     num_partitions=num_partitions).map_batches(
+        lambda t: (pa.table({id_col: pa.array([], id_type2)})
+                   if t.num_columns == 0  # starved join partition
+                   else t.select([id_col])),
+        batch_format="pyarrow")
     # distributed distinct: Dataset.unique() returns a driver-side list,
     # so fold per-partition instead (one dispatch per partition)
     return partitioned_groups(
