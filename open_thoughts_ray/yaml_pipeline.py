@@ -521,6 +521,31 @@ def execute_op(typ: str, cfg: dict, ins: list):
             out = R.grouped_ntile(ins[0], cfg["group_column"],
                                   cfg["order_columns"], int(cfg["n"]),
                                   out_col=cfg.get("output_column", "tile"))
+        elif typ == "dedup_delta_minhash":
+            from .ops.dedup_text import delta_neardup_ingest
+
+            # inputs: [new_shard, seen_corpus]
+            out = delta_neardup_ingest(
+                ins[0], ins[1],
+                id_col=cfg.get("id_column", "doc_id"),
+                text_col=cfg.get("input_column", "text"),
+                threshold=float(cfg.get("threshold", 0.7)),
+                hasher=cfg.get("hasher", "crc"))
+        elif typ == "kcenter_select":
+            from .ops.diversity import kcenter_select_dataset
+
+            out = kcenter_select_dataset(
+                ins[0], k=int(cfg["k"]),
+                id_col=cfg.get("id_column", "vec_id"),
+                emb_col=cfg.get("embedding_column", "embedding"),
+                sample_frac=cfg.get("sample_frac"))
+        elif typ == "image_search":
+            from .ops.align import image_search
+
+            out = image_search(
+                ins[0], {int(k): v for k, v in cfg["queries"].items()},
+                k=int(cfg.get("k", 5)),
+                id_col=cfg.get("id_column", "image_id"))
         elif typ == "token_budget_select":
             from .ops.packing import token_budget_select
 

@@ -58,3 +58,49 @@ def test_delta_no_dups_passthrough(ray_session):
     out = delta_neardup_ingest(rd.from_arrow(new), rd.from_arrow(seen),
                                threshold=0.5).to_pandas()
     assert sorted(out.doc_id) == list(range(50, 60))
+
+
+def test_yaml_delta_and_kcenter(ray_session, tmp_path):
+    """YAML grammar for the late-r4 ops: two-input delta dedup and
+    k-center selection."""
+    import pyarrow.parquet as pq
+
+    from open_thoughts_ray.yaml_pipeline import run_pipeline
+
+    rng = np.random.default_rng(77)
+    seen_texts = [_doc(rng) for _ in range(8)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(8), pa.int64()),
+        "text": pa.array(seen_texts, pa.string()),
+    }), tmp_path / "seen.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([100, 101], pa.int64()),
+        "text": pa.array([_perturb(seen_texts[0], rng), _doc(rng)],
+                         pa.string()),
+    }), tmp_path / "new.parquet")
+    doc = {"operators": [
+        {"id": "new", "config": {"type": "parquet_source",
+                                 "path": str(tmp_path / "new.parquet")}},
+        {"id": "seen", "config": {"type": "parquet_source",
+                                  "path": str(tmp_path / "seen.parquet")}},
+        {"id": "kept", "input_ids": ["new", "seen"],
+         "config": {"type": "dedup_delta_minhash", "threshold": 0.5}},
+    ]}
+    out = run_pipeline(doc).to_pandas()
+    assert list(out.doc_id) == [101]
+
+    # kcenter over a tiny embedding table
+    emb = pa.table({
+        "vec_id": pa.array(range(20), pa.int64()),
+        "embedding": pa.array(
+            [list(map(float, rng.standard_normal(8))) for _ in range(20)],
+            pa.list_(pa.float64())),
+    })
+    pq.write_table(emb, tmp_path / "emb.parquet")
+    doc2 = {"operators": [
+        {"id": "src", "config": {"type": "parquet_source",
+                                 "path": str(tmp_path / "emb.parquet")}},
+        {"id": "sel", "config": {"type": "kcenter_select", "k": 4}},
+    ]}
+    out2 = run_pipeline(doc2).to_pandas()
+    assert len(out2) == 4
