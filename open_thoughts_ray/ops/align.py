@@ -21,10 +21,10 @@ No CLIP in this sandbox, so the encoders are deterministic stand-ins
 that honour the property a real two-tower model provides — a SHARED
 token space:
 
-* image tower: decode → coarse visual statistics (4×4 luminance grid,
-  channel means, RMS contrast) → quantized "visual token" strings
-  (``v<cell>_<level>``) → the SAME hashed-n-gram bag + seeded
-  projection the text tower uses;
+* image tower: decode → coarse visual statistics (4×4 grid of mean
+  luminance AND per-cell contrast, plus global brightness/contrast) →
+  quantized observations rendered as opaque crc32 hex words → the SAME
+  hashed-n-gram bag + seeded projection the text tower uses;
 * text tower: ``models.fasttext_like`` hashed byte-n-grams → the same
   projection (the ``TextEmbedder`` kernel, ops/embed.py).
 

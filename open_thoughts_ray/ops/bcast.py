@@ -40,7 +40,14 @@ def fixed_pool(want: int = 8, num_cpus: float = 1.0) -> int:
     genuinely EXPENSIVE (real model weights): autoscaling ``(1, max)``
     pools never grow past 1 actor in this Ray version, so pools must be
     fixed — but a fixed pool reserving every CPU token deadlocks the
-    streaming executor, so cap at 3/4 of the live cluster."""
+    streaming executor, so cap at 3/4 of the live cluster.
+
+    NOTE: the default layout for every built-in stage is now plain
+    tasks + ``cached_get``/``cached_build`` (two CHAINED fixed pools
+    can still over-reserve a small cluster and deadlock —
+    tests/test_align.py found this with gate→align).  Use this sizer
+    only for a stage a caller explicitly pins to an actor pool (real
+    GPU weights), and never chain two sized this way."""
     import ray
 
     live = int(ray.cluster_resources().get("CPU", want)) \
