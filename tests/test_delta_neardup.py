@@ -104,3 +104,41 @@ def test_yaml_delta_and_kcenter(ray_session, tmp_path):
     ]}
     out2 = run_pipeline(doc2).to_pandas()
     assert len(out2) == 4
+
+
+def test_example_continuous_ingest_yaml(ray_session, tmp_path):
+    """examples/continuous_ingest.yaml end to end: delta vet →
+    distilled quality filter → token budget."""
+    import pyarrow.parquet as pq
+    import yaml
+
+    from open_thoughts_ray.yaml_pipeline import run_pipeline
+
+    rng = np.random.default_rng(91)
+    seen_texts = [_doc(rng) for _ in range(10)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(10), pa.int64()),
+        "text": pa.array(seen_texts, pa.string()),
+        "source": pa.array(["web"] * 10, pa.string()),
+    }), tmp_path / "seen.parquet")
+    rows = []
+    for i in range(20):
+        good = i % 2 == 0
+        base = ("photosynthesis " if good else "buy now ") + _doc(rng, 20)
+        rows.append((100 + i, base, "web" if i < 10 else "books"))
+    # plus one near-copy of a seen doc (must be vetted out)
+    rows.append((200, _perturb(seen_texts[0], rng), "web"))
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+    }), tmp_path / "new.parquet")
+    text = open("examples/continuous_ingest.yaml").read() \
+        .replace("{new_path}", str(tmp_path / "new.parquet")) \
+        .replace("{seen_path}", str(tmp_path / "seen.parquet"))
+    out = run_pipeline(yaml.safe_load(text)).to_pandas()
+    assert 200 not in set(out.doc_id)            # delta vet dropped it
+    assert (out.doc_id % 2 == 0).all()           # quality kept evens
+    spent = out.groupby("source")["n_tokens"].sum()
+    assert (spent <= 400).all()                  # budget respected
+    assert len(out) > 0
