@@ -1526,6 +1526,34 @@ def _q_delta_neardup_indexed(sf_dir: str):
     return out.select_columns(["doc_id"])
 
 
+def _q_tree_search(sf_dir: str):
+    """Level-synchronous tree search (reference tree_search_operator.py
+    re-expressed; rows-only — the md5-mock expansion IS deterministic
+    but the per-level recursion is impractical in one SQL statement;
+    the building blocks are hash-checked by llm_list_fanout /
+    llm_annotate, and BFS structure/budget/determinism are asserted in
+    tests/test_tree_search.py)."""
+    from open_thoughts_ray.llm.tree_search import tree_search
+    from open_thoughts_ray.ops import relational as R
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"]).rename_columns(
+        {"text": "instruction"})
+    ds = R.sample_by_hash(ds, "doc_id", keep_every=50, residue=0)
+    out = tree_search(ds, beam_width=2, beam_depth=2, node_budget=5)
+
+    def flat(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "trace": pa.array([" | ".join(s) for s in
+                               t.column("steps").to_pylist()],
+                              pa.string()),
+            "is_terminal": t.column("is_terminal"),
+            "depth": t.column("depth"),
+        })
+
+    return out.map_batches(flat, batch_format="pyarrow")
+
+
 def _q_distill_quality(sf_dir: str):
     """FineWeb-Edu-style teacher→classifier distillation (distill.py):
     keyword-rubric teacher scores a 20% seeded sample, distilled
@@ -1748,6 +1776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "delta_neardup_documents": _q_delta_neardup,
         "image_search_corpus": _q_image_search,
         "delta_neardup_indexed_documents": _q_delta_neardup_indexed,
+        "tree_search_documents": _q_tree_search,
     }
 
 

@@ -521,6 +521,17 @@ def execute_op(typ: str, cfg: dict, ins: list):
             out = R.grouped_ntile(ins[0], cfg["group_column"],
                                   cfg["order_columns"], int(cfg["n"]),
                                   out_col=cfg.get("output_column", "tile"))
+        elif typ == "tree_search":
+            from .llm.tree_search import tree_search
+
+            out = tree_search(
+                ins[0],
+                prompt_col=cfg.get("prompt_column", "instruction"),
+                id_col=cfg.get("id_column", "doc_id"),
+                beam_width=int(cfg.get("beam_width", 3)),
+                beam_depth=int(cfg.get("beam_depth", 2)),
+                node_budget=cfg.get("node_budget"),
+                backend=cfg.get("backend", "mock"))
         elif typ == "dedup_delta_minhash":
             from .ops.dedup_text import delta_neardup_ingest
 
