@@ -59,6 +59,8 @@ QUERY_SUBSET = [
     # full-corpus classifier scoring in plain tasks)
     "token_budget_select_documents",
     "distill_quality_documents",
+    # persisted-index incremental near-dup ingest (build + vet)
+    "delta_neardup_indexed_documents",
 ]
 
 

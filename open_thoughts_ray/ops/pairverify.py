@@ -89,12 +89,39 @@ def verify_pairs_distributed(pairs, ds, id_col: str, text_col: str,
     import ray.data as rd
 
     # dedupe (a, b) — the same pair arrives once per detecting band.
-    # retype guard: the hash aggregator emits schema-LESS blocks for
-    # empty partitions.
-    pairs = pairs.groupby(["a", "b"]).count().select_columns(["a", "b"]) \
-        .repartition(num_partitions).map_batches(
-            retype_empty({"a": pa.string(), "b": pa.string()}),
-            batch_format="pyarrow").materialize()
+    # Sort-path dedupe (hash(a#b) % P route + per-partition
+    # drop_duplicates): Ray's HASH aggregate pays a 1.3-1.9 s
+    # aggregator-pool spawn per operator (BASELINE.md "Negative
+    # result"), which dominated small candidate sets; the sort shuffle
+    # is ~0.2 s at the same sizes and scale-equivalent (one pass,
+    # partition-local dedupe after exact key routing).
+    def _pair_part(t: pa.Table) -> pa.Table:
+        import zlib as _z
+
+        if t.num_columns == 0:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string()),
+                             "_part": pa.array([], pa.int64())})
+        part = pa.array(
+            [_z.crc32(f"{x}#{y}".encode()) % num_partitions
+             for x, y in zip(t.column("a").to_pylist(),
+                             t.column("b").to_pylist())], pa.int64())
+        return pa.table({"a": t.column("a"), "b": t.column("b"),
+                         "_part": part})
+
+    def _dedupe(g):
+        if g.empty or "a" not in g.columns:
+            import pandas as _pd
+
+            return _pd.DataFrame({"a": _pd.Series([], dtype=object),
+                                  "b": _pd.Series([], dtype=object)})
+        return g.drop_duplicates(subset=["a", "b"])[["a", "b"]]
+
+    pairs = pairs.map_batches(_pair_part, batch_format="pyarrow",
+                              batch_size=65536) \
+        .groupby("_part").map_groups(_dedupe, batch_format="pandas") \
+        .map_batches(retype_empty({"a": pa.string(), "b": pa.string()}),
+                     batch_format="pyarrow").materialize()
     empty_edges = pa.table({"a": pa.array([], pa.string()),
                             "b": pa.array([], pa.string())})
     if pairs.count() == 0:
