@@ -59,3 +59,21 @@ def test_node_budget_caps_visited(ray_session):
         got = set(out[out.doc_id == did].trace)
         ref = full[full.doc_id == did].sort_values(["depth", "trace"])
         assert got == set(ref.trace.head(len(got)))
+
+
+def test_yaml_tree_search(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from open_thoughts_ray.yaml_pipeline import run_pipeline
+
+    pq.write_table(_prompts(2), tmp_path / "p.parquet")
+    doc = {"operators": [
+        {"id": "src", "config": {"type": "parquet_source",
+                                 "path": str(tmp_path / "p.parquet")}},
+        {"id": "tree", "config": {"type": "tree_search", "beam_width": 2,
+                                  "beam_depth": 1, "node_budget": 3}},
+    ]}
+    out = run_pipeline(doc).to_pandas()
+    assert set(out.doc_id) == {0, 1}
+    assert out.depth.max() <= 1
+    assert out.groupby("doc_id").size().max() <= 3
