@@ -74,7 +74,12 @@ def _cmd_yaml(args) -> dict:
     if report is not None:
         out["cache"] = report
     if args.out:
-        ds.write_parquet(args.out)
+        if args.partition_by:
+            # one directory per key value → a failed downstream run can
+            # skip finished partitions (resumable-output layout)
+            ds.write_parquet(args.out, partition_cols=[args.partition_by])
+        else:
+            ds.write_parquet(args.out)
         out["out"] = args.out
     return out
 
@@ -152,6 +157,9 @@ def main(argv: list[str] | None = None) -> dict:
     y.add_argument("--registry", default=None,
                    help="run-metadata registry dir (records per-operator "
                         "fingerprint/rows/wall time; see the runs command)")
+    y.add_argument("--partition-by", default=None,
+                   help="hive-partition the output parquet by this column "
+                        "(one directory per value - resumable layout)")
     y.set_defaults(fn=_cmd_yaml)
 
     bi = sub.add_parser("build-index",

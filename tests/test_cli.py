@@ -83,3 +83,30 @@ def test_cli_build_index_and_ingest(ray_session, tmp_path):
     assert r2["rows_kept"] == 1
     kept = pq.read_table(str(tmp_path / "kept")).to_pandas()
     assert list(kept.doc_id) == [101]
+
+
+def test_cli_yaml_partitioned_output(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from open_thoughts_ray.__main__ import main
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array([f"t{i}" for i in range(6)], pa.string()),
+        "source": pa.array(["a", "b"] * 3, pa.string()),
+    }), tmp_path / "docs.parquet")
+    cfg = tmp_path / "p.yaml"
+    cfg.write_text(
+        "operators:\n"
+        "  - id: src\n"
+        f"    config: {{type: parquet_source, path: {tmp_path}/docs.parquet}}\n")
+    r = main(["yaml", str(cfg), "--out", str(tmp_path / "out"),
+              "--partition-by", "source"])
+    assert r["rows"] == 6
+    subdirs = {d for d in os.listdir(tmp_path / "out")
+               if (tmp_path / "out" / d).is_dir()}
+    assert {"source=a", "source=b"} <= subdirs
+    back = pq.read_table(str(tmp_path / "out")).to_pandas()
+    assert len(back) == 6
