@@ -521,6 +521,55 @@ def execute_op(typ: str, cfg: dict, ins: list):
             out = R.grouped_ntile(ins[0], cfg["group_column"],
                                   cfg["order_columns"], int(cfg["n"]),
                                   out_col=cfg.get("output_column", "tile"))
+        elif typ == "image_resize":
+            from .ops.multimodal import ImageResizer
+
+            ra = _remote_args(cfg)
+            resizer = ImageResizer(target=int(cfg.get("target", 32)))
+            # byte-sized batches: payloads, not rows, bound memory
+            out = ins[0].map_batches(
+                resizer.__call__, batch_format="pyarrow",
+                batch_size=ra.get("batch_size", 64))
+        elif typ == "image_features":
+            from .ops.multimodal import ImageFeatureExtractor
+
+            ra = _remote_args(cfg)
+            fx = ImageFeatureExtractor()
+            out = ins[0].map_batches(
+                fx.__call__, batch_format="pyarrow",
+                batch_size=ra.get("batch_size", 64))
+        elif typ == "audio_energy_gate":
+            from .ops.audio import energy_gate
+
+            out = energy_gate(
+                ins[0], min_rms=float(cfg.get("min_rms", 0.01)),
+                min_duration_s=float(cfg.get("min_duration_s", 0.2)),
+                bytes_col=cfg.get("bytes_column", "bytes"))
+        elif typ == "audio_features":
+            from .ops.audio import AudioFeatureStage
+
+            ra = _remote_args(cfg)
+            st = AudioFeatureStage(
+                frame_ms=int(cfg.get("frame_ms", 25)),
+                n_bands=int(cfg.get("n_bands", 8)),
+                bytes_col=cfg.get("bytes_column", "bytes"))
+            out = ins[0].map_batches(
+                st.__call__, batch_format="pyarrow",
+                batch_size=ra.get("batch_size", 64))
+        elif typ == "video_frame_sample":
+            from .ops.video import frame_sample
+
+            out = frame_sample(
+                ins[0], every_n=int(cfg.get("every_n", 10)),
+                id_col=cfg.get("id_column", "video_id"),
+                bytes_col=cfg.get("bytes_column", "bytes"))
+        elif typ == "video_scene_cuts":
+            from .ops.video import scene_cut_stage
+
+            out = scene_cut_stage(
+                ins[0], threshold=float(cfg.get("threshold", 30.0)),
+                id_col=cfg.get("id_column", "video_id"),
+                bytes_col=cfg.get("bytes_column", "bytes"))
         elif typ == "tree_search":
             from .llm.tree_search import tree_search
 

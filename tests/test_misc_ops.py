@@ -790,3 +790,51 @@ def test_yaml_embedding_similarity_filtering(ray_session, tmp_path):
     ]}
     out = run_pipeline(doc).to_pandas()
     assert sorted(out.vec_id) == [0, 3]  # first of each identical group
+
+
+def test_yaml_multimodal_family(ray_session, tmp_path):
+    """YAML grammar for the audio/video/image stage family."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from open_thoughts_ray.ops.audio import encode_pcm
+    from open_thoughts_ray.ops.video import encode_video
+    from open_thoughts_ray.yaml_pipeline import run_pipeline
+
+    rng = np.random.default_rng(3)
+    # audio: one loud 1-s clip, one silent clip (gate must drop it)
+    loud = (rng.standard_normal(16000) * 8000).astype(np.int16)
+    silent = np.zeros(16000, dtype=np.int16)
+    pq.write_table(pa.table({
+        "clip_id": pa.array(["loud", "silent"], pa.string()),
+        "bytes": pa.array([encode_pcm(loud, 16000),
+                           encode_pcm(silent, 16000)], pa.binary()),
+    }), tmp_path / "audio.parquet")
+    out = run_pipeline({"operators": [
+        {"id": "src", "config": {"type": "parquet_source",
+                                 "path": str(tmp_path / "audio.parquet")}},
+        {"id": "gate", "config": {"type": "audio_energy_gate"}},
+        {"id": "feat", "config": {"type": "audio_features"}},
+    ]}).to_pandas()
+    assert list(out.clip_id) == ["loud"]
+    assert "audio_feat" in out.columns
+
+    # video: 12 frames, sample every 4 → 3 frame rows; scene cuts run
+    frames = rng.integers(0, 256, size=(12, 8, 8, 3)).astype(np.uint8)
+    pq.write_table(pa.table({
+        "video_id": pa.array(["v0"], pa.string()),
+        "bytes": pa.array([encode_video(frames)], pa.binary()),
+    }), tmp_path / "video.parquet")
+    out2 = run_pipeline({"operators": [
+        {"id": "src", "config": {"type": "parquet_source",
+                                 "path": str(tmp_path / "video.parquet")}},
+        {"id": "frames", "config": {"type": "video_frame_sample",
+                                    "every_n": 4}},
+    ]}).to_pandas()
+    assert len(out2) == 3
+    out3 = run_pipeline({"operators": [
+        {"id": "src", "config": {"type": "parquet_source",
+                                 "path": str(tmp_path / "video.parquet")}},
+        {"id": "cuts", "config": {"type": "video_scene_cuts"}},
+    ]}).to_pandas()
+    assert out3.n_frames.iloc[0] == 12
