@@ -83,6 +83,11 @@ class PipelineOptions:
     geometry_gate: bool = False
     geometry_min_side: int = 16
     geometry_max_aspect: float = 4.0
+    # OPT-IN image–caption alignment pre-filter (the LAION/DataComp
+    # CLIP-score gate, ops/align.py) applied after the geometry gate
+    # and before scoring; None = off (the oracle-parity gates assume
+    # every geometry-surviving row is scored)
+    align_min_score: float | None = None
 
     @classmethod
     def for_cluster(cls, num_cpus: int, **overrides) -> "PipelineOptions":
@@ -398,6 +403,10 @@ def quality_filter_dataset(ds, opts: PipelineOptions | None = None, model_refs=N
             fn_kwargs=dict(min_side=opts.geometry_min_side,
                            max_aspect=opts.geometry_max_aspect,
                            mode="filter"))
+    if opts.align_min_score is not None:
+        from .ops.align import align_filter
+
+        ds = align_filter(ds, min_score=float(opts.align_min_score))
     scored = score_stage(ds, model_refs, opts).materialize()
     return dedup_stage(scored, opts, force_distributed=force_distributed)
 

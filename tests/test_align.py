@@ -192,3 +192,31 @@ def test_image_search_retrieves_own_image(ray_session):
         assert list(top.image_id) == [iid]
         assert float(top.cos.iloc[0]) > 0.99
     assert (out.groupby("query_id")["rank"].max() == 3).all()
+
+
+def test_flagship_align_prefilter_option(ray_session):
+    """PipelineOptions.align_min_score wires the alignment gate into the
+    flagship path: off by default (oracle parity untouched), and an
+    impossible threshold drops every row before scoring."""
+    import ray.data as rd
+
+    from open_thoughts_ray.pipeline import (
+        PipelineOptions,
+        quality_filter_dataset,
+    )
+
+    from open_thoughts_ray.common.hashing import uint64_to_int64
+    from open_thoughts_ray.io.codecs import average_phash, decode
+
+    tbl = _images_table()
+    phash = pa.array(
+        [uint64_to_int64(average_phash(decode(
+            tbl.column("bytes")[i].as_py(), tbl.column("w")[i].as_py(),
+            tbl.column("h")[i].as_py(), "raw")))
+         for i in range(tbl.num_rows)], pa.int64())
+    tbl = tbl.append_column("phash", phash)
+    base = quality_filter_dataset(rd.from_arrow(tbl)).count()
+    assert base == tbl.num_rows  # every row gets a decision by default
+    gated = quality_filter_dataset(
+        rd.from_arrow(tbl), PipelineOptions(align_min_score=1.5))
+    assert gated.count() == 0
