@@ -65,7 +65,8 @@ def _string_keyed(ds, id_col: str, text_col: str, key_name: str):
 
 def verify_pairs_distributed(pairs, ds, id_col: str, text_col: str,
                              kernel, num_partitions: int = 32,
-                             with_ids: bool = False):
+                             with_ids: bool = False,
+                             max_broadcast_ids: int = 2_000_000):
     """pairs: Dataset[a:string, b:string] (candidate pairs, may contain
     duplicates across bands/partitions — deduped here); ds: the source
     table.  ``kernel(texts_a, texts_b) -> np.ndarray[bool]`` runs per
@@ -124,8 +125,22 @@ def verify_pairs_distributed(pairs, ds, id_col: str, text_col: str,
                      batch_format="pyarrow").materialize()
     empty_edges = pa.table({"a": pa.array([], pa.string()),
                             "b": pa.array([], pa.string())})
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return rd.from_arrow(empty_edges)
+
+    # candidate-id prefilter: when the candidate set is small relative
+    # to the corpus, only rows that are PAIR ENDPOINTS need to ship
+    # their payload through the routing shuffle.  The id set is
+    # ≤ 2·n_pairs strings on the driver (bounded by the same
+    # max_driver-style threshold the dedup family uses); above it the
+    # full thin (id, text) projection routes as before.
+    cand_ref = None
+    if n_pairs <= max_broadcast_ids // 2:
+        import ray as _ray
+
+        pdf = pairs.to_pandas()  # n_pairs rows, already deduped
+        cand_ref = _ray.put(set(pdf["a"]).union(pdf["b"]))
 
     try:
         payload_type = ds.schema().base_schema.field(text_col).type
@@ -178,9 +193,21 @@ def verify_pairs_distributed(pairs, ds, id_col: str, text_col: str,
             "part": _part(key),
         })
 
+    src = ds.select_columns([id_col, text_col])
+    if cand_ref is not None:
+        def only_candidates(t: pa.Table, *, ref=cand_ref) -> pa.Table:
+            from .bcast import cached_get
+
+            cand = cached_get(ref)
+            ids = t.column(id_col)
+            if ids.type != pa.string():
+                ids = ids.cast(pa.string())
+            m = [v in cand for v in ids.to_pylist()]
+            return t.filter(pa.array(m, pa.bool_()))
+
+        src = src.map_batches(only_candidates, batch_format="pyarrow")
     routed = pairs.map_batches(endpoint_rows, batch_format="pyarrow").union(
-        ds.select_columns([id_col, text_col]).map_batches(
-            source_rows, batch_format="pyarrow"))
+        src.map_batches(source_rows, batch_format="pyarrow"))
 
     def attach_payload(df):
         import zlib
