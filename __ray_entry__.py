@@ -913,9 +913,10 @@ def _q_source_scorecard(sf_dir: str):
                         Sum("sum_chars", alias_name="sum_chars")))
     langs = grouped_nunique(ds.select_columns(["source", "lang"]),
                             "source", "lang", out_col="n_langs")
-    joined = stats.repartition(8).join(langs.repartition(8),
-                                       join_type="inner", on=("source",),
-                                       num_partitions=8)
+    from open_thoughts_ray.ops.joinsafe import safe_join
+
+    joined = safe_join(stats, langs, join_type="inner", on=("source",),
+                       num_partitions=8)
 
     def finish(t: pa.Table) -> pa.Table:
         import numpy as np

@@ -37,6 +37,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .dedup_text import _auto_partitions, _h64
+from .joinsafe import safe_join
 
 
 def doc_lines(text: str | None, line_tokens: int | None = 6) -> list[str]:
@@ -229,8 +230,19 @@ def remove_boilerplate_lines(ds, id_col: str = "doc_id",
                              "lh": pa.array([], pa.int64())})
         return t.filter(pc.is_null(t.column("__freq")))             .drop_columns(["__freq"])
 
-    kept = rows.join(marker, join_type="left_outer", on=("lh",),
-                     num_partitions=num_partitions).map_batches(
+    try:
+        _id_type = ds.schema().base_schema.field(id_col).type
+    except Exception:
+        _id_type = pa.int64()
+    kept = safe_join(
+        rows, marker, join_type="left_outer", on=("lh",),
+        num_partitions=num_partitions,
+        left_schema=pa.schema([(id_col, _id_type),
+                               ("line_no", pa.int64()),
+                               ("line", pa.string()),
+                               ("lh", pa.int64())]),
+        right_schema=pa.schema([("lh", pa.int64()),
+                                ("__freq", pa.bool_())])).map_batches(
         _keep_unmarked, batch_format="pyarrow")
     joiner = _joiner(line_tokens)
 
@@ -264,8 +276,12 @@ def remove_boilerplate_lines(ds, id_col: str = "doc_id",
     rebuilt = kept.map_batches(add_doc_part, batch_format="pyarrow") \
         .groupby("_part").map_groups(reassemble, batch_format="pandas")
     spine = ds.select_columns([id_col])
-    joined = spine.join(rebuilt, join_type="left_outer", on=(id_col,),
-                        num_partitions=num_partitions)
+    joined = safe_join(
+        spine, rebuilt, join_type="left_outer", on=(id_col,),
+        num_partitions=num_partitions,
+        left_schema=pa.schema([(id_col, _id_type)]),
+        right_schema=pa.schema([(id_col, _id_type),
+                                (out_col, pa.string())]))
     return joined.map_batches(
         lambda t: (pa.table({id_col: pa.array([], _id_type),
                              out_col: pa.array([], pa.string())})

@@ -21,6 +21,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .joinsafe import safe_join
+
 
 def majority_vote(ds, group_col: str, value_col: str,
                   out_col: str | None = None):
@@ -540,14 +542,14 @@ def pmi_top_bigrams(ds, text_col: str = "text", k: int = 20,
         u1 = uni_ds.map_batches(
             lambda t: pa.table({"w1": t.column("w1"), "cx1": t.column("n")}),
             batch_format="pyarrow").repartition(8).materialize()
-        j1 = big_ds.repartition(8).join(
-            u1, join_type="inner", on=("w1",),
+        j1 = safe_join(
+            big_ds.repartition(8), u1, join_type="inner", on=("w1",),
             num_partitions=16).repartition(8).materialize()
         u2 = uni_ds.map_batches(
             lambda t: pa.table({"w2": t.column("w1"), "cx2": t.column("n")}),
             batch_format="pyarrow").repartition(8).materialize()
-        j2 = j1.join(u2, join_type="inner", on=("w2",),
-                     num_partitions=16).materialize()
+        j2 = safe_join(j1, u2, join_type="inner", on=("w2",),
+                       num_partitions=16).materialize()
         scored = j2.map_batches(
             lambda t: pmi_from(t, t.column("cx1").to_pylist(),
                                t.column("cx2").to_pylist()),

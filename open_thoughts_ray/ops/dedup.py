@@ -36,6 +36,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..common.hashing import int64_to_uint64
+from .joinsafe import safe_join
 
 BAND_BITS = {1: 64, 2: 32, 4: 16, 8: 8}
 
@@ -300,13 +301,29 @@ def label_propagation(nodes, edges, max_iters: int = 20,
         .repartition(num_partitions)
         .materialize()
     )
-    sym = edges.map_batches(
-        lambda t: pa.table(
+    # The edge table needs the SAME typed-empty repartition treatment as
+    # labels: upstream groupby/map_groups emits schema-LESS empty blocks
+    # for untouched partitions (r4 driver gate: at num_cpus=32 one such
+    # block reached the join's LEFT side and pyarrow threw "No match for
+    # FieldRef.Name(nbr)").  Guard the map (in case an empty block IS
+    # handed to the fn) and repartition so every block is a slice of a
+    # typed table before it feeds a join.
+    _typed_empty_sym = pa.table({"id": pa.array([], pa.string()),
+                                 "nbr": pa.array([], pa.string())})
+
+    def _symmetrize(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:  # schema-less empty aggregator block
+            return _typed_empty_sym
+        return pa.table(
             {"id": pa.concat_arrays([t.column("a").combine_chunks(), t.column("b").combine_chunks()]),
              "nbr": pa.concat_arrays([t.column("b").combine_chunks(), t.column("a").combine_chunks()])}
-        ),
-        batch_format="pyarrow",
-    ).materialize()
+        )
+
+    sym = (
+        edges.map_batches(_symmetrize, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .materialize()
+    )
     if sym.count() == 0:
         return labels
     prev_chk = _labels_checksum(labels)
@@ -315,9 +332,13 @@ def label_propagation(nodes, edges, max_iters: int = 20,
             lambda t: pa.table({"nbr": t.column("id"), "cand": t.column("label")}),
             batch_format="pyarrow",
         )
-        cand = sym.join(
-            nbr_labels, join_type="inner", on=("nbr",),
+        cand = safe_join(
+            sym, nbr_labels, join_type="inner", on=("nbr",),
             num_partitions=num_partitions,
+            left_schema=pa.schema([("id", pa.string()),
+                                   ("nbr", pa.string())]),
+            right_schema=pa.schema([("nbr", pa.string()),
+                                    ("cand", pa.string())]),
         ).map_batches(
             lambda t: (pa.table({"id": pa.array([], pa.string()),
                                  "cand": pa.array([], pa.string())})
@@ -353,8 +374,12 @@ def label_propagation(nodes, edges, max_iters: int = 20,
                 batch_format="pyarrow",
             )
             labels = (
-                labels.join(lbl_of, join_type="left_outer", on=("label",),
-                            num_partitions=num_partitions)
+                safe_join(labels, lbl_of, join_type="left_outer",
+                          on=("label",), num_partitions=num_partitions,
+                          left_schema=pa.schema([("id", pa.string()),
+                                                 ("label", pa.string())]),
+                          right_schema=pa.schema([("label", pa.string()),
+                                                  ("label2", pa.string())]))
                 .map_batches(
                     lambda t: (_typed_empty if t.num_columns == 0
                                else pa.table({
@@ -557,8 +582,13 @@ def near_dup_keep_best(ds, id_col: str = "image_id",
         lambda t: pa.table({"id": t.column("image_id"), "q": t.column("q")}),
         batch_format="pyarrow",
     )
-    joined = labels.join(keyed, join_type="inner", on=("id",),
-                         num_partitions=num_partitions).materialize()
+    joined = safe_join(
+        labels, keyed, join_type="inner", on=("id",),
+        num_partitions=num_partitions,
+        left_schema=pa.schema([("id", pa.string()),
+                               ("label", pa.string())]),
+        right_schema=pa.schema([("id", pa.string()),
+                                ("q", pa.float64())])).materialize()
 
     def emit_losers(g: pd.DataFrame) -> pd.DataFrame:
         if g.empty or "label" not in g.columns:
@@ -745,8 +775,13 @@ def snapshot_diff(old_ds, new_ds, id_col: str = "doc_id",
         .repartition(num_partitions).materialize()
     new_fp = new_ds.map_batches(fp("new"), batch_format="pyarrow") \
         .repartition(num_partitions).materialize()
-    joined = old_fp.join(new_fp, join_type="full_outer", on=("id",),
-                         num_partitions=num_partitions)
+    joined = safe_join(
+        old_fp, new_fp, join_type="full_outer", on=("id",),
+        num_partitions=num_partitions,
+        left_schema=pa.schema([("id", pa.string()),
+                               ("fp_old", pa.string())]),
+        right_schema=pa.schema([("id", pa.string()),
+                                ("fp_new", pa.string())]))
 
     def classify(t: pa.Table) -> pa.Table:
         if t.num_columns == 0:  # starved full_outer join partition

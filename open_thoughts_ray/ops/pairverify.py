@@ -29,6 +29,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .joinsafe import safe_join
+
 
 def retype_empty(schema: dict[str, "pa.DataType"]):
     """map_batches fn factory: pass typed blocks through untouched,
@@ -288,8 +290,11 @@ def anti_join_ids(ds, id_col: str, drop_ids, num_partitions: int = 32):
         return t.append_column("__drop_key", col)
 
     keyed = ds.map_batches(add_key, batch_format="pyarrow")
-    joined = keyed.join(marker, join_type="left_outer", on=("__drop_key",),
-                        num_partitions=num_partitions)
+    joined = safe_join(
+        keyed, marker, join_type="left_outer", on=("__drop_key",),
+        num_partitions=num_partitions,
+        right_schema=pa.schema([("__drop_key", pa.string()),
+                                ("__dropped", pa.bool_())]))
     return joined.map_batches(
         lambda t: t.filter(pc.is_null(t.column("__dropped")))
         .drop_columns(["__drop_key", "__dropped"]),

@@ -755,9 +755,12 @@ def broadcast_join(ds, right: pd.DataFrame, on: str, how: str = "left",
 def hash_join(left, right, on: str, num_partitions: int = 16,
               join_type: str = "inner"):
     """Both sides large: Ray Data's hash-partitioned join (shuffles both
-    sides on the key; pick num_partitions ≈ total cores)."""
-    return left.join(right, join_type=join_type, num_partitions=num_partitions,
-                     on=(on,))
+    sides on the key; pick num_partitions ≈ total cores) behind the
+    empty-first-block guard (ops/joinsafe.py)."""
+    from .joinsafe import safe_join
+
+    return safe_join(left, right, join_type=join_type,
+                     num_partitions=num_partitions, on=(on,))
 
 
 def semi_anti_join_broadcast(ds, keys, column: str, anti: bool = False):

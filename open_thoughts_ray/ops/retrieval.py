@@ -38,6 +38,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .joinsafe import safe_join
+
 K1 = 1.2
 B = 0.75
 
@@ -278,7 +280,7 @@ def tfidf_top_terms(ds, id_col: str = "doc_id", text_col: str = "text",
         })
 
     rows = ds.map_batches(explode, batch_format="pyarrow")
-    joined = rows.join(df_ds.repartition(num_partitions), join_type="inner",
+    joined = safe_join(rows, df_ds, join_type="inner",
                        on=("term",), num_partitions=num_partitions)
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
@@ -582,8 +584,8 @@ def ctfidf_top_terms_per_class(ds, class_col: str = "source",
         .repartition(num_partitions).materialize()
     logtab = {d: math.log(float(n_classes) / float(d))
               for d in range(1, n_classes + 1)}
-    joined = tf.join(dfs, join_type="inner", on=("term",),
-                     num_partitions=num_partitions)
+    joined = safe_join(tf, dfs, join_type="inner", on=("term",),
+                       num_partitions=num_partitions)
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         if g.empty or "tf" not in g.columns:

@@ -44,6 +44,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .dedup_text import _auto_partitions, _h64
+from .joinsafe import safe_join
 from .segment import partitioned_groups
 
 
@@ -251,7 +252,7 @@ def exact_substring_scrub(ds, id_col: str = "doc_id",
         fn_kwargs=dict(id_col=id_col, text_col=text_col, k=k),
     )
     id_type = _arrow_id_type(ds, id_col)
-    hits = rows.join(marker, join_type="inner", on=("gh",),
+    hits = safe_join(rows, marker, join_type="inner", on=("gh",),
                      num_partitions=num_partitions).map_batches(
         lambda t: (pa.table({id_col: pa.array([], id_type),
                              "pos": pa.array([], pa.int64())})
@@ -359,7 +360,7 @@ def flag_dup_substring_docs(ds, id_col: str = "doc_id",
         fn_kwargs=dict(id_col=id_col, text_col=text_col, k=k),
     )
     id_type2 = _arrow_id_type(ds, id_col)
-    hits = rows.join(marker, join_type="inner", on=("gh",),
+    hits = safe_join(rows, marker, join_type="inner", on=("gh",),
                      num_partitions=num_partitions).map_batches(
         lambda t: (pa.table({id_col: pa.array([], id_type2)})
                    if t.num_columns == 0  # starved join partition
