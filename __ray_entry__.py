@@ -2399,9 +2399,13 @@ def _minhash_oracle(k: int = 64, bands: int = 16, shingle_n: int = 3,
 
 def _bm25_oracle() -> str:
     """DuckDB BM25 mirror of _q_bm25_topk, generated from the same
-    query dict.  Every float expression keeps the exact parenthesization
-    of ops/retrieval.py (idf via ln, (1.2 + 1.0) literal sums, per-term
-    floor to micro-units, int64 summation) so the hash matches bit-for-bit."""
+    query dict.  Uses the engine's integer-exact rational formulation
+    (ops/retrieval.py): numerator 22·tf·sum_dl and denominator
+    10·tf·sum_dl + 3·sum_dl + 9·dl·N are exact BIGINTs, idf's argument
+    is the exact rational (2N+2)/(2df+1), and the float expression is
+    pinned to ``((1e6·ln)·Nu)/D`` — one libm ln, two multiplies, one
+    divide, zero float additions, so scalar SQL eval and vectorized
+    numpy agree bit-for-bit across DuckDB versions."""
     vals = ", ".join(f"({qid}, '{t}')"
                      for qid, ts in sorted(_BM25_QUERIES.items()) for t in ts)
     return f"""
@@ -2424,12 +2428,12 @@ def _bm25_oracle() -> str:
         scored AS (
             SELECT t.query_id, tf.doc_id,
                    SUM(CAST(floor(
-                     ln((c.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
-                     * (tf.tf * (1.2 + 1.0))
-                     / (tf.tf + 1.2 * ((1.0 - 0.75)
-                        + 0.75 * dl.dl / (CAST(c.sum_dl AS DOUBLE)
-                                          / CAST(c.n_docs AS DOUBLE))))
-                     * 1000000.0) AS BIGINT)) AS score_micro
+                     ((1000000.0 * ln(CAST(2 * c.n_docs + 2 AS DOUBLE)
+                                      / CAST(2 * df.df + 1 AS DOUBLE)))
+                      * CAST(22 * tf.tf * c.sum_dl AS DOUBLE))
+                     / CAST(10 * tf.tf * c.sum_dl + 3 * c.sum_dl
+                            + 9 * dl.dl * c.n_docs AS DOUBLE)
+                   ) AS BIGINT)) AS score_micro
             FROM tf
             JOIN terms t USING (tok)
             JOIN df USING (tok)
@@ -2617,6 +2621,17 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_pass3
         FROM g
     '''
+    # flagship golden-decisions oracle (VERDICT r4 #4): the 2000-row
+    # entry table is deterministic (fixtures/images seed=42) and every
+    # flagship output column is row-local or bit-reproducible, verified
+    # identical at 8 and 32 CPUs — so the frozen fixture is an exact
+    # replay.  Regenerate/audit with scripts/gen_golden_flagship.py
+    # (--check recomputes and diffs).
+    _golden = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "open_thoughts_ray", "fixtures",
+                           "golden_flagship.parquet")
+    d["flagship_quality_filter"] = (
+        f"SELECT * FROM read_parquet('{_golden}')")
     return d
 
 

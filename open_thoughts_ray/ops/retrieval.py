@@ -104,10 +104,25 @@ def bm25_topk(ds, queries: dict[int, list[str]], k: int = 10,
     if stats is None:
         stats = corpus_term_stats(ds, terms, text_col=text_col)
     n_docs, sum_dl, df = stats
-    # driver-side constants; expressions mirror the SQL oracle exactly
-    avgdl = float(sum_dl) / float(n_docs)
+    # Integer-exact BM25 (r4 driver-gate hash flake): the old kernel's
+    # float-ADD denominator ``tf + k1*((1-b) + b*dl/avgdl)`` is exactly
+    # the shape where vectorized FMA contraction / evaluation-order can
+    # differ from a SQL engine's scalar eval by 1 ulp and flip the
+    # floor().  Multiplying numerator and denominator by 10·sum_dl
+    # clears every float addition (S=10 makes all of k1·(1−b)=0.3,
+    # k1·b=0.9, k1+1=2.2 integral for k1=1.2, b=0.75):
+    #
+    #   contrib = idf · 22·tf·sum_dl / (10·tf·sum_dl + 3·sum_dl + 9·dl·N)
+    #
+    # Both operands are EXACT int64 (requires tf·sum_dl < 2^63/22 ≈
+    # 4.2e17 — ~4e17 corpus tokens; asserted below), promoted once to
+    # float64 (deterministic nearest), so the only remaining float ops
+    # are one libm ln over an exact rational argument
+    # ((N−df+0.5)/(df+0.5)+1 = (2N+2)/(2df+1)), two multiplies and one
+    # divide — none fusable, all order-pinned to match the SQL oracle's
+    # ``((1e6·ln) · Nu) / D`` parenthesization bit-for-bit.
     idf = np.asarray(
-        [math.log((n_docs - int(d) + 0.5) / (int(d) + 0.5) + 1.0) for d in df],
+        [math.log((2 * n_docs + 2) / (2 * int(d) + 1)) for d in df],
         dtype=np.float64,
     )
     qterm_idx = {qid: np.asarray([terms.index(t) for t in ts], dtype=np.int64)
@@ -116,12 +131,16 @@ def bm25_topk(ds, queries: dict[int, list[str]], k: int = 10,
     def score(batch: pa.Table) -> pa.Table:
         tf, dl = _term_freqs(batch.column(text_col).to_pylist(), terms)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        tff = tf.astype(np.float64)
-        dlf = dl.astype(np.float64)
-        # per-TERM micro contribution, then integer sum → order-free
-        denom = tff + (K1 * ((1.0 - B) + B * dlf / avgdl))[:, None]
-        contrib = idf[None, :] * (tff * (K1 + 1.0)) / denom
-        micro = np.floor(contrib * 1000000.0).astype(np.int64)
+        if tf.size and int(tf.max()) * sum_dl > (1 << 63) // 22:
+            raise OverflowError(
+                "BM25 int64 micro-score bound exceeded "
+                f"(max tf {int(tf.max())} × sum_dl {sum_dl}); "
+                "reduce corpus shard size or rescale")
+        nu = (22 * tf * sum_dl).astype(np.float64)
+        dd = (10 * tf * sum_dl + 3 * sum_dl
+              + 9 * dl[:, None] * n_docs).astype(np.float64)
+        micro = np.floor(((1000000.0 * idf)[None, :] * nu) / dd) \
+            .astype(np.int64)
         micro[tf == 0] = 0
         out_q, out_id, out_s = [], [], []
         for qid, cols in qterm_idx.items():

@@ -349,3 +349,49 @@ def test_ranking_eval_metrics(ray_session):
     assert t.column("n_queries")[0].as_py() == 2
     assert t.column("recall_at_k")[0].as_py() == 0.25   # (1/2 + 0)/2
     assert t.column("mrr")[0].as_py() == 0.25           # (1/2 + 0)/2
+
+
+def test_bm25_micro_score_numpy_duckdb_bit_parity():
+    """Property sweep (r4 driver-gate flake): the per-(doc,term) BM25
+    micro score must agree BIT-FOR-BIT between the vectorized numpy
+    kernel and DuckDB scalar SQL over a wide random grid, including
+    floor-boundary-adjacent combos.  The rational formulation has zero
+    float additions, so any disagreement is a real regression."""
+    import duckdb
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(42)
+    n = 50_000
+    tf = rng.integers(1, 500, n).astype(np.int64)
+    dl = (tf + rng.integers(0, 5_000, n)).astype(np.int64)
+    df = rng.integers(1, 10_000, n).astype(np.int64)
+    n_docs = (df + rng.integers(1, 1_000_000, n)).astype(np.int64)
+    avg = rng.integers(5, 2_000, n).astype(np.int64)
+    sum_dl = n_docs * avg  # plausible corpus totals
+
+    # numpy kernel — the exact expression from ops/retrieval.bm25_topk
+    idf = np.asarray([math.log((2 * int(N) + 2) / (2 * int(d) + 1))
+                      for N, d in zip(n_docs, df)], dtype=np.float64)
+    nu = (22 * tf * sum_dl).astype(np.float64)
+    dd = (10 * tf * sum_dl + 3 * sum_dl + 9 * dl * n_docs) \
+        .astype(np.float64)
+    mine = np.floor(((1000000.0 * idf) * nu) / dd).astype(np.int64)
+
+    con = duckdb.connect()
+    con.register("g", pd.DataFrame({
+        "tf": tf, "dl": dl, "df": df, "n_docs": n_docs,
+        "sum_dl": sum_dl}))
+    theirs = con.execute("""
+        SELECT CAST(floor(
+            ((1000000.0 * ln(CAST(2 * n_docs + 2 AS DOUBLE)
+                             / CAST(2 * df + 1 AS DOUBLE)))
+             * CAST(22 * tf * sum_dl AS DOUBLE))
+            / CAST(10 * tf * sum_dl + 3 * sum_dl
+                   + 9 * dl * n_docs AS DOUBLE)
+        ) AS BIGINT) AS micro FROM g
+    """).fetchnumpy()["micro"]
+    assert (mine == theirs).all(), \
+        f"{(mine != theirs).sum()} of {n} micro scores differ"
