@@ -104,20 +104,24 @@ def _cmd_ingest(args) -> dict:
     import ray.data as rd
 
     new_ds = rd.read_parquet(args.delta)
-    kept = delta_neardup_vs_index(
+    # survivors persist FIRST, the index append is the last idempotent
+    # step (ADVICE r4: eager append + crash before --out write = a
+    # retry finds each survivor's own signature and drops the delta)
+    kept, commit = delta_neardup_vs_index(
         new_ds, args.index, id_col=args.id_column,
         text_col=args.text_column, bands=args.bands,
         threshold=args.threshold,
-        update_index=not args.no_index_update)
-    out: dict = {}
+        update_index=not args.no_index_update,
+        return_commit=True)
+    kept = kept.materialize()
+    out: dict = {"rows_kept": kept.count()}
     if args.out:
+        # count from the kept dataset, not a re-read: write_parquet
+        # APPENDs in Ray 2.49, so a re-run output dir would otherwise
+        # mix older files into the count (ADVICE r4)
         kept.write_parquet(args.out)
         out["out"] = args.out
-        import ray.data as _rd
-
-        out["rows_kept"] = _rd.read_parquet(args.out).count()
-    else:
-        out["rows_kept"] = kept.count()
+    commit()
     return out
 
 

@@ -798,8 +798,11 @@ def delta_neardup_ingest(new_ds, seen_ds, id_col: str = "doc_id",
     thin_seen = seen_ds.select_columns([id_col, text_col])
     thin_new = new_ds.select_columns([id_col, text_col])
     if offset is None:
-        offset = max(int(thin_seen.max(id_col)),
-                     int(thin_new.max(id_col))) + 1
+        # first-ever ingest: an empty side's max() is None (ADVICE r4)
+        mx_seen = thin_seen.max(id_col)
+        mx_new = thin_new.max(id_col)
+        offset = max(int(mx_seen) if mx_seen is not None else -1,
+                     int(mx_new) if mx_new is not None else -1) + 1
     off = int(offset)
 
     def shift(t: pa.Table) -> pa.Table:

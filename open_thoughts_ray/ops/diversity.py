@@ -91,6 +91,11 @@ def kcenter_select(ds, k: int, id_col: str = "vec_id",
         part = part.sort_values(["_dist", id_col],
                                 ascending=[False, True], kind="mergesort")
         nxt = part.iloc[0]
+        if not np.isfinite(nxt["_dist"]):
+            # every remaining candidate is already selected (k exceeds
+            # the point count) — stop instead of re-picking duplicates
+            # (ADVICE r4)
+            break
         selected.append(nxt[id_col])
         centers = np.vstack([centers,
                              np.asarray(list(nxt["_vec"]), np.float64)])

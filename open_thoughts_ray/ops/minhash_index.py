@@ -136,11 +136,24 @@ def delta_neardup_vs_index(new_ds, index_dir: str,
                            bands: int = 16, threshold: float = 0.7,
                            max_bucket: int = 256,
                            num_partitions: int | None = None,
-                           update_index: bool = True):
+                           update_index: bool = True,
+                           return_commit: bool = False):
     """Vet a new shard against a persisted signature index; returns the
     surviving full-width new rows.  With ``update_index`` the
     survivors' signatures are appended as a new fragment (the next
-    shard sees them — crash before append = harmless re-vet)."""
+    shard sees them — crash before append = harmless re-vet).
+
+    Commit ordering (ADVICE r4, medium): appending signatures BEFORE
+    the caller has durably written the surviving rows is unsafe — a
+    crash between the two means a retry finds each survivor's own
+    signature in the index (agreement 1.0) and silently drops the whole
+    delta.  Callers that persist the survivors themselves must pass
+    ``return_commit=True``: the function then returns ``(kept,
+    commit)`` and does NOT touch the index; call ``commit()`` only
+    after the survivor write succeeds (the append is idempotent-last).
+    The default eager append remains for read-only consumers (the gate
+    query / path-equivalence tests) where the survivors are never
+    persisted."""
     import functools
 
     import ray.data as rd
@@ -229,11 +242,15 @@ def delta_neardup_vs_index(new_ds, index_dir: str,
 
     kept = new_ds.map_batches(keep_pred, batch_format="pyarrow")
 
-    if update_index:
+    def _commit():
         surviving_sigs = new_sigs.map_batches(
             lambda t: t.filter(pa.array(
                 [v not in drop for v in t.column("id").to_pylist()],
                 pa.bool_())), batch_format="pyarrow")
         surviving_sigs.write_parquet(os.path.join(index_dir, "sigs"))
 
+    if return_commit:
+        return kept, (_commit if update_index else (lambda: None))
+    if update_index:
+        _commit()
     return kept

@@ -214,6 +214,16 @@ def verify_pairs_distributed(pairs, ds, id_col: str, text_col: str,
     def attach_payload(df):
         import zlib
 
+        import pandas as _pd
+
+        if df.empty or "side" not in df.columns:
+            # column-less empty shuffle partition — mirror finish()'s
+            # guard (ADVICE r4)
+            return _pd.DataFrame({"pa_": _pd.Series([], dtype=object),
+                                  "pb_": _pd.Series([], dtype=object),
+                                  "side": _pd.Series([], dtype="int8"),
+                                  "payload": _pd.Series([], dtype=object),
+                                  "part": _pd.Series([], dtype="int64")})
         src = df[df["side"] == 2]
         ep = df[df["side"] != 2]
         pay = dict(zip(src["key"], src["payload"]))

@@ -142,3 +142,20 @@ def test_example_continuous_ingest_yaml(ray_session, tmp_path):
     spent = out.groupby("source")["n_tokens"].sum()
     assert (spent <= 400).all()                  # budget respected
     assert len(out) > 0
+
+
+def test_delta_empty_seen_first_ingest(ray_session):
+    """ADVICE r4: first-ever ingest (empty seen corpus) must not crash
+    on int(None) and must behave as plain first-seen dedup."""
+    rng = np.random.default_rng(77)
+    d0 = _doc(rng)
+    new = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([d0, _perturb(d0, rng), _doc(rng)], pa.string()),
+    })
+    seen = pa.table({"doc_id": pa.array([], pa.int64()),
+                     "text": pa.array([], pa.string())})
+    out = delta_neardup_ingest(
+        rd.from_arrow(new).repartition(2),
+        rd.from_arrow(seen), threshold=0.5).to_pandas()
+    assert set(out.doc_id) == {1, 3}

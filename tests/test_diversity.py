@@ -67,3 +67,12 @@ def test_kcenter_dataset_filter(ray_session):
     assert len(out) == 5
     assert sorted(out.vec_id) == sorted(
         int(v) for v in kcenter_select(rd.from_arrow(t), k=5))
+
+
+def test_kcenter_k_exceeds_rows(ray_session):
+    """ADVICE r4: k > row count must return each point once, not loop
+    re-picking duplicates."""
+    ids, M, t = _emb_table(n=7)
+    got = kcenter_select(rd.from_arrow(t).repartition(3), k=50)
+    assert sorted(got) == sorted(ids.tolist())
+    assert len(got) == len(set(got)) == 7

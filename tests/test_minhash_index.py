@@ -110,3 +110,40 @@ def test_index_path_high_dup_stress(ray_session, tmp_path):
     # signature agreement); assert the documented bound, not perfection
     leaked = sum(1 for i in range(950) if 10_000 + i in ids)
     assert leaked <= 950 * 0.01  # >= 99% near-dup recall
+
+
+def test_return_commit_defers_index_append(ray_session, tmp_path):
+    """ADVICE r4 (medium): with return_commit=True the index must stay
+    untouched until commit() — persisting survivors first makes the
+    append the last idempotent step, so a crash-retry cannot find the
+    survivors' own signatures and drop the whole delta."""
+    import os
+
+    seen, new = _tables(seed=91)
+    idx = build_minhash_index(rd.from_arrow(seen).repartition(4),
+                              str(tmp_path / "idx"))
+
+    def sig_files():
+        d = os.path.join(idx, "sigs")
+        return sorted(os.listdir(d))
+
+    before = sig_files()
+    kept, commit = delta_neardup_vs_index(
+        rd.from_arrow(new).repartition(4), idx, threshold=0.5,
+        update_index=True, return_commit=True)
+    kept = kept.materialize()
+    n_kept = kept.count()
+    assert sig_files() == before  # nothing appended yet
+    # simulated retry BEFORE commit: the same delta must re-vet to the
+    # same survivors (no self-signature poisoning)
+    again = delta_neardup_vs_index(
+        rd.from_arrow(new).repartition(4), idx, threshold=0.5,
+        update_index=False).to_pandas()
+    assert len(again) == n_kept
+    commit()
+    assert len(sig_files()) > len(before)
+    # after commit the whole delta is recognized as already ingested
+    third = delta_neardup_vs_index(
+        rd.from_arrow(new).repartition(4), idx, threshold=0.5,
+        update_index=False).to_pandas()
+    assert len(third) == 0
