@@ -37,6 +37,7 @@ import math
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .joinsafe import safe_join
 
@@ -44,21 +45,24 @@ K1 = 1.2
 B = 0.75
 
 
-def _term_freqs(texts: list, terms: list[str]):
+def _term_freqs(texts, terms: list[str]):
     """(tf matrix [n_docs × T] int64, dl vector int64) for the
-    broadcast term list.  Per-token dict lookup — the term list is
-    tiny, the split dominates."""
-    idx = {t: j for j, t in enumerate(terms)}
-    tf = np.zeros((len(texts), len(terms)), dtype=np.int64)
-    dl = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        toks = t.split(" ") if t else []
-        dl[i] = len(toks)
-        row = tf[i]
-        for tok in toks:
-            j = idx.get(tok)
-            if j is not None:
-                row[j] += 1
+    broadcast term list.  Vectorized (VERDICT r4 #5): one
+    ``pc.split_pattern`` pass, ``pc.index_in`` against the term set,
+    and a scattered ``np.add.at`` — no per-token Python.  ``texts``
+    may be a list or an Arrow string column."""
+    from .tokvec import split_tokens
+
+    flat, rows, dl = split_tokens(texts, empty_as_token=False)
+    t_n = len(terms)
+    if not (t_n and len(rows)):
+        return np.zeros((len(dl), t_n), dtype=np.int64), dl
+    codes = pc.index_in(flat, pa.array(terms, pa.string())) \
+        .fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+    hit = codes >= 0
+    tf = np.bincount(rows[hit] * t_n + codes[hit],
+                     minlength=len(dl) * t_n).reshape(len(dl), t_n) \
+        .astype(np.int64)
     return tf, dl
 
 
@@ -69,7 +73,7 @@ def corpus_term_stats(ds, terms: list[str], text_col: str = "text"):
     terms = list(terms)
 
     def partials(batch: pa.Table) -> pa.Table:
-        tf, dl = _term_freqs(batch.column(text_col).to_pylist(), terms)
+        tf, dl = _term_freqs(batch.column(text_col), terms)
         cols = {
             "n_docs": pa.array([batch.num_rows], pa.int64()),
             "sum_dl": pa.array([int(dl.sum())], pa.int64()),
@@ -129,7 +133,7 @@ def bm25_topk(ds, queries: dict[int, list[str]], k: int = 10,
                  for qid, ts in queries.items()}
 
     def score(batch: pa.Table) -> pa.Table:
-        tf, dl = _term_freqs(batch.column(text_col).to_pylist(), terms)
+        tf, dl = _term_freqs(batch.column(text_col), terms)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         if tf.size and int(tf.max()) * sum_dl > (1 << 63) // 22:
             raise OverflowError(
@@ -184,12 +188,11 @@ def token_df_table(ds, text_col: str = "text"):
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        for t in batch.column(text_col).to_pylist():
-            for tok in set((t or "").split(" ")):
-                counts[tok] = counts.get(tok, 0) + 1
-        return pa.table({"term": pa.array(list(counts.keys()), pa.string()),
-                         "c": pa.array(list(counts.values()), pa.int64())})
+        # vectorized distinct-(doc,token) partial (VERDICT r4 #5):
+        # Arrow hash aggregation, no per-token Python
+        from .tokvec import distinct_pair_df_table
+
+        return distinct_pair_df_table(batch.column(text_col))
 
     from .dedup_text import _auto_partitions
 
@@ -356,7 +359,7 @@ def termcount_topk(ds, queries: dict[int, list[str]], k: int = 10,
                  for qid, ts in queries.items()}
 
     def score(batch: pa.Table) -> pa.Table:
-        tf, _dl = _term_freqs(batch.column(text_col).to_pylist(), terms)
+        tf, _dl = _term_freqs(batch.column(text_col), terms)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         out_q, out_id, out_s = [], [], []
         for qid, cols in qterm_idx.items():
@@ -476,7 +479,7 @@ def hybrid_rrf_topk(ds, queries: dict[int, list[str]], k: int = 10,
                  for qid, ts in queries.items()}
 
     def score(batch: pa.Table) -> pa.Table:
-        tf, dl = _term_freqs(batch.column(text_col).to_pylist(), terms)
+        tf, dl = _term_freqs(batch.column(text_col), terms)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         tff = tf.astype(np.float64)
         dlf = dl.astype(np.float64)

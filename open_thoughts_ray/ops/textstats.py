@@ -15,9 +15,11 @@ from ..common.hashing import rolling_fingerprint, uint64_to_int64
 
 def token_count_batch(batch: pa.Table, text_col: str = "text",
                       out: str = "n_tokens") -> pa.Table:
-    """Whitespace token count (single-space corpora: len(split))."""
-    texts = batch.column(text_col).to_pylist()
-    n = np.asarray([len(t.split(" ")) if t else 0 for t in texts], dtype=np.int64)
+    """Whitespace token count (single-space corpora: len(split)),
+    vectorized via ``pc.split_pattern`` + ``list_value_length``."""
+    from .tokvec import token_lengths
+
+    n = token_lengths(batch.column(text_col), empty_as_token=False)
     return batch.append_column(out, pa.array(n, pa.int64()))
 
 
@@ -162,11 +164,15 @@ def corpus_profile(ds, text_col: str = "text") -> dict:
     from .consensus import _partial_token_counts
 
     def scalar_partial(t: pa.Table) -> pa.Table:
-        texts = t.column(text_col).to_pylist()
-        toks = sum(len((x or "").split(" ")) for x in texts)
-        chars = sum(len(x or "") for x in texts)
+        import pyarrow.compute as pc
+
+        from .tokvec import token_lengths
+
+        filled = pc.fill_null(t.column(text_col), "")
+        toks = int(token_lengths(filled, empty_as_token=True).sum())
+        chars = int(pc.sum(pc.utf8_length(filled)).as_py() or 0)
         return pa.table({
-            "n_docs": pa.array([len(texts)], pa.int64()),
+            "n_docs": pa.array([t.num_rows], pa.int64()),
             "n_tokens": pa.array([toks], pa.int64()),
             "n_chars": pa.array([chars], pa.int64()),
         })
