@@ -137,7 +137,8 @@ def delta_neardup_vs_index(new_ds, index_dir: str,
                            max_bucket: int = 256,
                            num_partitions: int | None = None,
                            update_index: bool = True,
-                           return_commit: bool = False):
+                           return_commit: bool = False,
+                           max_driver_pairs: int = 2_000_000):
     """Vet a new shard against a persisted signature index; returns the
     surviving full-width new rows.  With ``update_index`` the
     survivors' signatures are appended as a new fragment (the next
@@ -210,7 +211,75 @@ def delta_neardup_vs_index(new_ds, index_dir: str,
                          "b": pa.array(b, pa.string())}).filter(
             pa.array(m, pa.bool_()))
 
-    pairs = pairs.map_batches(new_touching, batch_format="pyarrow")
+    pairs = pairs.map_batches(new_touching, batch_format="pyarrow") \
+        .materialize()
+    n_cand = pairs.count()
+
+    if n_cand <= max_driver_pairs:
+        # driver fast path (VERDICT r4 #6): the candidate set is small,
+        # so verifying on the driver — fetch ONLY the candidate
+        # endpoints' signatures (two broadcast-filter passes, k×8 B per
+        # endpoint) and compare in one numpy kernel — skips the two
+        # candidate-keyed partition-merge shuffles of the distributed
+        # verify.  That removes ~4 fixed-cost Dataset executions per
+        # delta shard; the distributed path stays above the cap (the
+        # same max_driver_pairs convention as the dedup family).
+        drop: set = set()
+        if n_cand:
+            import ray as _ray
+
+            pdf = pairs.to_pandas().drop_duplicates(subset=["a", "b"])
+            need = set(pdf["a"]).union(pdf["b"])
+            need_seen = {_unpad(v[2:], id_is_int) for v in need
+                         if v.startswith("0#")}
+            need_new = {_unpad(v[2:], id_is_int) for v in need
+                        if v.startswith("1#")}
+
+            def fetch(sig_ds, wanted: set):
+                ref = _ray.put(wanted)
+
+                def f(t: pa.Table) -> pa.Table:
+                    w = _ray.get(ref)
+                    m = [str(v) in w for v in t.column("id").to_pylist()]
+                    return t.filter(pa.array(m, pa.bool_()))
+
+                df = sig_ds.map_batches(
+                    f, batch_format="pyarrow").to_pandas()
+                return {str(i): np.asarray(s, np.int64)
+                        for i, s in zip(df["id"], df["sig"])}
+
+            sig_map = {}
+            for i, v in fetch(seen_sigs, need_seen).items():
+                sig_map["0#" + _pad(i, id_is_int)] = v
+            for i, v in fetch(new_sigs, need_new).items():
+                sig_map["1#" + _pad(i, id_is_int)] = v
+            if len(pdf):
+                A = np.stack([sig_map[v] for v in pdf["a"]])
+                Bm = np.stack([sig_map[v] for v in pdf["b"]])
+                agree = (A == Bm).mean(axis=1) >= threshold
+                drop = {_unpad(v[2:], id_is_int)
+                        for v in pdf["b"][agree]}
+
+        def keep_pred_fast(t: pa.Table) -> pa.Table:
+            m = [str(v) not in drop for v in t.column(id_col).to_pylist()]
+            return t.filter(pa.array(m, pa.bool_()))
+
+        kept_fast = new_ds.map_batches(keep_pred_fast,
+                                       batch_format="pyarrow")
+
+        def _commit_fast():
+            surviving = new_sigs.map_batches(
+                lambda t: t.filter(pa.array(
+                    [v not in drop for v in t.column("id").to_pylist()],
+                    pa.bool_())), batch_format="pyarrow")
+            surviving.write_parquet(os.path.join(index_dir, "sigs"))
+
+        if return_commit:
+            return kept_fast, (_commit_fast if update_index
+                               else (lambda: None))
+        if update_index:
+            _commit_fast()
+        return kept_fast
 
     # verify by signature agreement against the prefixed sig tables —
     # candidate-sized joins, never corpus-sized, and NO text access
