@@ -7,6 +7,7 @@ import math
 import duckdb
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 from open_thoughts_ray.ops.retrieval import (
@@ -395,3 +396,79 @@ def test_bm25_micro_score_numpy_duckdb_bit_parity():
     """).fetchnumpy()["micro"]
     assert (mine == theirs).all(), \
         f"{(mine != theirs).sum()} of {n} micro scores differ"
+
+
+def test_tfidf_large_vocab_path_string_doc_ids(ray_session):
+    """VERDICT r4 #7: the explode/join large-vocab path must handle
+    STRING doc ids (crc32 partition key) and agree exactly with the
+    broadcast small-vocab path."""
+    import numpy as np
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.retrieval import tfidf_top_terms
+
+    rng = np.random.default_rng(11)
+    texts = [" ".join(f"w{int(v)}" for v in rng.integers(0, 80, 25))
+             for _ in range(120)]
+    t = pa.table({
+        "doc_id": pa.array([f"doc-{i:04d}" for i in range(120)],
+                           pa.string()),
+        "text": pa.array(texts, pa.string()),
+    })
+    ds = rd.from_arrow(t).repartition(6)
+    small = tfidf_top_terms(ds, k=3).to_pandas()
+    large = tfidf_top_terms(ds, k=3, max_driver_vocab=0).to_pandas()
+    key = ["doc_id", "term"]
+    s = small.sort_values(key).reset_index(drop=True)
+    l = large.sort_values(key).reset_index(drop=True)
+    assert s.equals(l)
+    assert len(s) == 3 * 120
+
+
+def test_js_divergence_exact_int_totals(ray_session):
+    """VERDICT r4 #7: corpus totals fold as exact int64 Sums — the JS
+    value must equal a pure-Python-integer serial reference bit-for-bit
+    (same ln calls, same mixture scale c = B·a + A·b over 2AB)."""
+    import math
+
+    import numpy as np
+    import ray.data as rd
+
+    from open_thoughts_ray.ops.consensus import js_divergence
+
+    rng = np.random.default_rng(13)
+
+    def corpus(seed_off):
+        return [" ".join(f"w{int(v)}"
+                         for v in rng.integers(seed_off, seed_off + 50, 30))
+                for _ in range(80)]
+
+    ta, tb = corpus(0), corpus(20)  # overlapping vocabularies
+    dsa = rd.from_arrow(pa.table({"text": pa.array(ta, pa.string())})) \
+        .repartition(4)
+    dsb = rd.from_arrow(pa.table({"text": pa.array(tb, pa.string())})) \
+        .repartition(4)
+    got = js_divergence(dsa, dsb)
+
+    def counts(texts):
+        c: dict = {}
+        for t in texts:
+            for tok in (t or "").split(" "):
+                c[tok] = c.get(tok, 0) + 1
+        return c
+
+    ca, cb = counts(ta), counts(tb)
+    A, B = sum(ca.values()), sum(cb.values())  # exact Python ints
+    SA = sum(v * math.log(v) for v in ca.values())
+    SB = sum(v * math.log(v) for v in cb.values())
+    toks = set(ca) | set(cb)
+    SC = sum((B * ca.get(t, 0) + A * cb.get(t, 0))
+             * math.log(B * ca.get(t, 0) + A * cb.get(t, 0))
+             for t in toks)
+    two_ab = (2 * A) * B
+    h_m = np.log(two_ab) - SC / two_ab
+    ref = float(h_m - 0.5 * ((np.log(A) - SA / A) + (np.log(B) - SB / B)))
+    # summation ORDER of the float partials differs across partitions,
+    # so allow ulp-scale drift only — far below the 1e-6 quantization
+    assert got == pytest.approx(ref, abs=1e-12)
+    assert 0.0 < got < math.log(2)
