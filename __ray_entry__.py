@@ -1778,7 +1778,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_search_corpus": _q_image_search,
         "delta_neardup_indexed_documents": _q_delta_neardup_indexed,
         "tree_search_documents": _q_tree_search,
+        "code_judge_documents": _q_code_judge,
     }
+
+
+def _q_code_judge(sf_dir: str):
+    """End-to-end code-judge gate (VERDICT r4 #8): solutions + tests
+    are SYNTHESIZED deterministically from doc_id so the verdict of
+    every row is SQL-predictable, yet the Ray side actually compiles
+    and executes each solution in the sandboxed per-solution
+    subprocess — both protocols (std stdin/stdout and call-based
+    fn_name) and three verdict classes are exercised and hash-checked
+    against the oracle."""
+    import json as _json
+
+    from open_thoughts_ray.ops.code_verify import verify_code
+
+    ds = _rp(sf_dir, "documents", ["doc_id"]) \
+        .sort("doc_id").limit(48)
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        codes, tests = [], []
+        for i in ids:
+            m = int(i) % 4
+            if m == 0:      # std protocol, correct
+                codes.append("print(int(input()) * 2)")
+                tests.append(_json.dumps(
+                    {"inputs": [f"{i}\n"], "outputs": [f"{int(i) * 2}\n"]}))
+            elif m == 1:    # std protocol, wrong answer
+                codes.append("print(int(input()) * 2 + 1)")
+                tests.append(_json.dumps(
+                    {"inputs": [f"{i}\n"], "outputs": [f"{int(i) * 2}\n"]}))
+            elif m == 2:    # call-based protocol, correct
+                codes.append("def add(a, b):\n    return a + b")
+                tests.append(_json.dumps(
+                    {"fn_name": "add", "inputs": [[int(i), 7]],
+                     "outputs": [int(i) + 7]}))
+            else:           # runtime error
+                codes.append("raise ValueError('boom')")
+                tests.append(_json.dumps(
+                    {"inputs": [f"{i}\n"], "outputs": [f"{i}\n"]}))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "solution": pa.array(codes, pa.string()),
+            "test_cases": pa.array(tests, pa.string()),
+        })
+
+    out = verify_code(ds.map_batches(synth, batch_format="pyarrow"),
+                      timeout_s=5.0, concurrency=4)
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "passed": t.column("passed"),
+            "n_passed": t.column("n_passed"),
+            "n_tests": t.column("n_tests"),
+            "verdict": pa.array(
+                [(_json.loads(v) or ["none"])[0]
+                 for v in t.column("verdicts").to_pylist()], pa.string()),
+        }), batch_format="pyarrow")
 
 
 def _q_ann_topk_ivf(sf_dir: str):
@@ -2632,6 +2690,22 @@ def oracle_sql() -> dict[str, str]:
                            "golden_flagship.parquet")
     d["flagship_quality_filter"] = (
         f"SELECT * FROM read_parquet('{_golden}')")
+    # code-judge verdicts are fully determined by doc_id % 4 (the
+    # solutions are synthesized from it); the Ray side REALLY executes
+    # the code, the oracle replays the expected verdict algebra
+    d["code_judge_documents"] = """
+        SELECT doc_id,
+               (doc_id % 4 = 0 OR doc_id % 4 = 2) AS passed,
+               CAST(CASE WHEN doc_id % 4 IN (0, 2) THEN 1 ELSE 0 END
+                    AS BIGINT) AS n_passed,
+               CAST(1 AS BIGINT) AS n_tests,
+               CASE doc_id % 4
+                    WHEN 0 THEN 'passed'
+                    WHEN 1 THEN 'wrong_answer'
+                    WHEN 2 THEN 'passed'
+                    ELSE 'runtime_error' END AS verdict
+        FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 48)
+    """
     return d
 
 
