@@ -108,6 +108,16 @@ def safe_join(left, right, *, join_type: str = "inner", on: tuple,
     import ray
 
     right_on = right_on or on
+    # Clamp the aggregator fan-out to the session's CPUs: a JoinOperator
+    # with num_partitions far above available cores can deadlock its
+    # aggregator-pool reservation on small sessions (the same adaptive-
+    # partitions convention as the dedup family).  At cluster scale the
+    # caller's value is unchanged.
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", num_partitions))
+        num_partitions = max(1, min(num_partitions, cpus))
+    except Exception:
+        pass
     left = left.materialize()
     right = right.materialize()
     ln, rn = left.count(), right.count()

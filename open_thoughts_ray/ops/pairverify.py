@@ -274,10 +274,18 @@ def verify_pairs_distributed(pairs, ds, id_col: str, text_col: str,
         batch_format="pyarrow")
 
 
-def anti_join_ids(ds, id_col: str, drop_ids, num_partitions: int = 32):
+def anti_join_ids(ds, id_col: str, drop_ids,
+                  num_partitions: int | None = None):
     """ds minus rows whose str(id) appears in ``drop_ids``
     (Dataset[id:string]) — hash-join anti-join for drop sets too large
-    to broadcast.  One shuffle of ds + one of the id set."""
+    to broadcast.  One shuffle of ds + one of the id set.
+    ``num_partitions`` defaults adaptive (≈ live CPUs) — a fixed count
+    far above the session's cores can deadlock the join's aggregator
+    reservation on small sessions."""
+    from .dedup_text import _auto_partitions
+
+    num_partitions = _auto_partitions(num_partitions)
+
     def mark(t: pa.Table) -> pa.Table:
         if t.num_columns == 0:  # schema-less empty aggregator block
             return pa.table({"__drop_key": pa.array([], pa.string()),
