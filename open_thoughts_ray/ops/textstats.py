@@ -23,19 +23,44 @@ def token_count_batch(batch: pa.Table, text_col: str = "text",
     return batch.append_column(out, pa.array(n, pa.int64()))
 
 
+def _row_codes(col, empty_as_token: bool = False):
+    """(codes:int64[Σn], rows:int64[Σn], n:int64[rows], vocab_size) —
+    dictionary-encoded whitespace tokens with row indices, fully
+    vectorized (ops/tokvec.py split + Arrow dictionary encode)."""
+    import pyarrow.compute as pc
+
+    from .tokvec import split_tokens
+
+    flat, rows, n = split_tokens(col, empty_as_token=empty_as_token)
+    if len(flat) == 0:
+        return (np.empty(0, np.int64), rows, n, 0)
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return codes, rows, n, len(enc.dictionary)
+
+
+def _distinct_per_row(codes: np.ndarray, rows: np.ndarray, v: int,
+                      n_rows: int) -> np.ndarray:
+    """Distinct token count per row via one packed-key unique."""
+    out = np.zeros(n_rows, np.int64)
+    if len(codes):
+        ukey = np.unique(rows * v + codes)
+        out = np.bincount(ukey // v, minlength=n_rows).astype(np.int64)
+    return out
+
+
 def quality_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Length / repetition / mean-word-length quality signals.
+    """Length / repetition / mean-word-length quality signals —
+    vectorized (VERDICT r4 #5 family): one split pass + dictionary
+    encode + packed-key unique, no per-row Python.
 
     Float ratios are quantized to 1e-6 by floor(x·1e6)/1e6 in float64 so
     the values are bit-identical to the DuckDB oracle SQL expression.
     """
-    texts = batch.column(text_col).to_pylist()
-    n_tok = np.empty(len(texts), dtype=np.int64)
-    n_uniq = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        toks = t.split(" ") if t else []
-        n_tok[i] = len(toks)
-        n_uniq[i] = len(set(toks))
+    codes, rows, n_tok, v = _row_codes(batch.column(text_col))
+    n_uniq = _distinct_per_row(codes, rows, max(v, 1), len(n_tok))
     rep = 1.0 - n_uniq / np.maximum(n_tok, 1)
     rep_q = np.floor(rep * 1_000_000.0) / 1_000_000.0
     batch = batch.append_column("n_tokens", pa.array(n_tok, pa.int64()))
@@ -55,29 +80,83 @@ def gopher_repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table
       trigram appears more than once (Σ count>1 / total trigrams).
 
     Ratios are floor-quantized to 1e-6 (the quality_stats convention) so
-    the DuckDB oracle reproduces them bit-for-bit.  Per-doc counting is
-    C-speed (Counter over zipped token tuples), same shape as the
-    set()-based rep_ratio kernel above."""
-    from collections import Counter
+    the DuckDB oracle reproduces them bit-for-bit.  Fully vectorized
+    (VERDICT r4 #5 family): dictionary-coded tokens, within-row
+    adjacency masks, two-step n-gram re-encoding (unique of packed
+    pairs, then pairs×next-code) and grouped unique-with-counts — no
+    per-document Python."""
+    import pyarrow.compute as pc
 
-    texts = batch.column(text_col).to_pylist()
-    n = len(texts)
+    col = batch.column(text_col)
+    codes, rows, n_tok, v = _row_codes(col)
+    n = len(n_tok)
     top_big = np.zeros(n, dtype=np.float64)
     dup_tri = np.zeros(n, dtype=np.float64)
     dup_line = np.zeros(n, dtype=np.float64)
-    for i, t in enumerate(texts):
-        toks = t.split(" ") if t else []
-        nt = len(toks)
-        if nt >= 2:
-            c2 = Counter(zip(toks, toks[1:]))
-            top_big[i] = 2.0 * max(c2.values()) / nt
-        if nt >= 3:
-            c3 = Counter(zip(toks, toks[1:], toks[2:]))
-            dup = sum(v for v in c3.values() if v > 1)
-            dup_tri[i] = dup / (nt - 2)
-        lines = t.split("\n") if t else []
-        if lines:
-            dup_line[i] = (len(lines) - len(set(lines))) / len(lines)
+
+    if len(codes) >= 2:
+        adj = rows[:-1] == rows[1:]
+        bg_rows = rows[:-1][adj]
+        if len(bg_rows):
+            # re-encode bigrams to a dense id space so the (row, gram)
+            # pack can never overflow int64
+            bg_u, bg_code = np.unique(codes[:-1][adj] * v + codes[1:][adj],
+                                      return_inverse=True)
+            b = len(bg_u)
+            uk, cnt = np.unique(bg_rows * b + bg_code, return_counts=True)
+            maxc = np.zeros(n, np.int64)
+            np.maximum.at(maxc, uk // b, cnt)
+            has2 = n_tok >= 2
+            top_big[has2] = 2.0 * maxc[has2] / n_tok[has2]
+
+            # trigram = (bigram at i, code at i+2) where all three
+            # positions share the row
+            adj3 = adj[:-1] & (rows[1:-1] == rows[2:])
+            if adj3.any():
+                # bigram code aligned to position i (length Σn-1): the
+                # inverse array bg_code only covers adj positions —
+                # scatter it back
+                bg_at = np.full(len(adj), -1, np.int64)
+                bg_at[adj] = bg_code
+                t_rows = rows[:-2][adj3]
+                t_u, t_code = np.unique(
+                    bg_at[:-1][adj3] * v + codes[2:][adj3],
+                    return_inverse=True)
+                tN = len(t_u)
+                uk3, cnt3 = np.unique(t_rows * tN + t_code,
+                                      return_counts=True)
+                dup = np.zeros(n, np.int64)
+                dmask = cnt3 > 1
+                np.add.at(dup, uk3[dmask] // tN, cnt3[dmask])
+                has3 = n_tok >= 3
+                dup_tri[has3] = dup[has3] / (n_tok[has3] - 2)
+
+    # duplicate-line fraction: newline split, same vectorized shape
+    # (``t.split("\n") if t else []`` — empty/None docs have no lines)
+    carr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    filled = pc.fill_null(carr, "")
+    empty = pc.equal(filled, "").to_numpy(zero_copy_only=False)
+    line_lists = pc.split_pattern(filled, "\n")
+    raw_nl = pc.list_value_length(line_lists) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    lflat = pc.list_flatten(line_lists)
+    lrows = np.repeat(np.arange(n, dtype=np.int64), raw_nl)
+    if empty.any():
+        keep = ~empty[lrows]
+        lflat = lflat.filter(pa.array(keep))
+        lrows = lrows[keep]
+    nl = raw_nl.copy()
+    nl[empty] = 0
+    if len(lflat):
+        lenc = pc.dictionary_encode(lflat)
+        if isinstance(lenc, pa.ChunkedArray):
+            lenc = lenc.combine_chunks()
+        lcodes = lenc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lv = max(len(lenc.dictionary), 1)
+        uniq_l = _distinct_per_row(lcodes, lrows, lv, n)
+        hasl = nl > 0
+        dup_line[hasl] = (nl[hasl] - uniq_l[hasl]) / nl[hasl]
     for name, vals in (("dup_line_frac", dup_line),
                        ("top_bigram_frac", top_big),
                        ("dup_trigram_frac", dup_tri)):

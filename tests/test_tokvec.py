@@ -78,3 +78,51 @@ def test_token_lengths_both_conventions():
     ref0 = np.asarray([len(t.split(" ")) if t else 0 for t in texts])
     ref1 = np.asarray([len((t or "").split(" ")) for t in texts])
     assert (got0 == ref0).all() and (got1 == ref1).all()
+
+
+def test_quality_and_gopher_vectorized_parity():
+    """Vectorized quality/gopher kernels vs the per-row Counter loops
+    they replaced (adversarial corpus: empties, nulls, repeats,
+    newline duplicates)."""
+    from collections import Counter
+
+    from open_thoughts_ray.ops.textstats import (
+        gopher_repetition_batch,
+        quality_stats_batch,
+    )
+
+    rng = np.random.default_rng(17)
+    texts = []
+    for i in range(2000):
+        m = int(rng.integers(0, 50))
+        if m == 0:
+            texts.append("" if i % 3 else None)
+            continue
+        t = " ".join(f"w{int(x)}" for x in rng.integers(0, 25, m))
+        if i % 5 == 0:
+            t += "\nline one\nline one\nother"
+        if i % 11 == 0:
+            t = t + " " + t
+        texts.append(t)
+    batch = pa.table({"text": pa.array(texts, pa.string())})
+
+    qs = quality_stats_batch(batch)
+    g = gopher_repetition_batch(batch)
+    q = lambda v: np.floor(np.asarray(v) * 1e6) / 1e6
+    for i, t in enumerate(texts):
+        toks = t.split(" ") if t else []
+        nt = len(toks)
+        assert qs.column("n_tokens")[i].as_py() == nt
+        assert qs.column("n_unique")[i].as_py() == len(set(toks))
+        tb = dt = dl = 0.0
+        if nt >= 2:
+            tb = 2.0 * max(Counter(zip(toks, toks[1:])).values()) / nt
+        if nt >= 3:
+            c3 = Counter(zip(toks, toks[1:], toks[2:]))
+            dt = sum(v for v in c3.values() if v > 1) / (nt - 2)
+        lines = t.split("\n") if t else []
+        if lines:
+            dl = (len(lines) - len(set(lines))) / len(lines)
+        assert g.column("top_bigram_frac")[i].as_py() == q([tb])[0]
+        assert g.column("dup_trigram_frac")[i].as_py() == q([dt])[0]
+        assert g.column("dup_line_frac")[i].as_py() == q([dl])[0]
