@@ -69,6 +69,91 @@ def get_artifact_bytes(name: str) -> bytes:
     return data
 
 
+def build_langid_bin() -> bytes:
+    """A *real-format* fastText ``.bin`` language-ID model.
+
+    Word-level multinomial NB over the synthetic corpus, emitted in the
+    official supervised layout (``models.fasttext_bin``): input row of
+    word *w* = log P(w|class) across classes (dim = n_classes), the EOS
+    row carries the log prior, output = identity — so fastText's own
+    hidden-mean + softmax prediction IS the NB decision.  The file the
+    C++ ``fasttext predict`` CLI would load; stands in for lid.176.bin
+    (fasttext_operator.py:193-240) until a network seam provides the
+    real weights.
+    """
+    from collections import Counter
+
+    import numpy as np
+
+    from ..fixtures.textgen import langid_corpus
+    from .fasttext_bin import (ENTRY_LABEL, ENTRY_WORD, EOS, FastTextArgs,
+                               FastTextModel, bin_bytes)
+
+    from .fasttext_bin import _subword_ngrams
+
+    MINN, MAXN, BUCKET = 2, 3, 1 << 16
+    texts, labels = langid_corpus(n_per_lang=_LANGID_N_PER_LANG)
+    classes = sorted(set(labels))
+    cidx = {c: i for i, c in enumerate(classes)}
+    # pass 1: word vocab (fastText never lowercases; match its tokenizer)
+    vocab_counts: Counter = Counter()
+    for t in texts:
+        vocab_counts.update(t.split())
+    words = [w for w, c in vocab_counts.most_common() if c >= 2 and w != EOS]
+    word_id = {w: 1 + i for i, w in enumerate(words)}  # 0 = EOS
+    nwords = 1 + len(words)
+    # pass 2: per-class counts over the SAME feature ids fastText's
+    # getLine produces — word id (in-vocab) + char-ngram bucket ids, so
+    # its hidden-mean + identity-output softmax IS this NB's decision
+    dim = len(classes)
+    feat_counts = np.zeros((nwords + BUCKET, dim), dtype=np.float64)
+    prior = np.zeros(dim, dtype=np.float64)
+    memo: dict[str, list[int]] = {}
+    ntokens = 0
+    for t, l in zip(texts, labels):
+        ci = cidx[l]
+        prior[ci] += 1
+        toks = t.split()
+        ntokens += len(toks) + 1
+        for w in toks:
+            ids = memo.get(w)
+            if ids is None:
+                ids = _subword_ngrams(w, MINN, MAXN, BUCKET, nwords)
+                wid = word_id.get(w)
+                if wid is not None:
+                    ids = [wid] + ids
+                memo[w] = ids
+            for fid in ids:
+                feat_counts[fid, ci] += 1
+    alpha = 0.5
+    totals = feat_counts.sum(axis=0)
+    nz = (feat_counts.sum(axis=1) > 0).sum()
+    inp = np.log((feat_counts + alpha) / (totals + alpha * nz)).astype(np.float32)
+    inp[0] = np.log(prior / prior.sum())  # EOS row = prior
+    out = np.eye(dim, dtype=np.float32)
+    all_words = [EOS] + words
+    counts = np.asarray(
+        [len(texts)] + [vocab_counts[w] for w in words]
+        + [int(p) for p in prior], dtype=np.int64)
+    types = np.asarray(
+        [ENTRY_WORD] * len(all_words) + [ENTRY_LABEL] * dim, dtype=np.int8)
+    model = FastTextModel(
+        FastTextArgs(dim=dim, bucket=BUCKET, minn=MINN, maxn=MAXN,
+                     word_ngrams=1),
+        all_words + [f"__label__{c}" for c in classes],
+        counts, types, ntokens, inp, out)
+    return bin_bytes(model)
+
+
+def langid_bin_path() -> str:
+    """Path to the cached real-format ``.bin`` langid artifact."""
+    key = "langid.bin"
+    path = os.path.join(_CACHE_DIR, key)
+    if not os.path.exists(path):
+        _atomic_write(path, build_langid_bin())
+    return path
+
+
 def load_langid():
     from .fasttext_like import HashedNgramClassifier
 

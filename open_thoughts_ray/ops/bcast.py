@@ -69,3 +69,14 @@ def cached_build(ref, build, tag: str = ""):
         v = build(ray.get(ref))
         _CACHE[key] = v
     return v
+
+
+def cached_build_local(key: str, build):
+    """``build(key)`` once per worker process for NON-broadcast state —
+    e.g. a model loaded from a node-cached file path, where the path
+    string itself is the cache key (no object-store fetch involved)."""
+    v = _CACHE.get(key)
+    if v is None:
+        v = build(key)
+        _CACHE[key] = v
+    return v

@@ -179,8 +179,19 @@ def execute_op(typ: str, cfg: dict, ins: list):
             from .ops.langid import LangIdScorer
 
             ra = _remote_args(cfg)
-            model_ref = _ray.put(artifacts.get_artifact_bytes("langid"))
             text_column = cfg.get("input_column", "text")
+            bin_source = cfg.get("fasttext_path")
+            if cfg.get("hf_repo_id") is not None:
+                raise NotImplementedError(
+                    "hf_repo_id model download is the documented network "
+                    "swap seam (fasttext_operator.py:163-176); pass a "
+                    "local .bin via fasttext_path instead")
+            if bin_source is not None:
+                # real fastText .bin (e.g. lid.176.bin) through the fcntl
+                # node cache — ship the PATH, each actor/worker loads once
+                model_ref = None
+            else:
+                model_ref = _ray.put(artifacts.get_artifact_bytes("langid"))
             if ra.get("concurrency") is not None or ra.get("num_gpus"):
                 # explicit pool config (e.g. GPU stage) → actor pool
                 scored = ins[0].map_batches(
@@ -192,6 +203,7 @@ def execute_op(typ: str, cfg: dict, ins: list):
                     fn_constructor_kwargs={
                         "model_ref": model_ref,
                         "text_column": text_column,
+                        "bin_source": bin_source,
                     },
                 )
             else:
@@ -200,13 +212,21 @@ def execute_op(typ: str, cfg: dict, ins: list):
                 # chained FIXED pools over-reserve a small cluster and
                 # deadlock the streaming executor (tests/test_align.py
                 # found this with gate→align; same for fasttext→embed)
-                from .ops.bcast import cached_build
+                from .ops.bcast import cached_build, cached_build_local
 
-                def _score(batch, *, _ref=model_ref, _col=text_column):
-                    scorer = cached_build(
-                        _ref,
-                        lambda b: LangIdScorer(model_bytes=b, text_column=_col),
-                        tag=f"langid:{_col}")
+                def _score(batch, *, _ref=model_ref, _col=text_column,
+                           _bin=bin_source):
+                    if _bin is not None:
+                        scorer = cached_build_local(
+                            f"langid-bin:{_col}:{_bin}",
+                            lambda _k: LangIdScorer(bin_source=_bin,
+                                                    text_column=_col))
+                    else:
+                        scorer = cached_build(
+                            _ref,
+                            lambda b: LangIdScorer(model_bytes=b,
+                                                   text_column=_col),
+                            tag=f"langid:{_col}")
                     return scorer(batch)
 
                 scored = ins[0].map_batches(

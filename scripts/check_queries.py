@@ -64,7 +64,8 @@ def main() -> int:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False,
+        ncpu = int(os.environ.get("OTR_CHECK_CPUS", "8"))
+        ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
                  logging_level="ERROR")
     logging.getLogger("ray.data").setLevel(logging.ERROR)
     from ray.data import DataContext

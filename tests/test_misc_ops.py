@@ -736,6 +736,50 @@ def test_yaml_reference_vocabulary(ray_session, tmp_path):
     assert set(out.source) == {"unit"}
 
 
+def test_yaml_fasttext_path_real_bin(ray_session, tmp_path):
+    """``fasttext_path`` loads a REAL-format .bin through the fcntl node
+    cache (the reference's lid.176.bin path, fasttext_operator.py:193-281)
+    and filters by target_label like the reference surface."""
+    import pyarrow.parquet as pq
+
+    from open_thoughts_ray.fixtures.textgen import langid_corpus
+    from open_thoughts_ray.models import artifacts
+
+    texts, labels = langid_corpus(n_per_lang=25, seed=77)
+    pq.write_table(
+        pa.table({"text": pa.array(texts, pa.string()),
+                  "true_lang": pa.array(labels, pa.string())}),
+        str(tmp_path / "docs.parquet"),
+    )
+    doc = {"operators": [
+        {"id": "src", "config": {"type": "parquet_source",
+                                 "path": str(tmp_path / "docs.parquet")}},
+        {"id": "ft", "config": {
+            "type": "fasttext", "input_column": "text",
+            "fasttext_path": artifacts.langid_bin_path(),
+            "target_label": "en", "filter_threshold": 0.5}},
+    ]}
+    out = run_pipeline(doc).to_pandas()
+    assert len(out) == 25
+    assert set(out.true_lang) == {"en"}
+    assert (out.lang == "en").all() and (out.lang_conf >= 0.5).all()
+
+
+def test_yaml_fasttext_hf_repo_is_network_seam(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({"text": ["hi"]}), str(tmp_path / "d.parquet"))
+    doc = {"operators": [
+        {"id": "src", "config": {"type": "parquet_source",
+                                 "path": str(tmp_path / "d.parquet")}},
+        {"id": "ft", "config": {"type": "fasttext", "input_column": "text",
+                                "hf_repo_id": "facebook/fasttext-lid"}},
+    ]}
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError, match="swap seam"):
+        run_pipeline(doc)
+
+
 def test_yaml_train_fasttext_and_filter(ray_session, tmp_path):
     """train_fasttext emits a model artifact row; fasttext filtering by
     target_label keeps only confident rows of that label."""
