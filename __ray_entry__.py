@@ -1529,11 +1529,12 @@ def _q_delta_neardup_indexed(sf_dir: str):
 
 def _q_tree_search(sf_dir: str):
     """Level-synchronous tree search (reference tree_search_operator.py
-    re-expressed; rows-only — the md5-mock expansion IS deterministic
-    but the per-level recursion is impractical in one SQL statement;
-    the building blocks are hash-checked by llm_list_fanout /
-    llm_annotate, and BFS structure/budget/determinism are asserted in
-    tests/test_tree_search.py)."""
+    re-expressed).  The per-level recursion is impractical in one SQL
+    statement, so the oracle is the golden-fixture replay
+    (scripts/gen_golden.py — bit-identical at 8 and 32 CPUs); BFS
+    structure/budget/determinism are asserted in
+    tests/test_tree_search.py and the building blocks are
+    SQL-hash-checked by llm_list_fanout / llm_annotate."""
     from open_thoughts_ray.llm.tree_search import tree_search
     from open_thoughts_ray.ops import relational as R
 
@@ -1558,9 +1559,10 @@ def _q_tree_search(sf_dir: str):
 def _q_distill_quality(sf_dir: str):
     """FineWeb-Edu-style teacher→classifier distillation (distill.py):
     keyword-rubric teacher scores a 20% seeded sample, distilled
-    hashed-n-gram classifier scores the full corpus.  Rows-only (the
-    count-based classifier's softmax isn't SQL); rule-reproduction
-    accuracy ≥95% is asserted in tests/test_distill.py."""
+    hashed-n-gram classifier scores the full corpus.  The count-based
+    classifier's softmax isn't SQL, so the oracle is the golden-fixture
+    replay (scripts/gen_golden.py); rule-reproduction accuracy ≥95% is
+    asserted in tests/test_distill.py."""
     from open_thoughts_ray.distill import distill_quality_classifier, \
         score_with_classifier
 
@@ -1573,9 +1575,10 @@ def _q_distill_quality(sf_dir: str):
 
 
 def _q_image_search(sf_dir: str):
-    """Cross-modal retrieval (rows-only): text queries over the image
-    corpus through the shared alignment space; self-retrieval rank-1
-    is asserted in tests/test_align.py."""
+    """Cross-modal retrieval: text queries over the image corpus through
+    the shared alignment space (golden-fixture oracle,
+    scripts/gen_golden.py); self-retrieval rank-1 is asserted in
+    tests/test_align.py."""
     from open_thoughts_ray.fixtures.images import build_images_table
     from open_thoughts_ray.io import lance_table
     from open_thoughts_ray.ops.align import image_search
@@ -1589,9 +1592,10 @@ def _q_image_search(sf_dir: str):
 
 
 def _q_kcenter_select(sf_dir: str):
-    """Greedy k-center diversity selection (rows-only: the iterative
-    farthest-point greedy is not SQL-expressible; serial parity is
-    asserted in tests/test_diversity.py)."""
+    """Greedy k-center diversity selection (the iterative farthest-point
+    greedy is not SQL-expressible; golden-fixture oracle via
+    scripts/gen_golden.py, serial parity asserted in
+    tests/test_diversity.py)."""
     from open_thoughts_ray.ops.diversity import kcenter_select_dataset
 
     ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -1601,9 +1605,9 @@ def _q_kcenter_select(sf_dir: str):
 def _q_image_caption_alignment(sf_dir: str):
     """Image–caption alignment (CLIP-score analogue, ops/align.py):
     deterministic two-tower stand-in in a shared hashed-token space.
-    Rows-only: the seeded projection is not SQL-expressible; serial
-    bit-parity + matched-vs-mismatched separation are asserted in
-    tests/test_align.py."""
+    The seeded projection is not SQL-expressible; golden-fixture oracle
+    via scripts/gen_golden.py, serial bit-parity +
+    matched-vs-mismatched separation asserted in tests/test_align.py."""
     from open_thoughts_ray.fixtures.images import build_images_table
     from open_thoughts_ray.io import lance_table
     from open_thoughts_ray.ops.align import align_score
@@ -1882,8 +1886,10 @@ def _q_semantic_dedup(sf_dir: str):
 
 def _q_fuzzy_dedup(sf_dir: str):
     """Indel-ratio (fuzz.ratio) dedup — deduplicate.py:12-55 semantics
-    via LSH candidates + exact ratio verification (rows-only: edit
-    distance is not SQL-expressible)."""
+    via LSH candidates + exact ratio verification (edit distance is
+    not SQL-expressible; golden-fixture oracle via
+    scripts/gen_golden.py, recall/verify semantics tested in
+    tests/test_editdist.py)."""
     from open_thoughts_ray.ops.fuzzy import fuzzy_dedup
 
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
@@ -1978,8 +1984,10 @@ def _q_stratified_priority_sample(sf_dir: str):
 
 def _q_approx_top_tokens(sf_dir: str):
     """Mergeable truncated-count heavy hitters over the token stream
-    (rows-only: the sketch's counts are lower bounds; exactness and the
-    error bound are asserted in tests/test_sketch.py).  At web scale the
+    (golden-fixture oracle — at this vocab/width the sketch never
+    truncates, max_underestimate = 0, so counts are exact and
+    parallelism-independent; the error bound is asserted in
+    tests/test_sketch.py).  At web scale the
     shuffle carries ≤ partial_width rows per 64k-token batch regardless
     of vocabulary size."""
     from open_thoughts_ray.ops.consensus import _partial_token_counts
@@ -2690,6 +2698,30 @@ def oracle_sql() -> dict[str, str]:
                            "golden_flagship.parquet")
     d["flagship_quality_filter"] = (
         f"SELECT * FROM read_parquet('{_golden}')")
+    # Generalized golden-fixture oracles (scripts/gen_golden.py): each
+    # query below was run in fresh sessions at num_cpus=8 AND 32 on the
+    # driver's sf0.01 tables and produced bit-identical canonicalized
+    # output, so the frozen fixture is an exact replay (regression
+    # oracle, not an independent derivation — semantic evidence is in
+    # pytest: serial parity for k-center/alignment, LSH-recall + exact
+    # Indel verify for fuzzy dedup, rank-1 self-retrieval for image
+    # search, BFS structure/budget for tree_search, ≥95% rule
+    # reproduction for distill, sketch error bound for approx_top —
+    # whose max_underestimate is 0 at this scale, i.e. counts exact,
+    # verified identical across 3 repeat runs at 32 CPUs).  Queries
+    # whose output moves with parallelism (ann_topk_ivf, semantic_dedup
+    # — streamed k-means assignment order) stay rows-only by design:
+    # freezing them would make the driver gate flaky.
+    # Regenerate/audit: python scripts/gen_golden.py [--check].
+    _gg = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "open_thoughts_ray", "fixtures", "golden_gate")
+    for _name in ("fuzzy_dedup_documents", "kcenter_select_embeddings",
+                  "image_caption_alignment", "image_search_corpus",
+                  "approx_top_tokens_documents",
+                  "distill_quality_documents", "tree_search_documents"):
+        _p = os.path.join(_gg, f"{_name}.parquet")
+        if os.path.exists(_p):
+            d[_name] = f"SELECT * FROM read_parquet('{_p}')"
     # code-judge verdicts are fully determined by doc_id % 4 (the
     # solutions are synthesized from it); the Ray side REALLY executes
     # the code, the oracle replays the expected verdict algebra
@@ -4032,12 +4064,12 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM c CROSS JOIN range(2) t(i)
             WHERE ascii(substr(md5(canon),1,1)) % 4 != 1
         """,
-        # approx_top_tokens_documents: rows-only (sketch lower bounds;
-        # exactness + error bound asserted in tests/test_sketch.py)
-        # fuzzy_dedup_documents (Indel ratio needs an LCS kernel SQL
-        # lacks) / flagship_quality_filter (model scoring) /
-        # ann_topk_ivf / semantic_dedup_embeddings (k-means
-        # restriction): not SQL-expressible → rows-only checks;
+        # Non-SQL-expressible ops are hash-checked via golden-fixture
+        # replay where parallelism-stable (approx_top_tokens /
+        # fuzzy_dedup / flagship / distill / tree_search / alignment /
+        # image_search / kcenter — see the golden_gate block below);
+        # only ann_topk_ivf / semantic_dedup_embeddings (streamed
+        # k-means, parallelism-dependent by design) stay rows-only.
         # ngram_jaccard_dedup_documents / simhash_dedup_documents /
         # minhash_dedup_documents / approx_distinct_users are the
         # hash-checked members vouching for the shared machinery.
