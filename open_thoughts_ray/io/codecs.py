@@ -8,6 +8,11 @@ column uses three from-scratch codecs (FIXTURES.md F1):
 * ``qjpg`` — lossy: uniform quantization (step Q=4) + zlib.  Max per-pixel
   error is 2, giving reconstruction PSNR ≈ 46 dB ≥ the 40 dB invariant.
 
+Round 5 adds two REAL container formats behind the same registry:
+``jpg`` (baseline JFIF, io/jpeg.py) and ``png`` (ISO 15948 truecolor,
+io/png.py) — both from-scratch spec implementations, swap seams for
+libjpeg-turbo/libpng at 100-TB scale.
+
 All functions are deterministic (no wall-clock, no global RNG) and
 vectorized.  ``average_phash`` is the 64-bit DCT-free perceptual hash the
 near-dup collapse keys on (grayscale → 32×32 block-mean → 8×8 block-mean →
@@ -21,7 +26,7 @@ import zlib
 
 import numpy as np
 
-FORMATS = ("raw", "pngz", "qjpg", "jpg")
+FORMATS = ("raw", "pngz", "qjpg", "jpg", "png")
 QJPG_STEP = 4  # quantization step; max abs error = QJPG_STEP // 2 = 2
 JPG_QUALITY = 98  # default quality: min PSNR 43.5 dB on the noisy
 # synthetic corpus (±8 per-pixel noise is near-worst-case for DCT
@@ -43,6 +48,10 @@ def encode(px: np.ndarray, fmt: str) -> bytes:
         from .jpeg import encode_jpeg
 
         return encode_jpeg(px, quality=JPG_QUALITY)
+    if fmt == "png":
+        from .png import encode_png
+
+        return encode_png(px)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -64,6 +73,13 @@ def decode(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         px = decode_jpeg(bytes(buf))
         if px.shape[:2] != (h, w):
             raise ValueError(f"JPEG header {px.shape[:2]} != metadata {(h, w)}")
+        return px
+    elif fmt == "png":
+        from .png import decode_png
+
+        px = decode_png(bytes(buf))
+        if px.shape[:2] != (h, w):
+            raise ValueError(f"PNG header {px.shape[:2]} != metadata {(h, w)}")
         return px
     else:
         raise ValueError(f"unknown fmt {fmt!r}")

@@ -119,6 +119,26 @@ def decode_validate_batch(batch: pa.Table) -> pa.Table:
                           / expect[kept]).astype(np.float32)
         ok[kept] = True
 
+    # --- real container formats (jpg/png — io/jpeg.py, io/png.py):
+    # per-row decode through the registry (entropy decode is inherently
+    # per-payload); means use the same exact int64 sums so a lossless
+    # container (png) is bit-identical to its raw-encoded twin
+    rest = np.flatnonzero(~np.isin(fmts, ("raw", "pngz", "qjpg")))
+    for i in rest:
+        if fmts[i] not in codecs.FORMATS or expect[i] == 0:
+            continue  # unknown format → decode_ok=False
+        try:
+            px = codecs.decode(
+                data[offsets[i]: offsets[i + 1]].tobytes(),
+                int(ws[i]), int(hs[i]), str(fmts[i]),
+            )
+        except Exception:  # malformed payload / metadata mismatch
+            continue
+        mean_lum[i] = np.float32(
+            np.add.reduce(px.reshape(-1), dtype=np.int64) / expect[i]
+        )
+        ok[i] = True
+
     # unknown formats stay decode_ok=False (matches codecs.decode raising)
     out = batch.drop_columns(["bytes"])
     out = out.append_column("decode_ok", pa.array(ok, pa.bool_()))

@@ -64,7 +64,7 @@ def test_chained_layout_matches_combined(ray_session):
     w=st.integers(1, 40),
     h=st.integers(1, 40),
     seed=st.integers(0, 2**31 - 1),
-    fmt=st.sampled_from(["raw", "pngz", "qjpg"]),
+    fmt=st.sampled_from(["raw", "pngz", "qjpg", "png"]),
 )
 def test_codec_roundtrip_property(w, h, seed, fmt):
     px = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3)).astype(np.uint8)
