@@ -1844,8 +1844,10 @@ def _q_code_judge(sf_dir: str):
 
 
 def _q_ann_topk_ivf(sf_dir: str):
-    """IVF-restricted approximate ANN (rows-only: recall characterized
-    in tests/test_similarity_embed.py; deterministic seeded quantizer)."""
+    """IVF-restricted approximate ANN (golden-fixture oracle — exact
+    int64 scoring + content-sorted quantizer sample make the op
+    block-count-invariant; recall characterized in
+    tests/test_similarity_embed.py)."""
     import pyarrow.parquet as pq
 
     from open_thoughts_ray.ops.similarity import ann_topk_ivf
@@ -1874,9 +1876,9 @@ def _q_cosine_dedup_lsh(sf_dir: str):
 def _q_semantic_dedup(sf_dir: str):
     """SemDeDup (Abbas et al. 2023): streamed k-means clustering, then
     cosine near-dup collapse restricted to within-cluster pairs
-    (rows-only: the cluster restriction is approximate by design;
-    exactness on separated corpora is verified against brute force in
-    tests/test_cluster.py)."""
+    (golden-fixture oracle — fixed-point int64 k-means is bit-identical
+    at any parallelism; exactness on separated corpora is verified
+    against brute force in tests/test_cluster.py)."""
     from open_thoughts_ray.ops.cluster import semantic_dedup
 
     ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -2708,17 +2710,21 @@ def oracle_sql() -> dict[str, str]:
     # search, BFS structure/budget for tree_search, ≥95% rule
     # reproduction for distill, sketch error bound for approx_top —
     # whose max_underestimate is 0 at this scale, i.e. counts exact,
-    # verified identical across 3 repeat runs at 32 CPUs).  Queries
-    # whose output moves with parallelism (ann_topk_ivf, semantic_dedup
-    # — streamed k-means assignment order) stay rows-only by design:
-    # freezing them would make the driver gate flaky.
+    # verified identical across 3 repeat runs at 32 CPUs).
+    # ann_topk_ivf / semantic_dedup joined the list late r5 after their
+    # k-means paths were made parallelism-deterministic: exact int64
+    # fixed-point assignments/sums/cosines (ops/cluster.py Q_EXACT),
+    # content-sorted quantizer samples, id-tiebroken per-batch top-k —
+    # block-count-invariance regression tests in tests/test_cluster.py
+    # and tests/test_similarity_embed.py.
     # Regenerate/audit: python scripts/gen_golden.py [--check].
     _gg = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "open_thoughts_ray", "fixtures", "golden_gate")
     for _name in ("fuzzy_dedup_documents", "kcenter_select_embeddings",
                   "image_caption_alignment", "image_search_corpus",
                   "approx_top_tokens_documents",
-                  "distill_quality_documents", "tree_search_documents"):
+                  "distill_quality_documents", "tree_search_documents",
+                  "ann_topk_ivf_embeddings", "semantic_dedup_embeddings"):
         _p = os.path.join(_gg, f"{_name}.parquet")
         if os.path.exists(_p):
             d[_name] = f"SELECT * FROM read_parquet('{_p}')"
@@ -4065,11 +4071,11 @@ def _oracle_sql_base() -> dict[str, str]:
             WHERE ascii(substr(md5(canon),1,1)) % 4 != 1
         """,
         # Non-SQL-expressible ops are hash-checked via golden-fixture
-        # replay where parallelism-stable (approx_top_tokens /
-        # fuzzy_dedup / flagship / distill / tree_search / alignment /
-        # image_search / kcenter — see the golden_gate block below);
-        # only ann_topk_ivf / semantic_dedup_embeddings (streamed
-        # k-means, parallelism-dependent by design) stay rows-only.
+        # replay (approx_top_tokens / fuzzy_dedup / flagship / distill /
+        # tree_search / alignment / image_search / kcenter, and — after
+        # the k-means family moved to exact int64 fixed-point late r5 —
+        # ann_topk_ivf / semantic_dedup too; see the golden_gate block
+        # below).  Every gate query now has an oracle.
         # ngram_jaccard_dedup_documents / simhash_dedup_documents /
         # minhash_dedup_documents / approx_distinct_users are the
         # hash-checked members vouching for the shared machinery.

@@ -17,6 +17,21 @@ near-dups are not compared; with k clusters the pair work drops from
 O(N²) to ~O(N²/k).  Per-cluster work is one keyed shuffle + a chunked
 in-group matmul; skewed clusters cost O(c²/k_chunk) per task (caveat
 shared with every keyed groupby here).
+
+Determinism (late r5): every reduction that crosses a batch boundary is
+FIXED-POINT int64 — normalized embeddings are quantized at Q=2^20
+(``_quantize``), assignments use exact integer matmul argmax, centroid
+partial sums accumulate int64 (order-free), and in-cluster cosines are
+exact integer dots divided elementwise by exact integer norms.  Result:
+``kmeans_fit`` / ``kmeans_assign`` / ``semantic_dedup`` are
+bit-identical across parallelism levels and bit-identical to a serial
+replay of the same recipe (tests/test_cluster.py) — the property the
+driver's hash gate needs.  Quantization perturbs cosines by ≤ ~1e-6,
+noise for an approximate method whose own clustering is the larger
+approximation.  numpy integer matmul bypasses BLAS (no float blocking),
+which costs ~2-5× on the matmul at 100-TB scale — the documented price
+of a hash-checkable dedup; pass Q=0 to any entry point for the float
+fast path when replayability is not required.
 """
 
 from __future__ import annotations
@@ -27,14 +42,28 @@ import pyarrow as pa
 
 from .similarity import _batch_matrix, _normalize
 
+Q_EXACT = 1 << 20  # fixed-point scale for order-free exact reductions
+
+
+def _quantize(m: np.ndarray, q: int = Q_EXACT) -> np.ndarray:
+    """Round a float matrix to int64 fixed-point at scale ``q``."""
+    return np.rint(np.asarray(m, dtype=np.float64) * q).astype(np.int64)
+
 
 def _seed_centroids(thin, emb_col: str, k: int, seed: int,
                     sample_n: int) -> np.ndarray:
     """Deterministic farthest-point (k-means++-style) init on a bounded
     sample: seeded first pick, then greedily the sample point farthest
-    (min-cosine) from everything chosen — robust to blob splitting."""
+    (min-cosine) from everything chosen — robust to blob splitting.
+
+    The sample rows are content-sorted (lexicographic over coordinates)
+    before the seeded picks: ``to_pandas`` row order follows block
+    completion order, which moves with parallelism — sorting makes the
+    init a pure function of the sampled SET (and the set is the whole
+    table whenever ``sample_n`` ≥ N, the hash-gate regime)."""
     sm = thin.limit(max(sample_n, k)).to_pandas()
     m = _normalize(np.stack(sm[emb_col].to_numpy()).astype(np.float64))
+    m = m[np.lexsort(m.T[::-1])]
     rng = np.random.default_rng(seed)
     chosen = [int(rng.integers(len(m)))]
     best = m @ m[chosen[0]]
@@ -46,10 +75,15 @@ def _seed_centroids(thin, emb_col: str, k: int, seed: int,
 
 
 def kmeans_fit(ds, emb_col: str = "embedding", k: int = 16, iters: int = 8,
-               seed: int = 11, init_sample: int = 4096) -> np.ndarray:
+               seed: int = 11, init_sample: int = 4096,
+               q: int = Q_EXACT) -> np.ndarray:
     """Fit k cosine centroids over the full dataset.  Returns a (k, d)
     L2-normalized ndarray.  Each iteration: broadcast centroids
-    (``ray.put``), stream one partial-sums pass, reduce k rows."""
+    (``ray.put``), stream one partial-sums pass, reduce k rows.
+
+    With ``q`` > 0 (default) assignments and partial sums are exact
+    int64 fixed-point, so the fit is bit-identical at any parallelism
+    and to a serial replay; ``q=0`` is the float fast path."""
     import ray
 
     thin = ds.select_columns([emb_col]).materialize()
@@ -62,22 +96,32 @@ def kmeans_fit(ds, emb_col: str = "embedding", k: int = 16, iters: int = 8,
         def partial(t: pa.Table) -> pa.Table:
             c = ray.get(ref)
             m = _normalize(_batch_matrix(t, emb_col))
-            a = (m @ c.T).argmax(axis=1)
+            if q:
+                qm = _quantize(m, q)
+                a = (qm @ _quantize(c, q).T).argmax(axis=1)
+                rows_mat = qm
+            else:
+                a = (m @ c.T).argmax(axis=1)
+                rows_mat = m
             cids, ns, sums = [], [], []
             for cid in np.unique(a):
-                rows = m[a == cid]
+                rows = rows_mat[a == cid]
                 cids.append(int(cid))
                 ns.append(len(rows))
                 sums.append(rows.sum(axis=0))
+            typ = pa.int64() if q else pa.float64()
             return pa.table({
                 "cid": pa.array(cids, pa.int64()),
                 "n": pa.array(ns, pa.int64()),
                 "s": pa.array([v.tolist() for v in sums],
-                              pa.list_(pa.float64())),
+                              pa.list_(typ)),
             })
 
         def reduce_cell(g: pd.DataFrame) -> pd.DataFrame:
-            s = np.stack(g["s"].to_numpy()).sum(axis=0)
+            stacked = np.stack(g["s"].to_numpy())
+            if q:  # int64 partials — exact, order-free
+                stacked = stacked.astype(np.int64)
+            s = stacked.sum(axis=0)
             return pd.DataFrame({"cid": [int(g["cid"].iloc[0])],
                                  "n": [int(g["n"].sum())],
                                  "s": [s.tolist()]})
@@ -102,9 +146,10 @@ def kmeans_fit(ds, emb_col: str = "embedding", k: int = 16, iters: int = 8,
 
 
 def kmeans_assign(ds, centroids: np.ndarray, emb_col: str = "embedding",
-                  out_col: str = "cluster"):
+                  out_col: str = "cluster", q: int = Q_EXACT):
     """Append the nearest-centroid id (int64) — one broadcast, one
-    vectorized matmul per batch."""
+    vectorized matmul per batch (exact int64 when ``q`` > 0, so the
+    assignment never moves with batch shape)."""
     import ray
 
     ref = ray.put(np.asarray(centroids, dtype=np.float64))
@@ -112,33 +157,43 @@ def kmeans_assign(ds, centroids: np.ndarray, emb_col: str = "embedding",
     def f(t: pa.Table) -> pa.Table:
         c = ray.get(ref)
         m = _normalize(_batch_matrix(t, emb_col))
-        return t.append_column(out_col,
-                               pa.array((m @ c.T).argmax(axis=1),
-                                        pa.int64()))
+        if q:
+            a = (_quantize(m, q) @ _quantize(c, q).T).argmax(axis=1)
+        else:
+            a = (m @ c.T).argmax(axis=1)
+        return t.append_column(out_col, pa.array(a, pa.int64()))
 
     return ds.map_batches(f, batch_format="pyarrow")
 
 
 def semantic_dedup(ds, id_col: str = "vec_id", emb_col: str = "embedding",
                    k: int = 16, threshold: float = 0.9, iters: int = 8,
-                   seed: int = 11, chunk: int = 4096):
+                   seed: int = 11, chunk: int = 4096, q: int = Q_EXACT):
     """SemDeDup: keep a row unless some LOWER-id row in the same k-means
     cluster has cosine ≥ ``threshold``.  Returns a Dataset[(id_col,)] of
     survivors.  The in-cluster scan is chunked ((chunk × c) matmuls
     against earlier rows only) so a skewed cluster never materializes a
-    c×c matrix."""
-    cent = kmeans_fit(ds, emb_col, k=k, iters=iters, seed=seed)
+    c×c matrix.  With ``q`` > 0 in-cluster cosines are exact int dots /
+    exact int norms — the whole op is parallelism-deterministic."""
+    cent = kmeans_fit(ds, emb_col, k=k, iters=iters, seed=seed, q=q)
     assigned = kmeans_assign(ds.select_columns([id_col, emb_col]), cent,
-                             emb_col=emb_col)
+                             emb_col=emb_col, q=q)
 
     def per_cluster(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col, kind="mergesort")
         m = _normalize(np.stack(g[emb_col].to_numpy()).astype(np.float64))
         ids = g[id_col].to_numpy()
+        if q:
+            qm = _quantize(m, q)
+            norms = np.sqrt((qm * qm).sum(axis=1).astype(np.float64))
         keep = np.ones(len(g), dtype=bool)
         for lo in range(1, len(g), chunk):
             hi = min(lo + chunk, len(g))
-            sims = m[lo:hi] @ m[:hi].T           # (chunk, hi)
+            if q:
+                dots = qm[lo:hi] @ qm[:hi].T     # exact int64
+                sims = dots / np.outer(norms[lo:hi], norms[:hi])
+            else:
+                sims = m[lo:hi] @ m[:hi].T       # (chunk, hi)
             # row i (global) may only look at columns < i: strict lower
             # triangle relative to the global index
             earlier = np.arange(hi)[None, :] < np.arange(lo, hi)[:, None]

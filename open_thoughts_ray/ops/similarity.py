@@ -322,6 +322,11 @@ def ann_topk_ivf(ds, queries: np.ndarray, k: int, id_col: str = "vec_id",
         dtype=np.int64)
     sample = ds.select_columns([emb_col]).limit(train_sample).to_pandas()
     sm = _normalize(np.stack(sample[emb_col].to_numpy()))
+    # content-sort the training sample: to_pandas row order follows
+    # block completion order (moves with parallelism); sorting makes the
+    # quantizer a pure function of the sampled SET, so the whole op is
+    # parallelism-deterministic whenever train_sample ≥ N
+    sm = sm[np.lexsort(sm.T[::-1])]
     centroids = _kmeans_lite(sm, n_cells)
     # cells each query probes: its n_probe nearest centroids
     qcell = np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probe]  # (Q, P)
@@ -336,19 +341,32 @@ def ann_topk_ivf(ds, queries: np.ndarray, k: int, id_col: str = "vec_id",
         q, qid_arr, cent, probe_map = ray.get(ref)  # zero-copy plasma read
         m = _normalize(_batch_matrix(batch, emb_col))
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        cell = (m @ cent.T).argmax(axis=1)
+        # exact int64 fixed-point (2^20): integer matmuls are order- and
+        # shape-independent, so cell assignment and cosines never move
+        # with batch boundaries (float BLAS blocking is shape-sensitive)
+        scale = 1 << 20
+        qm = np.rint(m * scale).astype(np.int64)
+        qq = np.rint(q * scale).astype(np.int64)
+        qcent = np.rint(cent * scale).astype(np.int64)
+        mn = np.sqrt((qm * qm).sum(axis=1).astype(np.float64))
+        qn_ = np.sqrt((qq * qq).sum(axis=1).astype(np.float64))
+        cell = (qm @ qcent.T).argmax(axis=1)
         out_q, out_id, out_sim = [], [], []
         for c in np.unique(cell):
             quers = probe_map.get(int(c))
             if not quers:
                 continue
             rows = np.nonzero(cell == c)[0]
-            sims = m[rows] @ q[quers].T  # (rows, probing queries)
+            sims = ((qm[rows] @ qq[quers].T)
+                    / np.outer(mn[rows], qn_[quers]))  # (rows, queries)
             kk = min(k + 1, len(rows))
             for j, qi in enumerate(quers):
                 s = sims[:, j]
-                part = np.argpartition(-s, kk - 1)[:kk] if kk < len(rows) \
-                    else np.arange(len(rows))
+                # ties broken by id (the final reduce's order), so the
+                # per-batch candidate set always contains the rows the
+                # global (cos desc, id asc) top-k needs — batch-boundary
+                # invariant even with exact cos ties
+                part = np.lexsort((ids[rows], -s))[:kk]
                 for r in part:
                     out_q.append(int(qid_arr[qi]))
                     out_id.append(int(ids[rows[r]]))

@@ -27,10 +27,12 @@ def _to_ds(df, blocks=5):
 
 
 def test_kmeans_fit_matches_serial_reference(ray_session):
-    """The distributed partial-sum Lloyd must equal a single-process
-    numpy Lloyd run from the same seeded init (summation order differs
-    → allclose, not equality)."""
-    from open_thoughts_ray.ops.cluster import _seed_centroids, kmeans_fit
+    """The distributed partial-sum Lloyd must be BIT-IDENTICAL to a
+    single-process replay of the same fixed-point recipe — int64
+    quantized assignments and sums are order-free, so equality is
+    exact, not allclose (the property the golden-fixture gate needs)."""
+    from open_thoughts_ray.ops.cluster import (_quantize, _seed_centroids,
+                                               kmeans_fit)
 
     df = _blobs()
     m = np.stack(df.embedding.to_numpy()).astype(np.float64)
@@ -39,16 +41,17 @@ def test_kmeans_fit_matches_serial_reference(ray_session):
     ds = _to_ds(df)
     got = kmeans_fit(ds, k=4, iters=6, seed=11)
 
-    # serial reference with the identical init path
+    # serial reference with the identical init + quantization recipe
     thin = ds.select_columns(["embedding"]).materialize()
     cent = _seed_centroids(thin, "embedding", 4, 11, 4096)
+    qm = _quantize(m)
     for _ in range(6):
-        a = (m @ cent.T).argmax(axis=1)
+        a = (qm @ _quantize(cent).T).argmax(axis=1)
         new = cent.copy()
         for c in range(4):
-            members = m[a == c]
+            members = qm[a == c]
             if len(members):
-                v = members.sum(axis=0)
+                v = members.sum(axis=0).astype(np.float64)
                 nrm = np.linalg.norm(v)
                 if nrm > 1e-12:
                     new[c] = v / nrm
@@ -58,7 +61,30 @@ def test_kmeans_fit_matches_serial_reference(ray_session):
         cent = new
 
     assert got.shape == cent.shape
-    assert np.allclose(got, cent, atol=1e-9)
+    assert np.array_equal(got, cent)
+
+
+def test_kmeans_fit_block_count_invariant(ray_session):
+    """Different block counts (≈ different parallelism) must give the
+    bit-identical fit — the regression canary for the order-free int64
+    reduction."""
+    from open_thoughts_ray.ops.cluster import kmeans_fit
+
+    df = _blobs(seed=17)
+    a = kmeans_fit(_to_ds(df, blocks=1), k=4, iters=5, seed=11)
+    b = kmeans_fit(_to_ds(df, blocks=13), k=4, iters=5, seed=11)
+    assert np.array_equal(a, b)
+
+
+def test_semantic_dedup_block_count_invariant(ray_session):
+    from open_thoughts_ray.ops.cluster import semantic_dedup
+
+    df = _blobs(spread=0.02, seed=23)
+    a = sorted(semantic_dedup(_to_ds(df, blocks=2), k=4, threshold=0.999,
+                              iters=5, seed=11).to_pandas().vec_id)
+    b = sorted(semantic_dedup(_to_ds(df, blocks=11), k=4, threshold=0.999,
+                              iters=5, seed=11).to_pandas().vec_id)
+    assert a == b
 
 
 def test_kmeans_assign_separates_blobs(ray_session):

@@ -23,6 +23,8 @@ GOLDEN_NAMES = [
     "approx_top_tokens_documents",
     "distill_quality_documents",
     "tree_search_documents",
+    "ann_topk_ivf_embeddings",
+    "semantic_dedup_embeddings",
 ]
 
 
