@@ -1783,7 +1783,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "delta_neardup_indexed_documents": _q_delta_neardup_indexed,
         "tree_search_documents": _q_tree_search,
         "code_judge_documents": _q_code_judge,
+        "arpa_ppl_documents": _q_arpa_ppl,
     }
+
+
+def _q_arpa_ppl(sf_dir: str):
+    """KenLM-style perplexity with the REAL public artifacts
+    (models/arpa.py): an order-2 modified-Kneser-Ney LM fit on the
+    doc_id%5==0 slice via distributed exact integer counts, serialized
+    through the ARPA interchange format, and scored over the whole
+    corpus with standard backoff lookup.  Golden-fixture oracle:
+    integer counts, fixed-order KN arithmetic and per-row scoring are
+    parallelism-independent (tests/test_arpa.py asserts distributed /
+    serial bit parity and per-context sum-to-1)."""
+    import pyarrow as pa
+
+    from open_thoughts_ray.models.arpa import (ArpaLM,
+                                               count_ngrams_distributed)
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    def _train_slice(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 5 == 0))
+
+    train = ds.map_batches(_train_slice, batch_format="pyarrow")
+    counts = count_ngrams_distributed(train, "text", order=2)
+    # the LM round-trips through the ARPA text (the interchange seam)
+    lm = ArpaLM.read_arpa(ArpaLM.from_counts(counts, 2).to_arpa())
+
+    def score(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "arpa_ppl": pa.array(
+                lm.perplexity_batch(t.column("text").to_pylist()),
+                pa.float32()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
 
 
 def _q_code_judge(sf_dir: str):
@@ -2724,7 +2760,8 @@ def oracle_sql() -> dict[str, str]:
                   "image_caption_alignment", "image_search_corpus",
                   "approx_top_tokens_documents",
                   "distill_quality_documents", "tree_search_documents",
-                  "ann_topk_ivf_embeddings", "semantic_dedup_embeddings"):
+                  "ann_topk_ivf_embeddings", "semantic_dedup_embeddings",
+                  "arpa_ppl_documents"):
         _p = os.path.join(_gg, f"{_name}.parquet")
         if os.path.exists(_p):
             d[_name] = f"SELECT * FROM read_parquet('{_p}')"

@@ -275,6 +275,61 @@ def execute_op(typ: str, cfg: dict, ins: list):
                 "model_md5": _hashlib.md5(blob).hexdigest(),
                 "n_bytes": len(blob),
             }])
+        elif typ == "train_arpa":
+            # KenLM-style workflow: fit a modified-Kneser-Ney n-gram LM
+            # from the input corpus (distributed exact counts) and write
+            # the ARPA interchange file; output is a 1-row artifact
+            # Dataset like train_fasttext's.
+            import hashlib as _hashlib
+
+            from .models.arpa import ArpaLM, count_ngrams_distributed
+
+            counts = count_ngrams_distributed(
+                ins[0], cfg.get("input_column", "text"),
+                int(cfg.get("order", 2)))
+            text = ArpaLM.from_counts(counts,
+                                      int(cfg.get("order", 2))).to_arpa()
+            out_path = cfg["output_path"]
+            os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+            with open(out_path, "w") as f:
+                f.write(text)
+            out = rd.from_items([{
+                "model_path": out_path,
+                "model_md5": _hashlib.md5(text.encode()).hexdigest(),
+                "n_bytes": len(text),
+            }])
+        elif typ == "arpa_perplexity":
+            # score input_column with an ARPA backoff LM loaded from
+            # ``arpa_path`` (one parse per worker via the module cache);
+            # optional ``ppl_max`` keep-filter — the KenLM quality-filter
+            # shape with the real interchange format.
+            from .ops.bcast import cached_build_local
+
+            arpa_path = cfg["arpa_path"]
+            col = cfg.get("input_column", "text")
+            out_col = cfg.get("output_column", "arpa_ppl")
+
+            def _ppl(batch, *, _p=arpa_path, _c=col, _o=out_col):
+                import pyarrow as pa
+
+                from .models.arpa import ArpaLM
+
+                lm = cached_build_local(
+                    f"arpa:{_p}",
+                    lambda _k: ArpaLM.read_arpa(open(_p).read()))
+                return batch.append_column(
+                    _o, pa.array(lm.perplexity_batch(
+                        batch.column(_c).to_pylist()), pa.float32()))
+
+            ra = _remote_args(cfg)
+            out = ins[0].map_batches(_ppl, batch_format="pyarrow",
+                                     batch_size=ra.get("batch_size", 512))
+            if cfg.get("ppl_max") is not None:
+                mx = float(cfg["ppl_max"])
+                out = out.map_batches(
+                    lambda t, _m=mx, _o=out_col: t.filter(
+                        pc.less_equal(t.column(_o), _m)),
+                    batch_format="pyarrow")
         elif typ == "embedding":
             from .ops.embed import embed_dataset
 

@@ -50,6 +50,7 @@ CANDIDATES = [
     "distill_quality_documents",
     "image_search_corpus",
     "tree_search_documents",
+    "arpa_ppl_documents",
 ]
 
 

@@ -25,6 +25,7 @@ GOLDEN_NAMES = [
     "tree_search_documents",
     "ann_topk_ivf_embeddings",
     "semantic_dedup_embeddings",
+    "arpa_ppl_documents",
 ]
 
 
