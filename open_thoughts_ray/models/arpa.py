@@ -267,12 +267,153 @@ class ArpaLM:
         n = len(toks) - 1
         return float(10.0 ** (-ll / n))
 
+    # -------------------------------------------------- batch scoring
+    def _score_arrays(self):
+        """Packed-key lookup arrays for the vectorized scorer (orders
+        ≤ 3), built lazily once per model instance.  Key packing is
+        id-arithmetic base V (= len of the sorted unigram word list), so
+        an int64 holds a trigram key iff V**3 < 2**63 — checked by the
+        caller, which falls back to the scalar path otherwise."""
+        if hasattr(self, "_sa"):
+            return self._sa
+        words = sorted({w for (w,) in self.tables[0]})
+        wmap = {w: i for i, w in enumerate(words)}
+        V = len(words)
+        uni_lp = np.empty(V, dtype=np.float64)
+        uni_bo = np.empty(V, dtype=np.float64)
+        for w, i in wmap.items():
+            lp, lbo = self.tables[0][(w,)]
+            uni_lp[i], uni_bo[i] = lp, lbo
+        sa = {"wmap": wmap, "V": V, "uni_lp": uni_lp, "uni_bo": uni_bo}
+        if self.order >= 2:
+            t = self.tables[1]
+            k = np.fromiter(
+                (wmap[a] * V + wmap[b] for (a, b) in t),
+                dtype=np.int64, count=len(t))
+            lp = np.fromiter((v[0] for v in t.values()),
+                             dtype=np.float64, count=len(t))
+            bo = np.fromiter((v[1] for v in t.values()),
+                             dtype=np.float64, count=len(t))
+            o = np.argsort(k)
+            sa["bi_k"], sa["bi_lp"], sa["bi_bo"] = k[o], lp[o], bo[o]
+        if self.order >= 3:
+            t = self.tables[2]
+            k = np.fromiter(
+                ((wmap[a] * V + wmap[b]) * V + wmap[c] for (a, b, c) in t),
+                dtype=np.int64, count=len(t))
+            lp = np.fromiter((v[0] for v in t.values()),
+                             dtype=np.float64, count=len(t))
+            o = np.argsort(k)
+            sa["tri_k"], sa["tri_lp"] = k[o], lp[o]
+        self._sa = sa
+        return sa
+
+    @staticmethod
+    def _lookup(sorted_keys: np.ndarray, vals: np.ndarray,
+                keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(hit_mask, values) for ``keys`` against a sorted key array;
+        misses get 0.0 (callers mask on hit before using)."""
+        out = np.zeros(len(keys), dtype=np.float64)
+        if len(sorted_keys) == 0 or len(keys) == 0:
+            return np.zeros(len(keys), dtype=bool), out
+        pos = np.clip(np.searchsorted(sorted_keys, keys),
+                      0, len(sorted_keys) - 1)
+        hit = sorted_keys[pos] == keys
+        out[hit] = vals[pos[hit]]
+        return hit, out
+
     def perplexity_batch(self, texts: list[str]) -> np.ndarray:
-        """Batch scorer — delegates per text to the scalar path (the
-        per-token work is dict lookups; captions are short).  Elementwise
-        per row, so results never depend on batch boundaries."""
-        return np.asarray([self.perplexity(t) for t in texts],
-                          dtype=np.float32)
+        """Vectorized batch scorer for orders 2–3 (packed int64 keys +
+        searchsorted, the same kernel shape as
+        ``BigramLM.perplexity_batch``); other orders (or vocabularies too
+        large for trigram key packing) delegate to the scalar path.
+
+        Bit parity with ``perplexity``: per-token log-probs are the same
+        float64 dict values combined in the same association order
+        (``bo2 + (bo1 + u)``), per-text sums run in token order via
+        ``np.bincount``, so results never depend on batch boundaries or
+        which code path scored them (tests/test_arpa.py property test).
+        """
+        sa = self._score_arrays() if self.order in (2, 3) else None
+        if sa is None or (self.order == 3 and sa["V"] ** 3 >= 2 ** 63):
+            return np.asarray([self.perplexity(t) for t in texts],
+                              dtype=np.float32)
+        V, wmap = sa["V"], sa["wmap"]
+        unk = self.tables[0].get(("<unk>",))
+        unk_lp = unk[0] if unk else NO_PROB
+        tok_lists = [["<s>"] + tokenize(t) + ["</s>"] for t in texts]
+        lens = np.asarray([len(t) for t in tok_lists], dtype=np.int64)
+        n_texts = len(texts)
+        # empty text rows: scalar path returns unk-based ppl directly
+        out = np.full(n_texts, 10.0 ** (-unk_lp), dtype=np.float64)
+        total = int(lens.sum())
+        if total == 0:
+            return out.astype(np.float32)
+        get = wmap.get
+        wid = np.fromiter(
+            (get(t, -1) for lst in tok_lists for t in lst),
+            dtype=np.int64, count=total)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        owner = np.repeat(np.arange(n_texts), lens)
+        local = np.arange(total) - starts[owner]  # index within its text
+        scored = local >= 1
+        w = wid[scored]
+        prev = wid[np.flatnonzero(scored) - 1]
+        # unigram term: listed prob unless missing/NO_PROB, else <unk>
+        u = np.full(len(w), unk_lp, dtype=np.float64)
+        kw = w >= 0
+        ulp = sa["uni_lp"][w[kw]]
+        u[kw] = np.where(ulp != NO_PROB, ulp, unk_lp)
+        # backoff(prev): listed weight, 0.0 for unlisted contexts
+        bo1 = np.zeros(len(w), dtype=np.float64)
+        kp = prev >= 0
+        bo1[kp] = sa["uni_bo"][prev[kp]]
+        # bigram level: hit with a real prob wins, else bo1 + u
+        lp2 = bo1 + u
+        both = kw & kp
+        if both.any():
+            hit, blp = self._lookup(sa["bi_k"], sa["bi_lp"],
+                                    prev[both] * V + w[both])
+            use = hit & (blp != NO_PROB)
+            tgt = np.flatnonzero(both)[use]
+            lp2[tgt] = blp[use]
+        if self.order == 2:
+            lp = lp2
+        else:
+            lp = lp2.copy()
+            # trigram context exists from the text's 2nd scored token on
+            idx = np.flatnonzero(scored)
+            has2 = local[scored] >= 2
+            prev2 = np.full(len(w), -1, dtype=np.int64)
+            prev2[has2] = wid[idx[has2] - 2]
+            all3 = has2 & kp & kw & (prev2 >= 0)
+            if all3.any():
+                pk = prev2[all3] * V + prev[all3]
+                hit3, tlp = self._lookup(sa["tri_k"], sa["tri_lp"],
+                                         pk * V + w[all3])
+                bhit, bo2 = self._lookup(sa["bi_k"], sa["bi_bo"], pk)
+                use3 = hit3 & (tlp != NO_PROB)
+                sel = np.flatnonzero(all3)
+                lp[sel] = np.where(use3, tlp, bo2 + lp2[all3])
+            # positions with a 2-token context but an unlisted/OOV piece
+            # still back off through bo2 (0.0 when the context is unlisted)
+            part3 = has2 & ~all3
+            if part3.any():
+                # any OOV member means the trigram can't be listed; the
+                # bigram-context backoff weight needs valid (prev2, prev)
+                pmask = part3 & kp & (prev2 >= 0)
+                bo2p = np.zeros(len(w), dtype=np.float64)
+                if pmask.any():
+                    _, b = self._lookup(sa["bi_k"], sa["bi_bo"],
+                                        prev2[pmask] * V + prev[pmask])
+                    bo2p[pmask] = b
+                sel = np.flatnonzero(part3)
+                lp[sel] = bo2p[part3] + lp2[part3]
+        ll = np.bincount(owner[scored], weights=lp, minlength=n_texts)
+        nz = lens > 2
+        ntok = lens - 1
+        out[nz] = 10.0 ** (-ll[nz] / ntok[nz])
+        return out.astype(np.float32)
 
     # ------------------------------------------------------ persistence
     def to_arpa(self) -> str:

@@ -94,11 +94,35 @@ def test_fit_is_deterministic():
     assert a == b
 
 
-def test_scalar_and_batch_agree():
-    lm = ArpaLM.fit(CORPUS, order=2)
-    batch = lm.perplexity_batch(CORPUS)
-    for i, s in enumerate(CORPUS):
-        assert batch[i] == np.float32(lm.perplexity(s))
+@pytest.mark.parametrize("order", [2, 3])
+def test_scalar_and_batch_agree(order):
+    """The vectorized packed-key kernel must agree bit-for-bit with the
+    scalar backoff recursion on every path: listed ngrams, backoff
+    through listed/unlisted contexts, OOV tokens anywhere in the
+    context window, empty text, and punctuation-only text."""
+    lm = ArpaLM.fit(CORPUS, order=order)
+    texts = CORPUS + [
+        "the cat zorple on the mat",      # OOV mid-sentence
+        "zorple the cat",                 # OOV sentence-initial
+        "the cat zorple zorple dog",      # adjacent OOVs
+        "zorple",                         # single OOV
+        "",                               # empty → unk-ppl special case
+        "...",                            # strips to empty
+        "the",                            # single in-vocab token
+        "cat mat dog the a on sat",       # shuffled vocab, unseen ngrams
+    ]
+    batch = lm.perplexity_batch(texts)
+    for i, s in enumerate(texts):
+        assert batch[i] == np.float32(lm.perplexity(s)), (order, s)
+
+
+def test_batch_is_batch_boundary_independent():
+    lm = ArpaLM.fit(CORPUS, order=3)
+    texts = CORPUS + ["zorple the cat", ""]
+    whole = lm.perplexity_batch(texts)
+    split = np.concatenate([lm.perplexity_batch(texts[:3]),
+                            lm.perplexity_batch(texts[3:])])
+    assert np.array_equal(whole, split)
 
 
 def test_yaml_train_arpa_then_score(ray_session, tmp_path):
