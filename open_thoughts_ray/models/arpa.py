@@ -79,22 +79,92 @@ def count_ngrams(sentences: list[str], order: int) -> dict[tuple, int]:
     return counts
 
 
+def count_ngrams_batch(texts, order: int) -> "pa.Table":
+    """Vectorized twin of ``count_ngrams`` for one batch: returns a
+    ``(gram, n)`` Arrow table whose multiset equals the serial dict
+    exactly (tests/test_arpa.py parity property).  One
+    ``utf8_split_whitespace`` pass, punctuation trim, lexsort-inserted
+    ``<s>``/``</s>`` markers, shifted-slice ``binary_join_element_wise``
+    n-gram assembly, and ``value_counts`` — no per-token Python."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    col = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) \
+        else pa.array(list(texts), pa.string())
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    R = len(col)
+    empty = pa.table({"gram": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+    if R == 0:
+        return empty
+    # tokenize(): lower, whitespace-run split, strip edge punctuation,
+    # drop tokens that strip to empty — same rules, Arrow kernels
+    lists = pc.utf8_split_whitespace(
+        pc.fill_null(pc.utf8_lower(col), ""))
+    flat = pc.list_flatten(lists)
+    nn = pc.list_value_length(lists).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    row = np.repeat(np.arange(R, dtype=np.int64), nn)
+    tok = pc.utf8_trim(flat, ".,!?;:\"'")
+    keep = pc.not_equal(tok, "").to_numpy(zero_copy_only=False)
+    tok, row = tok.filter(pa.array(keep)), row[keep]
+    cnt = np.bincount(row, minlength=R)
+    starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    # splice in per-sentence <s>/</s> markers by index arithmetic (one
+    # Arrow take, no Python-object round trip): token i of row r lands
+    # at output slot i + 2r + 1; row r's <s> at starts[r] + 2r, its
+    # </s> one slot past the row's last token.
+    T = len(tok)
+    if isinstance(tok, pa.ChunkedArray):
+        tok = tok.combine_chunks()
+    comb = pa.concat_arrays([tok, pa.array(["<s>", "</s>"], pa.string())])
+    total = T + 2 * R
+    srt_pos = starts + 2 * np.arange(R, dtype=np.int64)
+    end_pos = srt_pos + cnt + 1
+    idx = np.empty(total, np.int64)
+    row2 = np.empty(total, np.int64)
+    idx[srt_pos], idx[end_pos] = T, T + 1
+    row2[srt_pos] = row2[end_pos] = np.arange(R, dtype=np.int64)
+    if T:
+        tok_out = np.arange(T, dtype=np.int64) + 2 * row + 1
+        idx[tok_out] = np.arange(T, dtype=np.int64)
+        row2[tok_out] = row
+    tok2 = comb.take(pa.array(idx))
+    # the serial counter skips EVERY ("<s>",) unigram — spliced marker
+    # or literal token alike — so mask by value, not by slot
+    not_s = pc.not_equal(tok2, "<s>").to_numpy(zero_copy_only=False)
+    parts = []
+    for n in range(1, order + 1):
+        if total < n:
+            break
+        m = total - n + 1
+        valid = row2[:m] == row2[n - 1:]
+        if n == 1:
+            joined = tok2
+            valid = valid & not_s  # <s> never predicted
+        else:
+            joined = pc.binary_join_element_wise(
+                *[tok2.slice(k, m) for k in range(n)], "\x1f")
+        vc = pc.value_counts(joined.filter(pa.array(valid)))
+        if len(vc):
+            parts.append(pa.table({"gram": vc.field("values"),
+                                   "n": vc.field("counts").cast(pa.int64())}))
+    return pa.concat_tables(parts) if parts else empty
+
+
 def count_ngrams_distributed(ds, text_col: str, order: int,
                              batch_format: str = "pyarrow"):
     """Distributed twin of ``count_ngrams``: per-batch exact partials
-    (one dict per batch, emitted as thin (ngram, n) rows) + one grouped
-    Sum.  Returns the same dict the serial counter builds — integer
-    sums are order-free, so the result is parallelism-independent."""
+    (vectorized ``count_ngrams_batch``, emitted as thin (ngram, n)
+    rows) + one grouped Sum.  Returns the same dict the serial counter
+    builds — integer sums are order-free, so the result is
+    parallelism-independent."""
     import pyarrow as pa
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
-        texts = t.column(text_col).to_pylist()
-        c = count_ngrams(texts, order)
-        return pa.table({
-            "gram": pa.array(["\x1f".join(g) for g in c], pa.string()),
-            "n": pa.array(list(c.values()), pa.int64()),
-        })
+        return count_ngrams_batch(t.column(text_col), order)
 
     agg = (ds.map_batches(partial, batch_format="pyarrow")
            .groupby("gram").aggregate(Sum("n", alias_name="n")).to_pandas())

@@ -182,3 +182,26 @@ def test_distributed_counts_bit_parity(ray_session):
         assert dist == serial, blocks
     assert (ArpaLM.from_counts(dist, 3).to_arpa()
             == ArpaLM.fit(CORPUS, order=3).to_arpa())
+
+
+def test_count_ngrams_batch_parity():
+    """The Arrow-kernel batch counter (count_ngrams_batch) must equal
+    the serial dict counter as a multiset, including boundary markers,
+    punctuation trim, empty/whitespace-only rows, and the <s>-never-
+    predicted unigram rule."""
+    import collections
+
+    from open_thoughts_ray.models.arpa import count_ngrams_batch
+
+    texts = list(CORPUS) + [
+        "", "   ", "...", '"quoted"  token,', "\t tabs\nand newlines ",
+        "<s> literal markers </s>", "MiXeD CaSe!!", "a", "a a a",
+    ]
+    for order in (1, 2, 3):
+        serial = collections.Counter(count_ngrams(texts, order))
+        t = count_ngrams_batch(texts, order)
+        vec = collections.Counter()
+        for g, n in zip(t.column("gram").to_pylist(),
+                        t.column("n").to_pylist()):
+            vec[tuple(g.split("\x1f"))] += n
+        assert serial == vec, order
