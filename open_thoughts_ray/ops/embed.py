@@ -75,13 +75,39 @@ _EMBEDDERS: dict = {}
 
 
 def embed_dataset(ds, text_column: str = "text", dim: int = EMBED_DIM,
-                  concurrency=None, batch_size: int = 1024):
+                  concurrency=None, batch_size: int = 1024,
+                  vec_path: str | None = None):
     """Default layout: plain tasks + per-worker embedder cache (the
     8 MB seeded projection is rebuilt once per worker process) — fills
     every core with no pool sizing, and composes with other model
     stages (two chained FIXED pools over-reserve a small cluster and
     deadlock the streaming executor).  Pass ``concurrency`` explicitly
-    to pin an actor pool (e.g. a GPU stage swapping in a real model)."""
+    to pin an actor pool (e.g. a GPU stage swapping in a real model).
+
+    ``vec_path`` swaps the hashed stand-in for REAL pretrained word
+    vectors (word2vec ``.vec`` / GloVe text file —
+    models/word_vectors.py); the file is parsed once per actor/worker,
+    never per batch."""
+    if vec_path is not None:
+        from ..models.word_vectors import WordVecEmbedder
+
+        if concurrency is not None:
+            return ds.map_batches(
+                WordVecEmbedder, batch_format="pyarrow",
+                batch_size=batch_size, concurrency=concurrency, num_cpus=1,
+                fn_constructor_kwargs={"vec_path": vec_path,
+                                       "text_column": text_column})
+
+        def wv_fn(batch: pa.Table) -> pa.Table:
+            key = ("wv", vec_path, text_column)
+            m = _EMBEDDERS.get(key)
+            if m is None:
+                m = WordVecEmbedder(vec_path, text_column=text_column)
+                _EMBEDDERS[key] = m
+            return m(batch)
+
+        return ds.map_batches(wv_fn, batch_format="pyarrow",
+                              batch_size=batch_size)
     if concurrency is not None:
         return ds.map_batches(
             TextEmbedder, batch_format="pyarrow", batch_size=batch_size,

@@ -337,7 +337,12 @@ def execute_op(typ: str, cfg: dict, ins: list):
             out = embed_dataset(
                 ins[0], text_column=cfg.get("input_column", "text"),
                 concurrency=ra.get("concurrency"),  # None → task layout
-                batch_size=ra.get("batch_size", 1024))
+                batch_size=ra.get("batch_size", 1024),
+                # real pretrained word vectors (word2vec .vec / GloVe
+                # text file) instead of the hashed stand-in; mirrors the
+                # reference's model_name seam
+                # (embedding_operator.py:106-128)
+                vec_path=cfg.get("vec_path"))
         elif typ == "similarity_filtering":
             # reference similarity_filtering_operator.py:93-114
             # (first-seen-wins FAISS filter) — the deterministic cosine
