@@ -4,9 +4,11 @@ sampling judge (open_thoughts/code/judge.py:1-805) as an actor-pool
 stage.  Protocol coverage (VERDICT r4 #8):
 
 * **std protocol** (judge.py:398-466 ``execute_std_code``): stdin in,
-  stdout compared through the reference's normalization ladder
-  (``compare_std_results`` judge.py:484-560 — stripped-string, then
-  line-stripped, then elementwise float ``allclose``).
+  stdout compared through the reference's FULL normalization ladder
+  (``compare_std_results`` judge.py:484-607 — stripped-string, then
+  line-stripped, then elementwise float ``allclose``, then the
+  set-based rungs: per-line word sets, order-insensitive line sets,
+  and 3-decimal-rounded numeric sets).
 * **call-based protocol** (judge.py:86-135, 301-388: ``fn_name`` in
   the test payload): the solution is exec'd ONCE, the target function
   resolved (module-level or a ``Solution`` class method, judge.py:
@@ -163,9 +165,12 @@ def _normalize_output(s: str) -> list[str]:
 
 def compare_std_outputs(got: str, expect) -> bool:
     """The reference's ``compare_std_results`` ladder (judge.py:
-    484-560), deterministic subset: stripped-string equality →
-    stripped-line-list equality (blank lines dropped) → elementwise
-    float allclose."""
+    484-607): stripped-string equality → stripped-line-list equality
+    (blank lines dropped) → elementwise float ``allclose`` → the
+    set-based rungs (judge.py:569-607 checks 4-6): per-line word-SET
+    equality (order-insensitive within a line), then line-order-
+    insensitive frozenset-of-words equality, then the same with every
+    word parsed as a float rounded to 3 decimals."""
     if isinstance(expect, (list, tuple)):
         expect = "\n".join(str(x) for x in expect)
     if got.strip() == str(expect).strip():
@@ -179,7 +184,23 @@ def compare_std_outputs(got: str, expect) -> bool:
     try:
         gf = [float(x) for line in gl for x in line.split()]
         ef = [float(x) for line in el for x in line.split()]
-        return len(gf) == len(ef) and bool(np.allclose(gf, ef))
+        if len(gf) == len(ef) and bool(np.allclose(gf, ef)):
+            return True
+    except (ValueError, TypeError):
+        pass
+    # judge.py:569-578 check 4: per-line word sets, positional
+    gs = [set(line.split()) for line in gl]
+    es = [set(line.split()) for line in el]
+    if gs == es:
+        return True
+    # judge.py:583-596 check 5: line order also irrelevant
+    if set(map(frozenset, gs)) == set(map(frozenset, es)):
+        return True
+    # judge.py:598-607 check 6: all-numeric words rounded to 3 dp
+    try:
+        gr = set(frozenset(round(float(t), 3) for t in s) for s in gs)
+        er = set(frozenset(round(float(t), 3) for t in s) for s in es)
+        return gr == er
     except (ValueError, TypeError):
         return False
 

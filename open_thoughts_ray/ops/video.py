@@ -1,13 +1,16 @@
-"""Video column operators over a REAL (uncompressed) container format:
-frame sampling, per-frame feature rows, scene-cut detection.
+"""Video column operators over REAL container formats: frame sampling,
+per-frame feature rows, scene-cut detection.
 
-Payload convention (``io/codecs`` spirit): magic ``OTRV`` + uint16
-w,h + uint32 n_frames, then ``n_frames`` raw RGB24 frames back to
-back.  Raw concatenated frames need no external library, so — like the
-audio PCM leg — decode here is REAL; swap ``decode_video`` /
-``iter_frames`` for an ffmpeg/pyav call when compressed codecs arrive
-(stage signatures, fan-out schema and batch sizing do not change).
-Replaces the declared ``multimodal.frame_sample_batch`` stub.
+Two containers, dispatched on magic bytes per payload:
+
+* ``OTRV`` (uncompressed): magic + uint16 w,h + uint32 n_frames, then
+  raw RGB24 frames back to back — the zero-dependency fast path.
+* ``RIFF/AVI`` with ``MJPG`` frames (``io/avi.py``): a real compressed
+  interchange format — every frame a baseline JFIF JPEG, random access
+  through the standard ``idx1`` index.  This replaces the former
+  "swap for ffmpeg" stub for the compressed leg; an ffmpeg/pyav swap
+  now only widens the codec list (stage signatures, fan-out schema and
+  batch sizing do not change).
 
 Frame sampling is a flat-map (one input row → k frame rows), the shape
 a 10^12-scale video pipeline needs: payload bytes are sliced
@@ -37,16 +40,27 @@ def encode_video(frames: np.ndarray) -> bytes:
 
 
 def video_meta(buf: bytes) -> tuple[int, int, int]:
-    """payload → (w, h, n_frames) without touching frame bytes."""
+    """payload → (w, h, n_frames) without touching frame bytes.
+    Dispatches on container magic: OTRV header or AVI ``avih``."""
+    if len(buf) >= 12 and buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+        from ..io.avi import avi_meta
+
+        w, h, n, _fps = avi_meta(buf)
+        return w, h, n
     if len(buf) < _HDR or buf[:4] != _MAGIC:
-        raise ValueError("not an OTRV payload")
+        raise ValueError("not an OTRV or AVI payload")
     w, h, n = struct.unpack("<HHI", buf[4:_HDR])
     return w, h, n
 
 
 def get_frame(buf: bytes, i: int) -> np.ndarray:
-    """Decode ONE frame by offset slice — the random-access path frame
-    sampling relies on (an ffmpeg swap would seek by timestamp)."""
+    """Decode ONE frame by offset slice (OTRV) or via the ``idx1``
+    index (AVI/MJPEG) — the random-access path frame sampling relies
+    on (an ffmpeg swap would seek by timestamp)."""
+    if len(buf) >= 12 and buf[:4] == b"RIFF":
+        from ..io.avi import get_frame_avi
+
+        return get_frame_avi(buf, i)
     w, h, n = video_meta(buf)
     if not 0 <= i < n:
         raise IndexError(i)
@@ -115,9 +129,15 @@ def scene_cuts(buf: bytes, threshold: float = 30.0) -> list[int]:
     w, h, n = video_meta(buf)
     if n < 2:
         return []
-    sz = w * h * 3
-    all_px = np.frombuffer(buf, dtype=np.uint8, count=n * sz, offset=_HDR
-                           ).reshape(n, -1).astype(np.int16)
+    if len(buf) >= 12 and buf[:4] == b"RIFF":
+        from ..io.avi import iter_frames_avi
+
+        all_px = np.stack([f.reshape(-1) for f in iter_frames_avi(buf)]
+                          ).astype(np.int16)
+    else:
+        sz = w * h * 3
+        all_px = np.frombuffer(buf, dtype=np.uint8, count=n * sz,
+                               offset=_HDR).reshape(n, -1).astype(np.int16)
     diff = np.abs(np.diff(all_px, axis=0)).mean(axis=1)
     return (np.nonzero(diff > threshold)[0] + 1).tolist()
 

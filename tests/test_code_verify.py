@@ -170,3 +170,23 @@ def test_int_key_dict_restoration():
     r = verify_one(code, {"fn_name": "pick",
                           "inputs": [{"3": "v"}], "outputs": [3]})
     assert r["passed"]
+
+
+def test_std_set_ladder_rungs():
+    """judge.py:569-607 checks 4-6: word-set / line-set / rounded-
+    numeric-set equality rungs of compare_std_results."""
+    from open_thoughts_ray.ops.code_verify import compare_std_outputs
+
+    # check 4: words within a line reordered
+    assert compare_std_outputs("b a\nd c", "a b\nc d")
+    # check 5: whole lines reordered
+    assert compare_std_outputs("c d\na b", "a b\nc d")
+    # check 6: numerics equal after rounding to 3 decimals
+    assert compare_std_outputs("1.0004 2.0\n3.0", "1.0 2.0\n3.0")
+    # 3-dp difference is real: must NOT match
+    assert not compare_std_outputs("1.002 2.0", "1.0 2.0")
+    # different multiset of words: no rung matches
+    assert not compare_std_outputs("a b\nc", "a b\nc d")
+    # duplicate-word lines collapse to the same set (reference
+    # semantics: sets, not multisets)
+    assert compare_std_outputs("a a b", "a b")
