@@ -1784,6 +1784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tree_search_documents": _q_tree_search,
         "code_judge_documents": _q_code_judge,
         "arpa_ppl_documents": _q_arpa_ppl,
+        "zonemap_pruned_read_documents": _q_zonemap_pruned_read,
     }
 
 
@@ -1820,6 +1821,51 @@ def _q_arpa_ppl(sf_dir: str):
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _q_zonemap_pruned_read(sf_dir: str):
+    """Manifest zone-map pruned read (io/lance_table.py zone_stats /
+    prune_fragments / read_dataset(filter_conjuncts=...)): documents
+    is laid out ONCE as a Lance-layout fragment table bucketed into 16
+    contiguous doc_id ranges (per-fragment min/max/null stats in the
+    manifest), then read back with a range + equality filter.  The
+    manifest alone prunes the out-of-range fragments BEFORE any
+    parquet footer is opened — the read path a 10^12-row filtered scan
+    needs — and the residual row filter pushes into the scan.  The
+    callable self-checks that pruning actually fired (≥1 fragment
+    skipped), so a silent stats regression fails the gate, and the
+    pruned read is hash-compared against the plain SQL WHERE."""
+    import hashlib
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from open_thoughts_ray.io import lance_table as LT
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    tbl = pq.read_table(src, columns=["doc_id", "lang", "source",
+                                      "n_chars"])
+    order = pa.compute.sort_indices(tbl.column("doc_id"))
+    tbl = tbl.take(order)
+    key = hashlib.md5(f"{os.path.realpath(src)}|{tbl.num_rows}|v1"
+                      .encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"otr_zonemap_{key}")
+    if not os.path.exists(os.path.join(d, "manifest.json")):
+        n_frag = 16
+        step = max(1, (tbl.num_rows + n_frag - 1) // n_frag)
+        frags = [LT.write_fragment(d, i, tbl.slice(i * step, step))
+                 for i in range(n_frag) if i * step < tbl.num_rows]
+        LT.write_manifest(d, frags)
+    mn = int(pa.compute.min(tbl.column("doc_id")).as_py())
+    mx = int(pa.compute.max(tbl.column("doc_id")).as_py())
+    lo = mn + (mx - mn) // 4
+    hi = mn + (mx - mn) // 2
+    conj = [("doc_id", ">=", lo), ("doc_id", "<", hi),
+            ("lang", "==", "en")]
+    _, n_pruned = LT.prune_fragments(d, conj)
+    if n_pruned < 1:
+        raise AssertionError("zone maps pruned nothing — stats broken")
+    return LT.read_dataset(d, filter_conjuncts=conj)
 
 
 def _q_code_judge(sf_dir: str):
@@ -2765,6 +2811,20 @@ def oracle_sql() -> dict[str, str]:
         _p = os.path.join(_gg, f"{_name}.parquet")
         if os.path.exists(_p):
             d[_name] = f"SELECT * FROM read_parquet('{_p}')"
+    # zone-map pruned read ≡ plain WHERE over the original parquet
+    # (the Ray side proves ≥1 fragment was manifest-pruned, then
+    # pushes the residual filter into the scan)
+    d["zonemap_pruned_read_documents"] = """
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE doc_id >= (SELECT min(doc_id)
+                         + (max(doc_id) - min(doc_id)) // 4
+                         FROM documents)
+          AND doc_id <  (SELECT min(doc_id)
+                         + (max(doc_id) - min(doc_id)) // 2
+                         FROM documents)
+          AND lang = 'en'
+    """
     # code-judge verdicts are fully determined by doc_id % 4 (the
     # solutions are synthesized from it); the Ray side REALLY executes
     # the code, the oracle replays the expected verdict algebra
