@@ -125,6 +125,22 @@ _TYPE_ALIASES = {
 }
 
 
+def _yaml_conjuncts(spec) -> list[tuple] | None:
+    """YAML ``filter:`` → zone-map conjuncts.  Accepts a list of
+    ``{column, op, value}`` maps or 3-element lists; ops are the
+    prune-safe set (== < <= > >=).  None/empty → no pushdown."""
+    if not spec:
+        return None
+    out = []
+    for c in spec:
+        if isinstance(c, dict):
+            out.append((c["column"], c.get("op", "=="), c["value"]))
+        else:
+            col, op, val = c
+            out.append((col, op, val))
+    return out
+
+
 def execute_op(typ: str, cfg: dict, ins: list):
     """Run ONE operator: type + config + input Datasets → output Dataset.
     Shared by the streaming runner (run_pipeline) and the cached runner
@@ -146,7 +162,9 @@ def execute_op(typ: str, cfg: dict, ins: list):
         elif typ == "lance_source":
             from .io import lance_table
 
-            out = lance_table.read_dataset(cfg["path"], columns=cfg.get("columns"))
+            out = lance_table.read_dataset(
+                cfg["path"], columns=cfg.get("columns"),
+                filter_conjuncts=_yaml_conjuncts(cfg.get("filter")))
         elif typ == "hf_source":
             # reference hf_source (hf_source_operator.py): load + project
             # + truncate + constant provenance column.  No network here:
@@ -155,10 +173,23 @@ def execute_op(typ: str, cfg: dict, ins: list):
             from .io import lance_table
 
             path = cfg.get("path") or cfg["dataset"]
+            conj = _yaml_conjuncts(cfg.get("filter"))
             if os.path.isdir(path) and os.path.exists(
                     os.path.join(path, "manifest.json")):
                 out = lance_table.read_dataset(path,
-                                               columns=cfg.get("columns"))
+                                               columns=cfg.get("columns"),
+                                               filter_conjuncts=conj)
+            elif conj:
+                import pyarrow.dataset as _pads
+
+                expr = None
+                for col, op, val in conj:
+                    f = _pads.field(col)
+                    e = {"==": f == val, "<": f < val, "<=": f <= val,
+                         ">": f > val, ">=": f >= val}[op]
+                    expr = e if expr is None else (expr & e)
+                out = rd.read_parquet(path, columns=cfg.get("columns"),
+                                      filter=expr)
             else:
                 out = rd.read_parquet(path, columns=cfg.get("columns"))
             if cfg.get("limit") or cfg.get("num_truncate"):

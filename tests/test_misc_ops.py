@@ -882,3 +882,39 @@ def test_yaml_multimodal_family(ray_session, tmp_path):
         {"id": "cuts", "config": {"type": "video_scene_cuts"}},
     ]}).to_pandas()
     assert out3.n_frames.iloc[0] == 12
+
+
+def test_yaml_source_filter_pushdown(ray_session, tmp_path):
+    """YAML ``filter:`` conjuncts push into the read: lance_source
+    prunes fragments from the manifest zone maps; hf_source on plain
+    parquet pushes the same predicate into the scan."""
+    import pyarrow.parquet as pq
+
+    from open_thoughts_ray.io import lance_table as LT
+
+    t = pa.table({
+        "doc_id": pa.array(range(100), pa.int64()),
+        "lang": pa.array((["en"] * 50) + (["de"] * 50), pa.string()),
+    })
+    frags = [LT.write_fragment(str(tmp_path / "lance"), i,
+                               t.slice(i * 25, 25)) for i in range(4)]
+    LT.write_manifest(str(tmp_path / "lance"), frags)
+    pq.write_table(t, str(tmp_path / "docs.parquet"))
+
+    flt = [{"column": "doc_id", "op": ">=", "value": 30},
+           {"column": "lang", "value": "en"}]   # default op "=="
+    doc = {"operators": [
+        {"id": "src", "config": {"type": "lance_source",
+                                 "path": str(tmp_path / "lance"),
+                                 "filter": flt}},
+    ]}
+    out = run_pipeline(doc).to_pandas()
+    assert sorted(out.doc_id) == list(range(30, 50))
+
+    doc2 = {"operators": [
+        {"id": "src", "config": {"type": "hf_source",
+                                 "dataset": str(tmp_path / "docs.parquet"),
+                                 "filter": [["doc_id", "<", 10]]}},
+    ]}
+    out2 = run_pipeline(doc2).to_pandas()
+    assert sorted(out2.doc_id) == list(range(10))
