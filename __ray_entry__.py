@@ -1785,6 +1785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_judge_documents": _q_code_judge,
         "arpa_ppl_documents": _q_arpa_ppl,
         "zonemap_pruned_read_documents": _q_zonemap_pruned_read,
+        "video_scene_cuts_documents": _q_video_scene_cuts,
     }
 
 
@@ -1866,6 +1867,61 @@ def _q_zonemap_pruned_read(sf_dir: str):
     if n_pruned < 1:
         raise AssertionError("zone maps pruned nothing — stats broken")
     return LT.read_dataset(d, filter_conjuncts=conj)
+
+
+def _q_video_scene_cuts(sf_dir: str):
+    """Scene-cut detection over REAL compressed video (io/avi.py
+    RIFF/AVI-MJPEG, every frame a baseline JFIF JPEG): clips are
+    synthesized deterministically from doc_id (two gradient segments
+    with a planted boundary), encoded through the real container +
+    codec, then ``ops/video.scene_cut_stage`` decodes and detects the
+    boundary.  Output explodes cuts to (video_id, cut_frame) rows.
+    Golden-fixture oracle (scripts/gen_golden.py): synthesis, JPEG
+    round-trip and the frame-diff detector are all pure per-row
+    functions of doc_id — bit-identical at any parallelism."""
+    from open_thoughts_ray.io.avi import encode_avi_mjpeg
+    from open_thoughts_ray.ops.video import scene_cut_stage
+
+    ds = _rp(sf_dir, "documents", ["doc_id"]).sort("doc_id").limit(32)
+
+    def synth(t: pa.Table) -> pa.Table:
+        vids, bufs = [], []
+        for i in t.column("doc_id").to_pylist():
+            i = int(i)
+            n = 10 + i % 4
+            cut = 3 + i % 4
+            h, w = 24, 32
+            base = np.linspace(0, 255, w)[None, :, None] \
+                .repeat(h, 0).repeat(3, 2)
+            frames = []
+            for f in range(n):
+                if f < cut:
+                    px = np.clip(base + (i * 7) % 60 + f, 0, 255)
+                else:
+                    px = np.clip(255 - base - (i * 11) % 60 - f, 0, 255)
+                frames.append(px.astype(np.uint8))
+            vids.append(f"v{i:05d}")
+            bufs.append(encode_avi_mjpeg(np.stack(frames), fps=24,
+                                         quality=90))
+        return pa.table({"video_id": pa.array(vids, pa.string()),
+                         "bytes": pa.array(bufs, pa.binary())})
+
+    out = scene_cut_stage(ds.map_batches(synth, batch_format="pyarrow",
+                                         batch_size=8),
+                          threshold=40.0)
+
+    def explode(t: pa.Table) -> pa.Table:
+        vids, nfs, cuts = [], [], []
+        for row in range(t.num_rows):
+            for c in t.column("cuts")[row].as_py():
+                vids.append(t.column("video_id")[row].as_py())
+                nfs.append(t.column("n_frames")[row].as_py())
+                cuts.append(c)
+        return pa.table({"video_id": pa.array(vids, pa.string()),
+                         "n_frames": pa.array(nfs, pa.int32()),
+                         "cut_frame": pa.array(cuts, pa.int32())})
+
+    return out.map_batches(explode, batch_format="pyarrow")
 
 
 def _q_code_judge(sf_dir: str):
@@ -2807,7 +2863,7 @@ def oracle_sql() -> dict[str, str]:
                   "approx_top_tokens_documents",
                   "distill_quality_documents", "tree_search_documents",
                   "ann_topk_ivf_embeddings", "semantic_dedup_embeddings",
-                  "arpa_ppl_documents"):
+                  "arpa_ppl_documents", "video_scene_cuts_documents"):
         _p = os.path.join(_gg, f"{_name}.parquet")
         if os.path.exists(_p):
             d[_name] = f"SELECT * FROM read_parquet('{_p}')"

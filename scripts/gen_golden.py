@@ -51,6 +51,7 @@ CANDIDATES = [
     "image_search_corpus",
     "tree_search_documents",
     "arpa_ppl_documents",
+    "video_scene_cuts_documents",
 ]
 
 
