@@ -1527,6 +1527,38 @@ def _q_delta_neardup_indexed(sf_dir: str):
     return out.select_columns(["doc_id"])
 
 
+def _q_delta_exact_indexed(sf_dir: str):
+    """Exact-fingerprint incremental ingest through the PERSISTED
+    Bloom index (ops/bloom_index.py): seen docs' md5-64 content hashes
+    are written once as a hash-partitioned table + per-partition Bloom
+    filters; the delta is vetted by Bloom prefilter (no disk on a
+    miss) + partition-pruned exact verify (false positives rescued).
+    Fingerprint is DuckDB-replayable (md5 first 16 hex chars), so the
+    whole three-tier decision is SQL-hash-checked."""
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from open_thoughts_ray.ops.bloom_index import (
+        build_bloom_index,
+        delta_exact_dedup_vs_index,
+    )
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text", "source"])
+    seen = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("source"),
+                                    pa.array(_DELTA_SEEN_SOURCES))),
+        batch_format="pyarrow")
+    new = ds.map_batches(
+        lambda t: t.filter(pc.invert(
+            pc.is_in(t.column("source"), pa.array(_DELTA_SEEN_SOURCES)))),
+        batch_format="pyarrow")
+    idx = build_bloom_index(seen, tempfile.mkdtemp(prefix="otr_blidx_"),
+                            n_parts=8)
+    out = delta_exact_dedup_vs_index(new, idx, update_index=False)
+    return out.select_columns(["doc_id"])
+
+
 def _q_tree_search(sf_dir: str):
     """Level-synchronous tree search (reference tree_search_operator.py
     re-expressed).  The per-level recursion is impractical in one SQL
@@ -1786,6 +1818,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "arpa_ppl_documents": _q_arpa_ppl,
         "zonemap_pruned_read_documents": _q_zonemap_pruned_read,
         "video_scene_cuts_documents": _q_video_scene_cuts,
+        "delta_exact_indexed_documents": _q_delta_exact_indexed,
     }
 
 
@@ -2867,6 +2900,24 @@ def oracle_sql() -> dict[str, str]:
         _p = os.path.join(_gg, f"{_name}.parquet")
         if os.path.exists(_p):
             d[_name] = f"SELECT * FROM read_parquet('{_p}')"
+    # Bloom-indexed exact delta ingest ≡ "fingerprint unseen AND first
+    # occurrence (min doc_id) within the delta" — md5-64 fingerprints
+    # are identical on both sides, so this hash-checks all three tiers
+    d["delta_exact_indexed_documents"] = """
+        WITH seen AS (
+            SELECT DISTINCT substr(md5(text), 1, 16) AS h
+            FROM documents WHERE source IN ('src0', 'src1')
+        ),
+        delta AS (
+            SELECT doc_id, substr(md5(text), 1, 16) AS h
+            FROM documents WHERE source NOT IN ('src0', 'src1')
+        )
+        SELECT d.doc_id
+        FROM delta d
+        WHERE d.h NOT IN (SELECT h FROM seen)
+          AND d.doc_id = (SELECT min(d2.doc_id) FROM delta d2
+                          WHERE d2.h = d.h)
+    """
     # zone-map pruned read ≡ plain WHERE over the original parquet
     # (the Ray side proves ≥1 fragment was manifest-pruned, then
     # pushes the residual filter into the scan)

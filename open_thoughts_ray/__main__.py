@@ -125,6 +125,41 @@ def _cmd_ingest(args) -> dict:
     return out
 
 
+def _cmd_build_exact_index(args) -> dict:
+    from .ops.bloom_index import build_bloom_index
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(args.table, columns=[args.text_column])
+    out = build_bloom_index(ds, args.out, text_col=args.text_column,
+                            n_parts=args.n_parts,
+                            bits_per_key=args.bits_per_key,
+                            prefix_tokens=args.prefix_tokens)
+    return {"index_dir": out}
+
+
+def _cmd_ingest_exact(args) -> dict:
+    from .ops.bloom_index import delta_exact_dedup_vs_index
+
+    import ray.data as rd
+
+    new_ds = rd.read_parquet(args.delta)
+    # same commit discipline as the MinHash ingest: survivors persist
+    # FIRST, the index append is the last idempotent step
+    kept, commit = delta_exact_dedup_vs_index(
+        new_ds, args.index, id_col=args.id_column,
+        text_col=args.text_column,
+        update_index=not args.no_index_update,
+        return_commit=True)
+    kept = kept.materialize()
+    out: dict = {"rows_kept": kept.count()}
+    if args.out:
+        kept.write_parquet(args.out)
+        out["out"] = args.out
+    commit()
+    return out
+
+
 def _cmd_runs(args) -> dict:
     from .registry import RunRegistry
 
@@ -192,6 +227,31 @@ def main(argv: list[str] | None = None) -> dict:
     ig.add_argument("--no-index-update", action="store_true",
                     help="vet only; do not append survivors' signatures")
     ig.set_defaults(fn=_cmd_ingest)
+
+    bei = sub.add_parser("build-exact-index",
+                         help="persist the Bloom + hash-partition exact-"
+                              "dedup index for a corpus")
+    bei.add_argument("--table", required=True, help="corpus parquet path/dir")
+    bei.add_argument("--out", required=True, help="index output dir")
+    bei.add_argument("--text-column", default="text")
+    bei.add_argument("--n-parts", type=int, default=16)
+    bei.add_argument("--bits-per-key", type=int, default=12)
+    bei.add_argument("--prefix-tokens", type=int, default=None)
+    bei.set_defaults(fn=_cmd_build_exact_index)
+
+    ige = sub.add_parser("ingest-exact",
+                         help="vet a new parquet shard against the exact "
+                              "Bloom index; keep unseen rows, append "
+                              "their fingerprints")
+    ige.add_argument("--delta", required=True, help="new shard parquet")
+    ige.add_argument("--index", required=True,
+                     help="index dir (build-exact-index)")
+    ige.add_argument("--out", default=None, help="write survivors here")
+    ige.add_argument("--id-column", default="doc_id")
+    ige.add_argument("--text-column", default="text")
+    ige.add_argument("--no-index-update", action="store_true",
+                     help="vet only; do not append survivors' hashes")
+    ige.set_defaults(fn=_cmd_ingest_exact)
 
     r = sub.add_parser("runs", help="list recorded runs (per-operator "
                                     "fingerprint, cache status, rows, wall s)")
